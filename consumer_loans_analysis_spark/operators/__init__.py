@@ -1,0 +1,3 @@
+from consumer_loans_analysis_spark.operators import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

@@ -1,0 +1,203 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- **exact**: hash-groupBy on the dedup key — one shuffle, no comparison
+  explosion. For 100 TB, group on a fingerprint (md5) instead of raw text so
+  shuffle rows are ~32 bytes, not documents.
+- **n-gram Jaccard**: inverted-index join (explode shingles, equi-join on
+  shingle, count common) — never materializes the O(n²) pair space; cost is
+  Σ per-shingle df². Hot shingles are the skew risk → AQE skew-join + an
+  optional document-frequency cap.
+- **MinHash+LSH**: fixed-size signatures (num_hashes longs per doc) →
+  band-bucket equi-join → exact-Jaccard verification of candidates only.
+  This is the 100 TB path: shuffle volume is #docs × signature, candidate
+  pairs ≪ n². With r rows/band and b bands, a pair at similarity s is missed
+  with probability (1−s^r)^b — at s=0.8, r=2, b=32: ~5·10⁻⁸.
+- **SimHash**: one 32-bit signature per doc from word-frequency votes;
+  near-dups = signatures within Hamming distance k (cosine-like measure).
+
+All hashes are md5-based (engine-portable, see operators.text.portable_hash)
+so every variant is oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.operators.text import portable_hash, words
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    w = words(F.col(text_col))
+    sh = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Exact dedup: keep one row per key (hash-groupBy, single shuffle)."""
+    return df.dropDuplicates(key_cols)
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """Inverted-index pairwise Jaccard from a (id, shingle) table."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+
+
+def jaccard_near_dupes(
+    df: DataFrame, threshold: float = 0.8, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold (inverted index)."""
+    sh = shingles(df, text_col, id_col, n)
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def minhash_near_dupes(
+    df: DataFrame, threshold: float = 0.8, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3, num_hashes: int = 64, rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash + banded LSH candidates, then exact-Jaccard verification.
+
+    Output equals ``jaccard_near_dupes`` up to the (negligible) LSH
+    false-negative probability; verification removes all false positives.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    # signatures: num_hashes independent md5 hash functions, min per doc
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(portable_hash(F.col("shingle"), seed=i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # bands: md5 over the concatenated row-hashes of each band
+    n_bands = num_hashes // rows_per_band
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    banded = mins.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(i) for i in range(n_bands)]).alias("band_idx"),
+                F.array(*band_cols).alias("band_key"),
+            )
+        ).alias("z"),
+    ).select("id", F.col("z.band_idx").alias("band_idx"), F.col("z.band_key").alias("band_key"))
+    left = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    right = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    candidates = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (join back onto the shingle index)
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("id").alias("cand_b"), F.col("shingle").alias("sh_b"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        candidates.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("cand_b")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash signature per document: each bit is the sign of the
+    frequency-weighted vote of that bit over all word occurrences."""
+    tokens = df.select(
+        F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("word")
+    )
+    h = portable_hash(F.col("word"))
+    votes = tokens.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dupes(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text",
+    id_col: str = "doc_id", bits: int = 32,
+) -> DataFrame:
+    """Pairs whose SimHash signatures are within ``max_hamming`` bits.
+
+    Pairing here is a broadcast self-join (fine to ~10⁶ docs); the 100 TB
+    path blocks on signature bytes (join on each of k rotated prefixes) so
+    only same-prefix pairs are compared.
+    """
+    sig = simhash_signatures(df, text_col, id_col, bits)
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k. The query set is broadcast, so
+  the corpus never shuffles; per-partition partial top-k is merged by the
+  final window. Linear in corpus size — the correctness baseline.
+- ``bucketed_topk``: sign-LSH (axis hyperplanes) variant — candidates are
+  restricted to the query's bucket, an equi-join. The 100 TB path: recall
+  trades against the number of probe buckets.
+
+Dot products stay JVM-side via ``zip_with``/``aggregate`` (no Python UDF);
+floats are cast to double before accumulation, left-to-right, so results are
+deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-accumulated dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (broadcast join +
+    per-query window; ties broken by neighbor id)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def sign_bucket(vec: Column, n_bits: int = 6) -> Column:
+    """Axis-aligned sign-LSH bucket: one bit per leading dimension."""
+    bucket = F.lit(0)
+    for j in range(n_bits):
+        bucket = bucket + F.when(
+            F.element_at(vec, j + 1).cast("double") > 0, F.lit(2**j)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def bucketed_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 3, n_bits: int = 6,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign-LSH bucket, so
+    the pairing is an equi-join on bucket id (shuffle on a small int key)
+    instead of a cross join. Recall < 1 by design; raise n probe buckets or
+    lower n_bits to trade recall for cost."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_dupes(
+    embeddings: DataFrame, threshold: float = 0.45,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ threshold. Brute-force here;
+    at scale, run ``bucketed_topk`` or MinHash over quantized vectors first
+    and verify only candidates."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,119 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage-codegen) — no Python in
+the hot path. The portable hash is md5-based so results are reproducible
+across engines and across Spark versions (murmur3 `F.hash` is
+JVM-implementation-specific; md5 is a fixed standard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def portable_hash(col: Column, seed: int | None = None, hex_chars: int = 8) -> Column:
+    """Deterministic non-negative integer hash of a string column: first
+    ``hex_chars`` hex digits of md5, as a long. Engine-portable (DuckDB:
+    ``CAST(concat('0x', substr(md5(x),1,n)) AS BIGINT)``)."""
+    x = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(x), 1, hex_chars), 16, 10).cast("long")
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(col, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (ceil(len/4) pieces per word — the ~4-chars-per-token heuristic)."""
+    w = words(F.col(text_col))
+    return df.withColumn("n_tokens", F.size(w)).withColumn(
+        "n_subwords",
+        F.aggregate(
+            w, F.lit(0).cast("long"),
+            lambda acc, x: acc + F.ceil(F.length(x) / F.lit(4.0)).cast("long"),
+        ),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring features: char/word counts, mean word length,
+    type-token ratio, stopword ratio — and a composite score in [0,1].
+
+    The composite mirrors common pretraining-corpus filters (Gopher-style
+    length + repetition heuristics) with fixed, documented weights.
+    """
+    w = words(F.col(text_col))
+    stop = F.array(*[F.lit(s) for s in ["the", "a", "and", "of", "to", "in"]])
+    n_words = F.size(w).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    mean_word_len = (n_chars - (n_words - 1)) / n_words  # chars minus separators
+    ttr = F.size(F.array_distinct(w)).cast("double") / n_words
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: F.array_contains(stop, x))).cast("double") / n_words
+    )
+    score = (
+        F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.4
+        + ttr * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("type_token_ratio", ttr)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+# Marker vocabularies for the n-gram/stopword language-ID heuristic. On real
+# corpora these are the top function words per language; scoring is
+# count-of-markers-present, argmax with lexicographic tie-break.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "que"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: per-language marker-word hit counts over the
+    token set; prediction = argmax (ties broken by language code).
+
+    One projection, no shuffle, no UDF — scales linearly.
+    """
+    w = F.array_distinct(words(F.col(text_col)))
+    scores = {
+        lang: F.size(
+            F.array_intersect(w, F.array(*[F.lit(m) for m in markers]))
+        ).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    out = df
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", s)
+    # argmax with deterministic lexicographic tie-break
+    pred = F.lit("en")
+    best = F.col("score_en")
+    for lang in sorted(scores):
+        if lang == "en":
+            continue
+        is_better = F.col(f"score_{lang}") > best
+        pred = F.when(is_better, F.lit(lang)).otherwise(pred)
+        best = F.when(is_better, F.col(f"score_{lang}")).otherwise(best)
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set — a
+    canonical content hash robust to word order (bag-of-words identity).
+    Plus a 64-bit numeric prefix for compact joins."""
+    canon = F.array_join(F.array_sort(F.array_distinct(words(F.col(text_col)))), " ")
+    fp = F.md5(canon)
+    return df.withColumn("fingerprint", fp).withColumn(
+        "fingerprint64", F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")
+    )

@@ -1,0 +1,3 @@
+from consumer_loans_analysis_spark.plans.registry import ORACLES, QUERIES, query
+
+__all__ = ["ORACLES", "QUERIES", "query"]

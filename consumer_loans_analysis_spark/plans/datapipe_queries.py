@@ -1,0 +1,318 @@
+"""Training-data-pipeline queries: dedup, similarity, text, multimodal.
+
+Each registers the real operator from ``operators/`` with a DuckDB oracle
+that states the exact semantics. Hashes are md5-based (engine-portable) so
+even MinHash/SimHash are hash-check-able; the MinHash query's oracle is the
+EXACT Jaccard answer — valid because verification removes false positives
+and the banded-LSH false-negative probability at the data's similarity
+margin (pairs are ≥0.97 or ≤0.52) is ~10⁻³⁹.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.operators import dedup, multimodal, similarity, text
+from consumer_loans_analysis_spark.plans.registry import query
+from consumer_loans_analysis_spark.sources.readers import read_table
+
+# Shared DuckDB fragments -----------------------------------------------------
+
+_JACCARD_SQL = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM d, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word FROM documents),
+    h AS (SELECT id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hv FROM tok),
+    votes AS (SELECT id, {votes} FROM h GROUP BY id),
+    sig AS (SELECT id, {sig} AS simhash FROM votes)
+    SELECT a.id AS id_a, b.id AS id_b,
+      bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+_COSINE_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+
+# --- dedup -------------------------------------------------------------------
+
+@query(
+    "d1_exact_dedup",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per source: docs vs distinct content
+    fingerprints. At 100 TB the md5 fingerprint (32 bytes) is what shuffles,
+    never the document bodies."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
+    )
+
+
+@query("d2_ngram_jaccard_pairs", oracle=_JACCARD_SQL)
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs ≥ 0.8 via the
+    inverted-shingle-index join (no O(n²) pair space)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.jaccard_near_dupes(docs, threshold=0.8)
+
+
+@query("d3_minhash_lsh_pairs", oracle=_JACCARD_SQL)
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 32-band LSH candidates, exact-verify ≥ 0.8. Oracle is
+    the exact Jaccard answer (see module docstring for why that's sound)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dupes(docs, threshold=0.8)
+
+
+@query("d4_simhash_pairs", oracle=_simhash_sql())
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) signatures; pairs within Hamming distance 3."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dupes(docs, max_hamming=3)
+
+
+@query(
+    "d5_embedding_near_dupes",
+    oracle=_COSINE_SQL
+    + """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ROUND(list_dot_product(a.v, b.v)
+            / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.45
+    """,
+)
+def d5_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.45 (rounded for the hash gate)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dupes(emb, threshold=0.45)
+    return pairs.withColumn("cos", F.round(F.col("cos"), 6))
+
+
+# --- similarity search -------------------------------------------------------
+
+@query(
+    "sim1_cosine_topk",
+    oracle=_COSINE_SQL
+    + """
+    , scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.v, c.v)
+          / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))) AS cos
+      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for query vectors (id < 5):
+    query set broadcast, corpus never shuffles."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=5
+    )
+    return out.withColumn("cos", F.round(F.col("cos"), 6))
+
+
+@query(
+    "sim2_lsh_bucketed_topk",
+    oracle=_COSINE_SQL
+    + """
+    , b AS (
+      SELECT vec_id, v,
+        (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+        + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+      FROM e
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.v, c.v)
+          / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))) AS cos
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id >= 20
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def sim2_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-3 (candidates = same-bucket only;
+    the oracle states the same bucketed algorithm, so this checks the
+    plumbing — recall-vs-exact is a tuning knob, not a correctness claim)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.bucketed_topk(
+        emb.filter(F.col("vec_id") >= 20), emb.filter(F.col("vec_id") < 20), k=3
+    )
+    return out.withColumn("cos", F.round(F.col("cos"), 6))
+
+
+# --- text analysis -----------------------------------------------------------
+
+@query(
+    "t1_token_stats",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id, len(words) AS n_tokens,
+      (SELECT SUM(CAST(CEIL(LEN(x) / 4.0) AS BIGINT)) FROM UNNEST(words) AS t(x)) AS n_subwords
+    FROM w
+    """,
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (ceil(len/4))."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.token_stats(docs).select("doc_id", "n_tokens", "n_subwords")
+
+
+@query(
+    "t2_quality_features",
+    oracle="""
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+    feat AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        (CAST(LEN(text) AS DOUBLE) - (CAST(len(words) AS DOUBLE) - 1)) / CAST(len(words) AS DOUBLE) AS mean_word_len,
+        CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS type_token_ratio,
+        CAST(len(list_filter(words, x -> list_contains(['the','a','and','of','to','in'], x))) AS DOUBLE)
+          / CAST(len(words) AS DOUBLE) AS stopword_ratio
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, type_token_ratio, stopword_ratio,
+      LEAST(CAST(n_words AS DOUBLE) / 200.0, 1.0) * 0.4 + type_token_ratio * 0.4
+        + LEAST(stopword_ratio * 5.0, 1.0) * 0.2 AS quality_score
+    FROM feat
+    """,
+)
+def t2_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features + composite score."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.quality_features(docs).select(
+        "doc_id", "n_words", "mean_word_len", "type_token_ratio",
+        "stopword_ratio", "quality_score",
+    )
+
+
+@query(
+    "t3_lang_id",
+    oracle="""
+    WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words FROM documents),
+    s AS (
+      SELECT doc_id,
+        CAST(len(list_intersect(words, ['the','and','of','to','a','in','is','that'])) AS BIGINT) AS score_en,
+        CAST(len(list_intersect(words, ['el','la','de','que','y','en','un','los'])) AS BIGINT) AS score_es,
+        CAST(len(list_intersect(words, ['le','la','de','et','les','des','un','que'])) AS BIGINT) AS score_fr,
+        CAST(len(list_intersect(words, ['der','die','und','das','ist','nicht','ein','mit'])) AS BIGINT) AS score_de,
+        CAST(len(list_intersect(words, ['的','是','了','在','我','有','和','不'])) AS BIGINT) AS score_zh
+      FROM w
+    )
+    SELECT doc_id, score_en, score_es, score_fr, score_de, score_zh,
+      CASE
+        WHEN score_de > score_en THEN
+          CASE WHEN score_es > score_de THEN
+            CASE WHEN score_fr > score_es THEN
+              CASE WHEN score_zh > score_fr THEN 'zh' ELSE 'fr' END
+            ELSE CASE WHEN score_zh > score_es THEN 'zh' ELSE 'es' END END
+          ELSE
+            CASE WHEN score_fr > score_de THEN
+              CASE WHEN score_zh > score_fr THEN 'zh' ELSE 'fr' END
+            ELSE CASE WHEN score_zh > score_de THEN 'zh' ELSE 'de' END END
+          END
+        ELSE
+          CASE WHEN score_es > score_en THEN
+            CASE WHEN score_fr > score_es THEN
+              CASE WHEN score_zh > score_fr THEN 'zh' ELSE 'fr' END
+            ELSE CASE WHEN score_zh > score_es THEN 'zh' ELSE 'es' END END
+          ELSE
+            CASE WHEN score_fr > score_en THEN
+              CASE WHEN score_zh > score_fr THEN 'zh' ELSE 'fr' END
+            ELSE CASE WHEN score_zh > score_en THEN 'zh' ELSE 'en' END END
+          END
+      END AS lang_pred
+    FROM s
+    """,
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (argmax over per-language hit
+    counts, sequential lexicographic tie-break — the oracle unrolls the same
+    argmax order: de, es, fr, zh vs running best starting at en)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.lang_id(docs).select(
+        "doc_id", "score_en", "score_es", "score_fr", "score_de", "score_zh", "lang_pred"
+    )
+
+
+@query(
+    "t4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+      CAST(concat('0x', substr(md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')), 1, 15)) AS BIGINT) AS fingerprint64
+    FROM documents
+    """,
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words content fingerprint (md5 of sorted distinct tokens)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fingerprint", "fingerprint64")
+
+
+# --- multimodal --------------------------------------------------------------
+
+@query(
+    "mm1_decode_metadata",
+    oracle="""
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(1 + CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 64 AS INTEGER) AS width,
+      CAST(1 + CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 48 AS INTEGER) AS height,
+      CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 256 AS DOUBLE) / 255.0 AS mean_pixel
+    FROM documents
+    """,
+)
+def mm1_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    mapInPandas decode (stubbed deterministically on md5 — the oracle states
+    the same fake so the Pandas-UDF path itself is hash-checked)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.decode_images(multimodal.attach_binary(docs))

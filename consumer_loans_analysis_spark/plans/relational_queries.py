@@ -1,0 +1,703 @@
+"""SURVEY §2.2–2.5 operator queries with DuckDB oracles.
+
+One registered query per operator row (P*/A*/O*/J3/S*), exercised on the
+driver testdata so the driver's hash-compare is the correctness gate.
+
+Determinism notes (shared with the oracle SQL):
+- sums/avgs accumulate in DECIMAL (order-independent) then cast to double;
+- stddev/corr are computed from decimal moment sums with an explicitly
+  parenthesized double formula, identical on both engines — built-in
+  ``stddev``/``corr`` accumulate in partition order and differ in final ulps;
+- exact ``percentile`` (linear interpolation) matches DuckDB
+  ``quantile_cont``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.functions.relational import (
+    categorical_profile,
+    crosstab_counts,
+    crosstab_norm,
+    decimal_avg,
+    decimal_sum,
+    group_median,
+    joint_bool_dist,
+    missing_profile,
+    mutual_information,
+    quantile_bounds,
+    topk,
+    unpivot,
+    value_counts,
+)
+from consumer_loans_analysis_spark.plans.registry import query
+from consumer_loans_analysis_spark.sources.readers import read_table
+
+
+def _det_std(c: Column) -> Column:
+    """Deterministic sample stddev from decimal moment sums."""
+    sx = F.sum(c.cast("decimal(25,6)")).cast("double")
+    sx2 = F.sum((c * c).cast("decimal(30,6)")).cast("double")
+    n = F.count(c).cast("double")
+    return F.sqrt((sx2 - sx * sx / n) / (n - F.lit(1.0)))
+
+
+def _det_std_sql(x: str) -> str:
+    """Same formula, same parenthesization, DuckDB SQL."""
+    sx = f"CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+    sx2 = f"CAST(SUM(CAST(({x}) * ({x}) AS DECIMAL(30,6))) AS DOUBLE)"
+    n = f"CAST(COUNT({x}) AS DOUBLE)"
+    return f"SQRT(({sx2} - {sx} * {sx} / {n}) / ({n} - 1.0))"
+
+
+def _det_corr(x: Column, y: Column) -> Column:
+    """Deterministic Pearson correlation from decimal moment sums."""
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x.cast("decimal(25,6)")).cast("double")
+    sy = F.sum(y.cast("decimal(25,6)")).cast("double")
+    sxy = F.sum((x * y).cast("decimal(30,6)")).cast("double")
+    sx2 = F.sum((x * x).cast("decimal(30,6)")).cast("double")
+    sy2 = F.sum((y * y).cast("decimal(30,6)")).cast("double")
+    return (n * sxy - sx * sy) / (
+        F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)
+    )
+
+
+def _det_corr_sql(x: str, y: str) -> str:
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    sx = f"CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+    sy = f"CAST(SUM(CAST({y} AS DECIMAL(25,6))) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST(({x}) * ({y}) AS DECIMAL(30,6))) AS DOUBLE)"
+    sx2 = f"CAST(SUM(CAST(({x}) * ({x}) AS DECIMAL(30,6))) AS DOUBLE)"
+    sy2 = f"CAST(SUM(CAST(({y}) * ({y}) AS DECIMAL(30,6))) AS DOUBLE)"
+    return (
+        f"({n} * {sxy} - {sx} * {sy}) / "
+        f"(SQRT({n} * {sx2} - {sx} * {sx}) * SQRT({n} * {sy2} - {sy} * {sy}))"
+    )
+
+
+# --- S: scans / in-memory tables ---------------------------------------------
+
+@query(
+    "s1_scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 45
+    """,
+)
+def s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: parquet scan with projection + filter, both pushed to the reader
+    (ReadSchema carries 3 columns; PushedFilters carries both predicates)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "s4_inline_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'alpha', CAST(1.5 AS DOUBLE)),
+      (CAST(2 AS BIGINT), 'beta',  CAST(2.5 AS DOUBLE)),
+      (CAST(3 AS BIGINT), 'gamma', CAST(3.5 AS DOUBLE))
+    ) AS t(id, name, score)
+    """,
+)
+def s4_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: in-memory table construction (reference pd.DataFrame(...) at
+    notebooks/eda_processing.ipynb:443)."""
+    return spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", 3.5)],
+        schema="id long, name string, score double",
+    )
+
+
+# --- P: projections / filters / row ops --------------------------------------
+
+@query(
+    "p1_p2_drop_rename",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def p1_p2_drop_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P4: drop + rename + column-list select as one projection."""
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.drop("c_acctbal", "c_nationkey")
+        .withColumnRenamed("c_custkey", "customer_id")
+        .withColumnRenamed("c_mktsegment", "segment")
+        .select("customer_id", "c_name", "segment")
+    )
+
+
+@query(
+    "p5_filter_equality",
+    oracle="SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
+)
+def p5_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: single equality predicate (pushed to parquet)."""
+    e = read_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+
+
+@query(
+    "p6_filter_conjunction",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'view') AND value > 10 AND user_id % 2 = 0
+    """,
+)
+def p6_filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: conjunctive boolean predicate (reference mask idiom,
+    notebooks/engineering.py:18-31)."""
+    e = read_table(spark, sf_dir, "events")
+    return e.filter(
+        F.col("event_type").isin("click", "view")
+        & (F.col("value") > 10)
+        & (F.col("user_id") % 2 == 0)
+    ).select("event_id", "event_type", "value")
+
+
+@query(
+    "p7_p8_cast_and_bool_derive",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
+      CAST(o_totalprice > 200000 AS BOOLEAN) AS is_large,
+      CAST(CAST(o_totalprice > 200000 AS BOOLEAN) AS DOUBLE) AS is_large_num
+    FROM orders
+    """,
+)
+def p7_p8_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 cast + P8 boolean derivation (reference HAS_DEPENDENTS lambda →
+    pure expression, notebooks/processing.py:9-15)."""
+    o = read_table(spark, sf_dir, "orders")
+    is_large = (F.col("o_totalprice") > 200000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("long").alias("price_int"),
+        is_large.alias("is_large"),
+        is_large.cast("double").alias("is_large_num"),
+    )
+
+
+@query(
+    "p9_map_dict_lookup",
+    oracle="""
+    SELECT o_orderkey,
+      CASE o_orderpriority
+        WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1 WHEN '3-MEDIUM' THEN 2
+        WHEN '4-NOT SPECIFIED' THEN 3 WHEN '5-LOW' THEN 4
+      END AS priority_ord
+    FROM orders
+    """,
+)
+def p9_map_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: dict-lookup scalar map as a when-chain (reference
+    EmployeePartialTransformer, notebooks/processing.py:112-136)."""
+    o = read_table(spark, sf_dir, "orders")
+    mapping = {
+        "1-URGENT": 0, "2-HIGH": 1, "3-MEDIUM": 2, "4-NOT SPECIFIED": 3, "5-LOW": 4,
+    }
+    expr = F.lit(None).cast("int")
+    for k, v in reversed(list(mapping.items())):
+        expr = F.when(F.col("o_orderpriority") == k, F.lit(v)).otherwise(expr)
+    return o.select("o_orderkey", expr.alias("priority_ord"))
+
+
+@query(
+    "p10_ordinal_ladder",
+    oracle="""
+    SELECT c_custkey,
+      CAST(CASE c_mktsegment
+        WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1 WHEN 'FURNITURE' THEN 2
+        WHEN 'HOUSEHOLD' THEN 3 WHEN 'MACHINERY' THEN 4
+      END AS DOUBLE) / 4 AS segment_scaled
+    FROM customer
+    """,
+)
+def p10_ordinal_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/E5: ordered-vocabulary ordinal encode, scaled to [0,1] (reference
+    EducationEncoder index/9, notebooks/processing.py:19-43)."""
+    c = read_table(spark, sf_dir, "customer")
+    ladder = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    expr = F.lit(None).cast("int")
+    for i, v in reversed(list(enumerate(ladder))):
+        expr = F.when(F.col("c_mktsegment") == v, F.lit(i)).otherwise(expr)
+    return c.select(
+        "c_custkey",
+        (expr.cast("double") / (len(ladder) - 1)).alias("segment_scaled"),
+    )
+
+
+@query(
+    "p11_conditional_rewrite",
+    oracle="""
+    SELECT c_custkey,
+      CASE
+        WHEN c_acctbal > 5000 AND c_mktsegment = 'BUILDING' THEN 'prime building'
+        WHEN c_acctbal > 5000 THEN 'prime other'
+        WHEN c_acctbal < 0 THEN 'delinquent'
+        ELSE 'standard'
+      END AS customer_class
+    FROM customer
+    """,
+)
+def p11_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: multi-condition column rewrite (reference HAS_CURRENT_ACCOUNT
+    3-way merge, notebooks/engineering.py:9-54)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(
+            (F.col("c_acctbal") > 5000) & (F.col("c_mktsegment") == "BUILDING"),
+            "prime building",
+        )
+        .when(F.col("c_acctbal") > 5000, "prime other")
+        .when(F.col("c_acctbal") < 0, "delinquent")
+        .otherwise("standard")
+        .alias("customer_class"),
+    )
+
+
+@query(
+    "p12_ratio_features",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      l_extendedprice / l_quantity AS unit_price,
+      l_tax / NULLIF(l_discount, 0) AS tax_to_discount
+    FROM lineitem
+    """,
+)
+def p12_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: arithmetic ratio features. Spark yields NULL on x/0 (pandas
+    yields inf — SURVEY §7.4#2); the oracle uses NULLIF to state the same
+    semantics explicitly."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        (F.col("l_tax") / F.col("l_discount")).alias("tax_to_discount"),
+    )
+
+
+@query(
+    "p13_clip_winsorize",
+    oracle="""
+    SELECT c_custkey,
+      LEAST(GREATEST(c_acctbal, 0.0), 5000.0) AS acctbal_clipped
+    FROM customer
+    """,
+)
+def p13_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: clip to fixed bounds via least/greatest (reference mask-replace,
+    notebooks/processing.py:57-63)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.least(F.greatest(F.col("c_acctbal"), F.lit(0.0)), F.lit(5000.0)).alias(
+            "acctbal_clipped"
+        ),
+    )
+
+
+@query(
+    "p15_head_preview",
+    oracle="SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 4",
+)
+def p15_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15: deterministic preview — ORDER BY + LIMIT (plain .limit() has no
+    defined row order in a distributed table)."""
+    n = read_table(spark, sf_dir, "nation")
+    return n.select("n_nationkey", "n_name").orderBy("n_nationkey").limit(4)
+
+
+# --- A: aggregations ----------------------------------------------------------
+
+@query(
+    "a1_summary_numeric",
+    oracle=f"""
+    WITH cols AS (
+      SELECT 'l_quantity' AS "column", COUNT(l_quantity) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_quantity) AS mean,
+        {_det_std_sql('l_quantity')} AS std,
+        CAST(MIN(l_quantity) AS DOUBLE) AS min, CAST(MAX(l_quantity) AS DOUBLE) AS max
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(l_extendedprice),
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_extendedprice),
+        {_det_std_sql('l_extendedprice')},
+        CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', COUNT(l_discount),
+        CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_discount),
+        {_det_std_sql('l_discount')},
+        CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+      FROM lineitem
+    )
+    SELECT * FROM cols
+    """,
+)
+def a1_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: df.describe() equivalent, one aggregation pass for all columns."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(col).alias("n"),
+                decimal_avg(c).alias("mean"),
+                _det_std(col).alias("std"),
+                F.min(col).cast("double").alias("min"),
+                F.max(col).cast("double").alias("max"),
+            ).alias(f"_{c}")
+        )
+    row = li.agg(*aggs)
+    return row.select(
+        F.explode(F.array(*[F.col(f"_{c}") for c in cols])).alias("s")
+    ).select("s.*")
+
+
+@query(
+    "a2_categorical_profile",
+    oracle="""
+    WITH counted AS (
+      SELECT c_mktsegment AS value, COUNT(*) AS cnt FROM customer GROUP BY 1
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rk FROM counted
+    )
+    SELECT 'c_mktsegment' AS "column",
+      SUM(cnt) AS count, COUNT(*) AS unique,
+      MAX(CASE WHEN rk = 1 THEN value END) AS top,
+      MAX(CASE WHEN rk = 1 THEN cnt END) AS freq
+    FROM ranked
+    """,
+)
+def a2_cat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: describe(include=object) — count/unique/top/freq."""
+    return categorical_profile(read_table(spark, sf_dir, "customer"), "c_mktsegment")
+
+
+@query(
+    "a3_missing_profile",
+    oracle="""
+    SELECT 'text' AS "column",
+      SUM(CAST((text IS NULL OR text = '') AS BIGINT)) AS n_missing,
+      COUNT(*) AS n_rows
+    FROM documents
+    UNION ALL
+    SELECT 'lang',
+      SUM(CAST((lang IS NULL OR lang = '') AS BIGINT)),
+      COUNT(*)
+    FROM documents
+    """,
+)
+def a3_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: one-pass per-column missing counts (null or empty-string
+    sentinel — reference counts the 'Missing' sentinel the same way)."""
+    return missing_profile(
+        read_table(spark, sf_dir, "documents"), ["text", "lang"], sentinel=""
+    )
+
+
+@query(
+    "a4_value_counts",
+    oracle="""
+    SELECT event_type AS value, COUNT(*) AS count,
+      CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+    FROM events GROUP BY event_type
+    """,
+)
+def a4_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: value_counts with normalized share."""
+    return value_counts(read_table(spark, sf_dir, "events"), "event_type", normalize=True)
+
+
+@query("a5_distinct_values", oracle="SELECT DISTINCT p_brand AS value FROM part")
+def a5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct values of a column."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select(F.col("p_brand").alias("value")).distinct()
+
+
+@query(
+    "a6_crosstab_counts",
+    oracle="""
+    SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS count
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def a6_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: crosstab in long form — one shuffle on the pair key."""
+    return crosstab_counts(read_table(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "a6b_pivot_wide",
+    oracle="""
+    SELECT o_orderstatus,
+      SUM(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS "1-URGENT",
+      SUM(CAST(o_orderpriority = '2-HIGH' AS BIGINT)) AS "2-HIGH",
+      SUM(CAST(o_orderpriority = '3-MEDIUM' AS BIGINT)) AS "3-MEDIUM",
+      SUM(CAST(o_orderpriority = '4-NOT SPECIFIED' AS BIGINT)) AS "4-NOT SPECIFIED",
+      SUM(CAST(o_orderpriority = '5-LOW' AS BIGINT)) AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a6b_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 wide form: pivot with an explicit value list (skips the extra
+    distinct-values job Spark otherwise runs to discover pivot columns)."""
+    o = read_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "a7_crosstab_row_normalized",
+    oracle="""
+    SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS count,
+      CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus) AS share
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def a7_crosstab_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: row-normalized crosstab (share within each a-group)."""
+    return crosstab_norm(read_table(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "a8_joint_bool_dist",
+    oracle="""
+    SELECT (l_returnflag = 'R') AS a, (l_discount > 0.05) AS b, COUNT(*) AS count,
+      CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def a8_joint_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: 2×2 joint distribution of two boolean derivations (reference
+    make_bool_dist_matrix, notebooks/eda_processing.ipynb:1252-1268)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").alias("is_returned"),
+        (F.col("l_discount") > 0.05).alias("high_discount"),
+    )
+    return joint_bool_dist(li, "is_returned", "high_discount")
+
+
+@query(
+    "a9_group_median",
+    oracle="""
+    SELECT c_mktsegment AS key, quantile_cont(c_acctbal, 0.5) AS median
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a9_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: exact per-group median (reference groupby().median() ordering
+    idiom, notebooks/eda_processing.ipynb:1658)."""
+    return group_median(read_table(spark, sf_dir, "customer"), "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "a10_quantile_iqr_bounds",
+    oracle="""
+    WITH q AS (
+      SELECT 'o_totalprice' AS "column",
+        quantile_cont(o_totalprice, 0.25) AS q1, quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+      UNION ALL
+      SELECT 'value', quantile_cont(value, 0.25), quantile_cont(value, 0.75) FROM events
+    )
+    SELECT "column", q1, q3, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+    FROM q
+    """,
+)
+def a10_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/E2-fit: exact q1/q3 + IQR winsorize bounds per column (reference
+    RemoveOutliers fit, notebooks/processing.py:48-54). approxQuantile is the
+    documented 100 TB path (exact=False)."""
+    o = quantile_bounds(read_table(spark, sf_dir, "orders"), ["o_totalprice"])
+    e = quantile_bounds(read_table(spark, sf_dir, "events"), ["value"])
+    return o.unionByName(e)
+
+
+@query(
+    "a11_column_stats",
+    oracle=f"""
+    SELECT
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value) AS mean,
+      {_det_std_sql('value')} AS std,
+      quantile_cont(value, 0.5) AS median,
+      quantile_cont(value, 0.9) AS p90
+    FROM events
+    """,
+)
+def a11_col_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: mean/std/median/p90 in one aggregation."""
+    e = read_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.agg(
+        decimal_avg("value").alias("mean"),
+        _det_std(v).alias("std"),
+        F.median(v).alias("median"),
+        F.percentile(v, F.lit(0.9)).alias("p90"),
+    )
+
+
+@query(
+    "a12_corr_matrix",
+    oracle=f"""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+      {_det_corr_sql('l_quantity', 'l_extendedprice')} AS corr
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', {_det_corr_sql('l_quantity', 'l_discount')} FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', {_det_corr_sql('l_extendedprice', 'l_discount')} FROM lineitem
+    """,
+)
+def a12_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: all-pairs Pearson correlation in ONE aggregation pass (reference
+    df.corr(), notebooks/feature_engineering.ipynb:136)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            _det_corr(F.col(a), F.col(b)).alias("corr"),
+        ).alias(f"_{a}_{b}")
+        for a, b in pairs
+    ]
+    row = li.agg(*aggs)
+    return row.select(
+        F.explode(F.array(*[F.col(f"_{a}_{b}") for a, b in pairs])).alias("s")
+    ).select("s.*")
+
+
+@query(
+    "a13_corr_scalar",
+    oracle=f"""
+    SELECT {_det_corr_sql('o_totalprice',
+        "CAST(epoch(o_orderdate) AS DOUBLE)")} AS corr
+    FROM orders
+    """,
+)
+def a13_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: single-pair correlation as one action (the M11 optimizer's inner
+    loop shape, notebooks/engineering.py:119-120)."""
+    o = read_table(spark, sf_dir, "orders")
+    ts = F.unix_timestamp("o_orderdate").cast("double")
+    return o.agg(_det_corr(F.col("o_totalprice"), ts).alias("corr"))
+
+
+@query(
+    "a14_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS nxy
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT nxy,
+        SUM(nxy) OVER () AS n,
+        SUM(nxy) OVER (PARTITION BY x) AS nx,
+        SUM(nxy) OVER (PARTITION BY y) AS ny
+      FROM joint
+    )
+    SELECT CAST(SUM(CAST(
+      (CAST(nxy AS DOUBLE) / n) * LN((CAST(nxy AS DOUBLE) * n) / (CAST(nx AS DOUBLE) * ny))
+      AS DECIMAL(25,12))) AS DOUBLE) AS mi
+    FROM m
+    """,
+)
+def a14_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: discrete mutual information — contingency table + window
+    marginals, no second pass (reference mutual_info_classif,
+    notebooks/feature_engineering.ipynb:496-505)."""
+    return mutual_information(
+        read_table(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+# --- O: sorts / top-k / sampling ---------------------------------------------
+
+@query(
+    "o3_topk",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+    """,
+)
+def o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3: top-k — compiles to TakeOrderedAndProject (per-partition heap,
+    no global sort). Tie-broken on the key for determinism."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).limit(10)
+
+
+@query("o4_sample_uniform")  # seeded Bernoulli sample — not oracle-reproducible
+def o4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: seeded uniform sample. Bernoulli per-row, so the exact row set is
+    engine-specific — driver runs the weaker rows-only check."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@query("o5_sample_stratified")  # seeded per-stratum sample — not oracle-reproducible
+def o5_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: stratified sample via sampleBy (one pass; replaces the reference's
+    per-category filter+sample+concat loop)."""
+    c = read_table(spark, sf_dir, "customer")
+    fractions = {s: 0.2 for s in ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]}
+    return c.sampleBy("c_mktsegment", fractions, seed=42).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# --- J3: unpivot --------------------------------------------------------------
+
+@query(
+    "j3_unpivot_melt",
+    oracle="""
+    WITH long AS (
+      SELECT l_orderkey, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT variable,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value) AS mean_value,
+      COUNT(*) AS n
+    FROM long GROUP BY variable
+    """,
+)
+def j3_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: melt to long format then aggregate per variable (reference
+    pd.melt for plotting, notebooks/eda_processing.ipynb:997)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    long = unpivot(
+        li, ["l_orderkey"], ["l_quantity", "l_discount", "l_tax"]
+    )
+    return long.groupBy("variable").agg(
+        decimal_avg("value").alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

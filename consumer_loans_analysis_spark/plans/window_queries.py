@@ -1,0 +1,284 @@
+"""Window-function, as-of/range-join, and event-time queries.
+
+SURVEY §2.9: the reference has no window/streaming surface; these define the
+engine's analytic-window and event-time semantics (from Spark's documented
+behavior) with DuckDB oracles.
+
+Scale notes: every window here partitions by a key (customer/user) — no
+global unpartitioned ordering. The as-of join is the union+last trick (one
+shuffle, no per-row subquery); the range join buckets time so it stays an
+equi-join (no O(n²) broadcast-nested-loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.functions.relational import decimal_sum
+from consumer_loans_analysis_spark.plans.registry import query
+from consumer_loans_analysis_spark.sources.readers import read_table
+
+
+@query(
+    "w1_topn_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+        RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def w1_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank top-N per group (deterministic tie-break on key)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@query(
+    "w2_lag_delta",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+        value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      FROM events
+    )
+    SELECT user_id, COUNT(delta) AS n_deltas,
+      CAST(SUM(CAST(ABS(delta) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(delta) AS mean_abs_delta
+    FROM d GROUP BY user_id
+    """,
+)
+def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() deltas per user, then per-user aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+    return d.groupBy("user_id").agg(
+        F.count("delta").alias("n_deltas"),
+        (
+            F.sum(F.abs(F.col("delta")).cast("decimal(25,6)")).cast("double")
+            / F.count("delta")
+        ).alias("mean_abs_delta"),
+    )
+
+
+@query(
+    "w3_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer — decimal accumulation keeps the running
+    values bit-stable under any partitioning."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "asof_join_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the same user's most recent click at
+    or before it. Implemented as union + last(ignorenulls) over a
+    user-partitioned window — ONE shuffle on user_id, linear in events,
+    no per-row lookup. (DuckDB states the same semantics as ASOF JOIN.)"""
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.col("ts").alias("c_ts"), F.col("value").alias("c_value"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_value"),
+        F.lit(1).alias("is_p"),
+    )
+    u = clicks.unionByName(purchases)
+    # clicks sort before purchases at equal ts → ">= " as-of semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .withColumn("click_value", F.last("c_value", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    )
+
+
+@query(
+    "range_join_followers",
+    oracle="""
+    SELECT e1.event_id, COUNT(e2.event_id) AS n_follow
+    FROM events e1
+    LEFT JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 60 SECOND
+    GROUP BY e1.event_id
+    """,
+)
+def range_join_followers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events by the same user within the next 60 s. Spark-side
+    it is BUCKETED — each probe row explodes to its two candidate minute
+    buckets and joins equi on (user, bucket), then filters the exact range.
+    Stays a hash join at any scale (a raw interval join would fall back to
+    broadcast-nested-loop, O(n²))."""
+    e = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bucket = F.floor(us / 60_000_000)
+    probe = e.select(
+        F.col("event_id").alias("e1_id"), F.col("user_id").alias("u"),
+        us.alias("t1"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bk"),
+    )
+    build = e.select(
+        F.col("event_id").alias("e2_id"), F.col("user_id").alias("u"),
+        us.alias("t2"), bucket.alias("bk"),
+    )
+    hits = (
+        probe.join(build, ["u", "bk"])
+        .filter((F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + 60_000_000))
+        .groupBy("e1_id")
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+    return (
+        e.select(F.col("event_id"))
+        .join(hits, e.event_id == hits.e1_id, "left")
+        .select("event_id", F.coalesce("n_follow", F.lit(0)).alias("n_follow"))
+    )
+
+
+@query(
+    "e1_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (native F.window; same grouping
+    runs on a stream with withWatermark — see streaming module)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "e2_sliding_window",
+    oracle="""
+    WITH g AS (
+      SELECT make_timestamp(CAST((epoch_us(ts) // 300000000 - off) * 300000000 AS BIGINT)) AS window_start,
+             value
+      FROM events, UNNEST([0, 1]) AS t(off)
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM g GROUP BY 1
+    """,
+)
+def e2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window, 10-minute length / 5-minute slide (native F.window;
+    each event lands in exactly two windows)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "e3_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def e3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap (native
+    F.session_window — the same operator Structured Streaming runs
+    stateful; the oracle states the gaps-and-islands equivalent)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

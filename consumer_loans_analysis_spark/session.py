@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the local[32] test harness but expressed so the same
+config scales to a multi-executor cluster: AQE on (runtime coalescing +
+skew-join handling), Arrow on (fast pandas/Pandas-UDF interchange), and a
+shuffle-partition count that AQE can coalesce down from.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFIGS: dict[str, str] = {
+    # Adaptive query execution: runtime partition coalescing, skew-join
+    # splitting, and dynamic join-strategy switching. Essential at scale,
+    # harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas interchange & Pandas UDFs (the only sanctioned way to
+    # run Python in the hot path).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Broadcast joins for dimension tables (region/nation/customer-sized).
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # ANSI off: we want permissive casts / null-on-bad-input like the
+    # reference's pandas semantics (Spark 4 defaults ANSI on).
+    "spark.sql.ansi.enabled": "false",
+    # Reasonable local shuffle width; AQE coalesces below this.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # Quiet progress bars in test output.
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "consumer_loans_analysis_spark",
+    master: str | None = None,
+    extra_configs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured — on a real cluster, leave it unset
+    and spark-submit supplies it.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in DEFAULT_CONFIGS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_configs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
