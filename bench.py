@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+The set spans the engine's surface: scan-agg (q1, q6), multi-join (q3, q5),
+window (w1, w3), event-time (e1, e3), as-of + bucketed range join, dedup
+(inverted-index Jaccard, MinHash-LSH), similarity top-k, and the text/
+quality pass — each measured end-to-end (plan + execute + fetch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from consumer_loans_analysis_spark.plans import registry
+from consumer_loans_analysis_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "join_broadcast_part_revenue",
+    "rollup_region_nation",
+    "w1_topn_per_group",
+    "w3_running_sum",
+    "asof_join_last_click",
+    "range_join_followers",
+    "e1_tumbling_window",
+    "e3_session_window",
+    "a1_summary_numeric",
+    "a12_corr_matrix",
+    "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_pairs",
+    "sim1_cosine_topk",
+    "t2_quality_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all()
+    spark = get_spark("bench")
+    # warm the JVM/codegen path once with a trivial action
+    spark.range(1).count()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Unit tests for the scale-extension operators (dedup/similarity/text/mm)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different words about spark engines running large queries"
+    return spark.createDataFrame(
+        [(0, base), (1, near), (2, other), (3, base)],
+        schema="doc_id long, text string",
+    )
+
+
+def test_shingles(docs):
+    sh = dedup.shingles(docs.filter("doc_id = 2"), n=3)
+    got = {r["shingle"] for r in sh.collect()}
+    assert "completely different words" in got
+    assert len(got) == 7  # 9 words → 7 trigrams
+
+
+def test_exact_dedup(docs):
+    assert dedup.exact_dedup(docs, ["text"]).count() == 3  # 0 and 3 identical
+
+
+def test_jaccard_and_minhash_agree(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_near_dupes(docs, threshold=0.5).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_near_dupes(docs, threshold=0.5).collect()
+    }
+    assert (0, 3) in exact and exact[(0, 3)] == 1.0
+    assert (0, 1) in exact and 0.5 < exact[(0, 1)] < 1.0
+    assert mh == exact  # LSH candidates + verification ≡ exact answer here
+
+
+def test_simhash(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dupes(docs, max_hamming=5).collect()
+    }
+    assert pairs[(0, 3)] == 0  # identical docs → identical signature
+    assert (0, 1) in pairs  # near-dup within distance 5
+    assert (0, 2) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_topk(spark):
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1]), (12, [0.0, 1.0])],
+        schema="vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], schema="vec_id long, embedding array<float>"
+    )
+    out = similarity.cosine_topk(corpus, queries, k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(10, 1), (11, 2)]
+    assert out[0]["cos"] == pytest.approx(1.0)
+
+
+def test_embedding_near_dupes(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])],
+        schema="vec_id long, embedding array<float>",
+    )
+    pairs = similarity.embedding_near_dupes(emb, threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(0, "abcd ab abcdefgh")], "doc_id long, text string")
+    row = text.token_stats(df).collect()[0]
+    assert row["n_tokens"] == 3
+    assert row["n_subwords"] == 1 + 1 + 2
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma alpha beta"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    assert fp[0] == fp[1] != fp[2]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog of the house"), (1, "el gato y la casa de los perros")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
+    assert out == {0: "en", 1: "es"}
+
+
+def test_multimodal_decode_matches_stub(spark):
+    df = spark.createDataFrame([(0, "hello world")], "doc_id long, text string")
+    row = multimodal.decode_images(multimodal.attach_binary(df)).collect()[0]
+    h = int(hashlib.md5(b"hello world").hexdigest()[:8], 16)
+    assert row["n_bytes"] == 11
+    assert row["width"] == 1 + h % 64
+    assert row["height"] == 1 + h % 48
+    assert row["mean_pixel"] == pytest.approx((h % 256) / 255.0)
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame([("abc",)], "s string")
+    spark_val = df.select(text.portable_hash(F.col("s")).alias("h")).collect()[0]["h"]
+    duck_val = duckdb.sql(
+        "SELECT CAST(concat('0x', substr(md5('abc'),1,8)) AS BIGINT)"
+    ).fetchone()[0]
+    assert spark_val == duck_val

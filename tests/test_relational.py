@@ -1,0 +1,101 @@
+"""Unit tests for Layer-1 relational operators on small known inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.functions import relational as R
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 1.0, "x"),
+            ("a", 2.0, "y"),
+            ("b", 3.0, "x"),
+            ("b", 4.0, "x"),
+            ("b", 5.0, "y"),
+        ],
+        schema="k string, v double, c string",
+    )
+
+
+def test_value_counts(tiny):
+    out = {r["value"]: (r["count"], r["share"]) for r in R.value_counts(tiny, "k", normalize=True).collect()}
+    assert out["a"] == (2, 0.4)
+    assert out["b"] == (3, 0.6)
+
+
+def test_crosstab_norm(tiny):
+    rows = {(r["a"], r["b"]): r["share"] for r in R.crosstab_norm(tiny, "k", "c").collect()}
+    assert rows[("a", "x")] == 0.5
+    assert rows[("b", "x")] == pytest.approx(2 / 3)
+
+
+def test_group_median(tiny):
+    med = {r["key"]: r["median"] for r in R.group_median(tiny, "k", "v").collect()}
+    assert med == {"a": 1.5, "b": 4.0}
+
+
+def test_quantile_bounds(tiny):
+    row = R.quantile_bounds(tiny, ["v"]).collect()[0]
+    assert row["q1"] == 2.0 and row["q3"] == 4.0
+    assert row["lo"] == 2.0 - 3.0 and row["hi"] == 4.0 + 3.0
+
+
+def test_summary_numeric(tiny):
+    row = R.summary_numeric(tiny, ["v"]).collect()[0]
+    assert row["n"] == 5 and row["mean"] == 3.0
+    assert row["min"] == 1.0 and row["max"] == 5.0
+    assert row["std"] == pytest.approx(math.sqrt(2.5))
+
+
+def test_missing_profile(spark):
+    df = spark.createDataFrame(
+        [("x",), (None,), ("Missing",), ("y",)], schema="c string"
+    )
+    row = R.missing_profile(df, ["c"], sentinel="Missing").collect()[0]
+    assert row["n_missing"] == 2 and row["n_rows"] == 4
+
+
+def test_mutual_information_independent(spark):
+    # independent uniform columns → MI ≈ 0 exactly (balanced counts)
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(10)]
+    df = spark.createDataFrame(rows, schema="x string, y string")
+    mi = R.mutual_information(df, "x", "y").collect()[0]["mi"]
+    assert mi == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mutual_information_dependent(spark):
+    # y fully determined by x → MI = H(x) = ln 2
+    rows = [("a", "c")] * 10 + [("b", "d")] * 10
+    df = spark.createDataFrame(rows, schema="x string, y string")
+    mi = R.mutual_information(df, "x", "y").collect()[0]["mi"]
+    assert mi == pytest.approx(math.log(2), rel=1e-9)
+
+
+def test_decimal_sum_order_independence(spark):
+    vals = [(0.1,)] * 100
+    a = spark.createDataFrame(vals, "v double").repartition(7)
+    b = spark.createDataFrame(vals, "v double").coalesce(1)
+    sa = a.agg(R.decimal_sum("v").alias("s")).collect()[0]["s"]
+    sb = b.agg(R.decimal_sum("v").alias("s")).collect()[0]["s"]
+    assert sa == sb == 10.0
+
+
+def test_topk_and_clip(tiny):
+    top = R.topk(tiny, "v", 2).collect()
+    assert [r["v"] for r in top] == [5.0, 4.0]
+    clipped = R.clip_cols(tiny, {"v": (2.0, 4.0)}).select("v").collect()
+    assert sorted(r["v"] for r in clipped) == [2.0, 2.0, 3.0, 4.0, 4.0]
+
+
+def test_unpivot(tiny):
+    df = tiny.withColumn("v2", F.col("v") * 2)
+    long = R.unpivot(df, ["k"], ["v", "v2"])
+    assert long.count() == 10
+    assert set(long.columns) == {"k", "variable", "value"}
