@@ -1,0 +1,198 @@
+"""ModelImputer (E8): model-based categorical imputation.
+
+Reference ``MyImputer`` (processing.py:139-185): fit an XGBClassifier on the
+rows where the target is present (features = the other columns), predict the
+target for the missing rows, and write the predictions back by row position.
+
+Spark reformulation (P14 — no positional writes): the fitted classifier
+transforms the FULL frame and the imputed column is
+``when(target is missing, predicted).otherwise(target)`` — declarative, one
+map-side pass, no row identity needed. The classifier is MLlib
+RandomForestClassifier (xgboost is not in the container; the reference's
+model choice is a hyperparameter, not a semantic — BASELINE.md's acceptance
+bar is beating the mode-imputation micro-F1, not matching XGB bit-for-bit).
+
+Missingness is either a string sentinel (ECONOMIC_SECTOR: "Missing") or SQL
+NULL (EMPLOYEE_NO_NUM after BucketOrdinalEncoder maps "Missing" → null).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark import keyword_only
+from pyspark.ml import Estimator, Model, PipelineModel, Transformer
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.feature import StringIndexer, VectorAssembler
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.pipeline import Pipeline
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable, MLReadable, MLReader, MLWritable, MLWriter
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from consumer_loans_analysis_spark.pipeline.stages import _JsonParamMixin
+
+
+def _numeric_cols(df: DataFrame) -> list[str]:
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.NumericType, T.BooleanType))
+    ]
+
+
+class ModelImputerModel(Model, MLWritable, MLReadable):
+    """Fitted imputer: inner (assembler → classifier) PipelineModel + spec."""
+
+    def __init__(self, spec: dict | None = None, inner: PipelineModel | None = None):
+        super().__init__()
+        self.spec = spec or {}
+        self.inner = inner
+
+    def _missing_cond(self, col):
+        if self.spec["sentinel"] is None:
+            return col.isNull()
+        return col == self.spec["sentinel"]
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        target = self.spec["target"]
+        labels = self.spec["labels"]
+        feature_cols = self.spec["featureCols"]
+        # predict over the full frame; missing feature values can't occur
+        # (features are the already-processed numeric columns)
+        pred = self.inner.transform(df.select(*df.columns))
+        label_expr = F.element_at(
+            F.array(*[F.lit(l) for l in labels]),
+            F.col("_mi_prediction").cast("int") + 1,
+        )
+        if self.spec["numericTarget"]:
+            label_expr = label_expr.cast("double")
+        out = pred.withColumn(
+            target,
+            F.when(self._missing_cond(F.col(target)), label_expr).otherwise(
+                F.col(target)
+            ),
+        )
+        return out.drop("_mi_features", "_mi_prediction", "_mi_raw", "_mi_prob")
+
+    # --- persistence ---------------------------------------------------------
+
+    def write(self) -> MLWriter:
+        model = self
+
+        class _W(MLWriter):
+            def saveImpl(self, path: str) -> None:
+                os.makedirs(path, exist_ok=True)
+                with open(os.path.join(path, "spec.json"), "w") as f:
+                    json.dump(model.spec, f)
+                model.inner.write().overwrite().save(os.path.join(path, "inner"))
+
+        return _W()
+
+    @classmethod
+    def read(cls) -> MLReader:
+        class _R(MLReader):
+            def load(self, path: str) -> "ModelImputerModel":
+                with open(os.path.join(path, "spec.json")) as f:
+                    spec = json.load(f)
+                inner = PipelineModel.load(os.path.join(path, "inner"))
+                return ModelImputerModel(spec=spec, inner=inner)
+
+        return _R()
+
+
+class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultParamsWritable):
+    """Estimator: train a classifier on present rows to impute missing ones.
+
+    featureCols empty → all numeric columns minus the target minus
+    ``excludePrefixes`` matches (the reference excludes EMPLOYEE_NO from the
+    ECONOMIC_SECTOR model and the ECONOMIC_SECTOR_* block from the
+    EMPLOYEE_NO model — eda_processing.ipynb:2459,2666).
+    """
+
+    targetCol = Param(Params._dummy(), "targetCol", "column to impute", TypeConverters.toString)
+    sentinel = Param(Params._dummy(), "sentinel", "missing marker; empty = NULL", TypeConverters.toString)
+    excludePrefixes = Param(Params._dummy(), "excludePrefixes", "JSON [prefix]", TypeConverters.toString)
+    numTrees = Param(Params._dummy(), "numTrees", "forest size", TypeConverters.toInt)
+    maxDepth = Param(Params._dummy(), "maxDepth", "tree depth", TypeConverters.toInt)
+    seed = Param(Params._dummy(), "seed", "seed", TypeConverters.toInt)
+
+    @keyword_only
+    def __init__(self, targetCol: str = "", sentinel: str | None = "Missing",
+                 excludePrefixes: list[str] | None = None,
+                 numTrees: int = 100, maxDepth: int = 12, seed: int = 42):
+        super().__init__()
+        self._set(targetCol=targetCol, sentinel=sentinel if sentinel is not None else "",
+                  numTrees=numTrees, maxDepth=maxDepth, seed=seed)
+        self._set_json(self.excludePrefixes, excludePrefixes or [])
+
+    def _fit(self, df: DataFrame) -> ModelImputerModel:
+        target = self.getOrDefault(self.targetCol)
+        sentinel = self.getOrDefault(self.sentinel) or None
+        excl = self._get_json(self.excludePrefixes)
+        numeric_target = not isinstance(df.schema[target].dataType, T.StringType)
+
+        feature_cols = [
+            c
+            for c in _numeric_cols(df)
+            if c != target and not any(c.startswith(p) for p in excl)
+        ]
+        cond = F.col(target).isNotNull() if sentinel is None else (F.col(target) != sentinel)
+        train = df.filter(cond).withColumn("_mi_label_src", F.col(target).cast("string"))
+
+        pipe = Pipeline(
+            stages=[
+                StringIndexer(
+                    inputCol="_mi_label_src", outputCol="_mi_label",
+                    stringOrderType="alphabetAsc",
+                ),
+                VectorAssembler(inputCols=feature_cols, outputCol="_mi_features"),
+                RandomForestClassifier(
+                    featuresCol="_mi_features", labelCol="_mi_label",
+                    predictionCol="_mi_prediction", rawPredictionCol="_mi_raw",
+                    probabilityCol="_mi_prob",
+                    numTrees=self.getOrDefault(self.numTrees),
+                    maxDepth=self.getOrDefault(self.maxDepth),
+                    seed=self.getOrDefault(self.seed),
+                ),
+            ]
+        )
+        fitted = pipe.fit(train)
+        labels = list(fitted.stages[0].labelsArray[0])
+        # drop the indexer from the serving path (it would fail on sentinel
+        # rows); keep assembler + classifier
+        inner = PipelineModel(stages=fitted.stages[1:])
+        model = ModelImputerModel(
+            spec={
+                "target": target,
+                "sentinel": sentinel,
+                "labels": labels,
+                "featureCols": feature_cols,
+                "numericTarget": numeric_target,
+            },
+            inner=inner,
+        )
+        model._resetUid(self.uid)
+        return model
+
+
+class ServingWrapper(Transformer):
+    """C6 FinalModel (modeling.py:322-336): inject a dummy label column if
+    absent → run the full fitted feature pipeline → drop the label →
+    classifier transform. One lazy plan end-to-end; identical code path for
+    batch and foreachBatch streaming serving."""
+
+    def __init__(self, feature_pipeline: Transformer, classifier: Transformer,
+                 label_col: str = "FINALIZED_LOAN"):
+        super().__init__()
+        self.feature_pipeline = feature_pipeline
+        self.classifier = classifier
+        self.label_col = label_col
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if self.label_col not in df.columns:
+            df = df.withColumn(self.label_col, F.lit(1).cast("long"))
+        feat = self.feature_pipeline.transform(df)
+        return self.classifier.transform(feat.drop(self.label_col))

@@ -1,0 +1,183 @@
+"""Tier-1 golden-output parity + pipeline unit tests (SURVEY §5.2).
+
+The deterministic processing stages must reproduce the reference's
+``processed_valid.csv`` exactly (≤1e-9); stochastic stages (model imputers,
+Nelder-Mead weights) get statistical acceptance bands per SURVEY §5.2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.pipeline.combiner import CorrMaxCombiner, nelder_mead
+from consumer_loans_analysis_spark.pipeline.loans import (
+    build_feature_pipeline,
+    build_processing_pipeline,
+)
+from consumer_loans_analysis_spark.pipeline.stages import (
+    AccountMerger,
+    IQRWinsorizer,
+    NamedOneHotEncoder,
+    ScalarStandardScaler,
+    SentinelModeImputer,
+)
+from consumer_loans_analysis_spark.sources.readers import read_loans_csv
+
+GOLD_PROCESSED = "/root/reference/data/processed_valid.csv"
+ORIG_TRAIN = "/root/reference/data/orig_train.csv"
+ORIG_VALID = "/root/reference/data/orig_valid.csv"
+
+
+@pytest.fixture(scope="module")
+def loans_train(spark):
+    return read_loans_csv(spark, ORIG_TRAIN).cache()
+
+
+def test_processing_parity_deterministic(spark, loans_train):
+    """Golden-output test: every deterministic column of processed_valid.csv
+    reproduced to 1e-9 (order-insensitive multiset compare)."""
+    valid = read_loans_csv(spark, ORIG_VALID)
+    pipe = build_processing_pipeline(with_model_imputers=False).fit(loans_train)
+    ours = pipe.transform(valid).toPandas()
+    gold = pd.read_csv(GOLD_PROCESSED, index_col=0)
+    det_cols = [
+        c for c in gold.columns
+        if c != "EMPLOYEE_NO_NUM" and not c.startswith("ECONOMIC_SECTOR")
+    ]
+    assert not [c for c in det_cols if c not in ours.columns]
+    a = ours[det_cols].astype(float).sort_values(det_cols).reset_index(drop=True)
+    b = gold[det_cols].astype(float).sort_values(det_cols).reset_index(drop=True)
+    assert float((a - b).abs().max().max()) <= 1e-9
+
+
+def test_winsorizer_bounds_respected(spark, loans_train):
+    model = IQRWinsorizer(cols=["AGE", "INCOME"]).fit(loans_train)
+    out = model.transform(loans_train)
+    bounds = model._get_json(model.bounds)
+    row = out.agg(
+        F.min("AGE"), F.max("AGE"), F.min("INCOME"), F.max("INCOME")
+    ).head()
+    assert row[0] >= bounds["AGE"][0] and row[1] <= bounds["AGE"][1]
+    assert row[2] >= bounds["INCOME"][0] and row[3] <= bounds["INCOME"][1]
+
+
+def test_mode_imputer_sentinel_aware(spark, loans_train):
+    model = SentinelModeImputer(cols=["EDUCATION", "AREA"]).fit(loans_train)
+    modes = model._get_json(model.modes)
+    assert modes["EDUCATION"] == "University"  # eda_processing value_counts
+    assert modes["AREA"] == "County capital"
+    out = model.transform(loans_train)
+    assert out.filter(F.col("EDUCATION") == "Missing").count() == 0
+
+
+def test_one_hot_partition_of_unity(spark, loans_train):
+    model = NamedOneHotEncoder(cols=["PRODUCT"]).fit(loans_train)
+    out = model.transform(loans_train)
+    cols = [c for c in out.columns if c.startswith("PRODUCT_")]
+    assert len(cols) == 6
+    s = out.select(sum(F.col(c) for c in cols).alias("s")).distinct().collect()
+    assert [r["s"] for r in s] == [1.0]
+
+
+def test_one_hot_unknown_all_zero(spark):
+    train = spark.createDataFrame([("a",), ("b",)], "c string")
+    test = spark.createDataFrame([("zzz",)], "c string")
+    out = NamedOneHotEncoder(cols=["c"]).fit(train).transform(test)
+    row = out.head()
+    assert row["c_a"] == 0.0 and row["c_b"] == 0.0
+
+
+def test_scaler_population_std(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "x double")
+    model = ScalarStandardScaler(cols=["x"]).fit(df)
+    mu, sd = model._get_json(model.stats)["x"]
+    assert mu == 2.5
+    assert sd == pytest.approx(np.std([1, 2, 3, 4]))  # ddof=0 (sklearn)
+
+
+def test_account_merger(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (0, 0), (0, 1)], "DEBIT_CARD long, CURRENT_ACCOUNT long"
+    )
+    out = AccountMerger().transform(df).toPandas()
+    assert "DEBIT_CARD" not in out.columns
+    assert out["HAS_CURRENT_ACCOUNT_with debit card"].tolist() == [1.0, 0.0, 0.0]
+    assert out["HAS_CURRENT_ACCOUNT_no"].tolist() == [0.0, 1.0, 0.0]
+    assert out["HAS_CURRENT_ACCOUNT_without debit card"].tolist() == [0.0, 0.0, 1.0]
+
+
+def test_nelder_mead_rosenbrock_ish():
+    f = lambda x: (x[0] - 3) ** 2 + 10 * (x[1] + 1) ** 2
+    x = nelder_mead(f, np.zeros(2))
+    assert np.allclose(x, [3, -1], atol=1e-3)
+
+
+def test_corr_max_combiner_matches_reference_weights(spark, loans_train):
+    """The combiner's closed-form fit must land on the reference's published
+    optimum (feature_engineering.ipynb:332-374): weights ≈
+    [0.240, 0.784, 0.016, 5.260, 0.526, -2.042, -0.021, 0.462, -0.335, 1.272]
+    up to the scale-invariance of correlation."""
+    proc = build_processing_pipeline(with_model_imputers=False).fit(loans_train)
+    processed = proc.transform(loans_train)
+    feat = build_feature_pipeline().fit(processed)
+    spec = feat.stages[-1]._get_json(feat.stages[-1].spec)
+    ref = np.array([0.24007178, 0.78449442, 0.01632284, 5.26005219, 0.52608345,
+                    -2.04160981, -0.02077216, 0.46227607, -0.33512139, 1.27201294])
+    got = np.array(spec["weights"])
+    # correlation is invariant to positive scaling of w: compare directions
+    cos = got @ ref / (np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.999
+    assert spec["achieved_corr"] > 0.54
+    out = feat.transform(processed)
+    stats = out.agg(F.avg("TOTAL_SCORE"), F.stddev_pop("TOTAL_SCORE")).head()
+    assert stats[0] == pytest.approx(0.0, abs=1e-9)
+    assert stats[1] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_featured_schema_matches_golden(spark, loans_train):
+    proc = build_processing_pipeline(with_model_imputers=False).fit(loans_train)
+    processed = proc.transform(loans_train)
+    feat = build_feature_pipeline().fit(processed)
+    out_cols = set(feat.transform(processed).columns)
+    gold = pd.read_csv("/root/reference/data/featured_valid.csv", nrows=1)
+    expected = [
+        c for c in gold.columns
+        if c != "EMPLOYEE_NO_NUM" and not c.startswith("ECONOMIC_SECTOR")
+    ]
+    assert not [c for c in expected if c not in out_cols]
+    assert "DEBIT_CARD" not in out_cols and "CURRENT_ACCOUNT" not in out_cols
+
+
+def test_model_imputer_small(spark):
+    """ModelImputer semantics on a small synthetic: the imputed column has no
+    sentinel left and present values are untouched."""
+    from consumer_loans_analysis_spark.pipeline.model_imputer import ModelImputer
+
+    rows = [(float(i % 3), "abc"[i % 3] if i % 5 else "Missing") for i in range(200)]
+    df = spark.createDataFrame(rows, "x double, t string")
+    model = ModelImputer(targetCol="t", sentinel="Missing", numTrees=10, maxDepth=3).fit(df)
+    out = model.transform(df)
+    assert out.filter(F.col("t") == "Missing").count() == 0
+    # x fully determines t on non-missing rows → imputation is exact here
+    agree = out.filter(
+        (F.col("x") == 0.0) & (F.col("t") == "a")
+    ).count()
+    assert agree == out.filter(F.col("x") == 0.0).count()
+
+
+def test_pipeline_persistence_roundtrip(spark, loans_train, tmp_path):
+    """S3: save/load the fitted deterministic pipeline, outputs identical."""
+    pipe = build_processing_pipeline(with_model_imputers=False).fit(loans_train)
+    path = str(tmp_path / "proc_pipeline")
+    pipe.write().overwrite().save(path)
+    from pyspark.ml import PipelineModel
+
+    loaded = PipelineModel.load(path)
+    a = pipe.transform(loans_train).toPandas()
+    b = loaded.transform(loans_train).toPandas()
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a.sort_values(list(a.columns)).reset_index(drop=True),
+                                  b.sort_values(list(b.columns)).reset_index(drop=True))
