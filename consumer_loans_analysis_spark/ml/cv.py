@@ -1,0 +1,71 @@
+"""Multi-metric k-fold cross-validation (M3).
+
+MLlib's CrossValidator optimizes ONE metric; the reference's
+``my_cross_validate`` (modeling.py:12-107) reports five per fold. This
+harness assigns folds deterministically by hashing the feature vector
+(stable under any partitioning/shuffle — SURVEY §4.2#4), then trains/
+evaluates per fold, computing all metrics from one confusion aggregation
+per fold.
+
+Scale notes: the input is cached once; each fold's train is a filter (no
+shuffle); fold models train sequentially here but are independent —
+``parallelism`` maps to concurrent Spark jobs on a cluster (thread pool),
+like CrossValidator(parallelism=n).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.ml import Estimator
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.ml.metrics import binary_metrics
+
+
+def add_fold(df: DataFrame, k: int, cols: list[str] | None = None, seed: int = 42) -> DataFrame:
+    """Deterministic fold id in [0, k): hash of the given columns (default
+    all) xor'd with the seed. Reproducible across partitionings, unlike
+    randomSplit."""
+    cols = cols or df.columns
+    return df.withColumn(
+        "_fold", F.pmod(F.hash(*[F.col(c) for c in cols], F.lit(seed)), F.lit(k))
+    )
+
+
+def cross_validate(
+    estimator_factory,
+    df: DataFrame,
+    k: int = 6,
+    label_col: str = "label",
+    parallelism: int = 1,
+    seed: int = 42,
+) -> list[dict[str, float]]:
+    """Per-fold multi-metric CV. ``estimator_factory() -> Estimator`` builds
+    a fresh estimator per fold (MLlib estimators are reusable, but a factory
+    keeps the contract obvious). Returns one metric dict per fold."""
+    folded = add_fold(df, k, seed=seed).cache()
+    folded.count()  # materialize once
+
+    def run_fold(i: int) -> dict[str, float]:
+        train = folded.filter(F.col("_fold") != i)
+        test = folded.filter(F.col("_fold") == i)
+        model = estimator_factory().fit(train)
+        pred = model.transform(test)
+        m = binary_metrics(pred, label_col=label_col)
+        m["fold"] = i
+        return m
+
+    if parallelism > 1:
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            results = list(pool.map(run_fold, range(k)))
+    else:
+        results = [run_fold(i) for i in range(k)]
+    folded.unpersist()
+    return results
+
+
+def cv_summary(fold_metrics: list[dict[str, float]]) -> dict[str, float]:
+    keys = [k for k in fold_metrics[0] if k != "fold" and not k.startswith("support")]
+    return {k: sum(m[k] for m in fold_metrics) / len(fold_metrics) for k in keys}

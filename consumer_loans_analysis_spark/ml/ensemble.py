@@ -1,0 +1,46 @@
+"""Soft-voting ensemble (M7).
+
+Reference: VotingClassifier(voting='soft') over XGB + GaussianNB + SVC
+(modeling_validation.ipynb:1105-1121). Spark shape: each member's
+``probability`` vector column is produced by one ``transform`` over the SAME
+cached frame; P(class 1) is extracted with ``vector_to_array`` (JVM-side,
+no UDF), averaged, and thresholded at 0.5 (M10).
+
+Members without probability output (e.g. LinearSVC) are excluded by the
+reference too — soft voting needs calibrated probabilities.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Transformer
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class SoftVotingEnsemble(Transformer):
+    """Average member probabilities, threshold at 0.5."""
+
+    def __init__(self, models: list, threshold: float = 0.5):
+        super().__init__()
+        self.models = models
+        self.threshold = threshold
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        out = df
+        prob_cols = []
+        for i, m in enumerate(self.models):
+            pred = m.transform(out)
+            col = f"_p1_{i}"
+            pred = pred.withColumn(col, vector_to_array(F.col("probability"))[1])
+            out = pred.drop("rawPrediction", "probability", "prediction")
+            prob_cols.append(col)
+        avg = sum((F.col(c) for c in prob_cols), F.lit(0.0)) / len(prob_cols)
+        return (
+            out.withColumn("probability_pos", avg)
+            .withColumn(
+                "prediction",
+                F.when(F.col("probability_pos") > self.threshold, 1.0).otherwise(0.0),
+            )
+            .drop(*prob_cols)
+        )
