@@ -1,0 +1,3 @@
+from consumer_loans_analysis_spark.streaming import events, stateful
+
+__all__ = ["events", "stateful"]

@@ -1,0 +1,156 @@
+"""Structured Streaming surface over the events table (SURVEY §2.9, §7.0
+Layer 4).
+
+The reference has no streaming (SURVEY §2.9) — semantics here come from
+Spark Structured Streaming: the SAME window aggregations the batch queries
+e1/e2/e3 run (plans/window_queries.py) are expressed on an unbounded
+DataFrame with ``withWatermark`` for late data. Batch/stream parity is the
+design invariant, tested by running each stream on the static events
+parquet with ``trigger(availableNow=True)`` and comparing to the batch
+result.
+
+Scale notes: streaming window aggs shuffle on (window, keys) exactly like
+batch; state is bounded by the watermark horizon (old windows evict), so a
+1000-executor job holds only `horizon / slide × |keys|` state rows. The
+sessionization operator keeps one state row per active user — skew-safe
+because state is hash-partitioned on user_id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS); the streaming
+# reader (like read_table) takes it as long under the legacy flag and
+# truncates to microseconds with integer division (gotcha: double division
+# loses ulps at 1e18 nanos).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Unbounded events source: file-stream over the events parquet.
+
+    A parquet directory is the test/replay source; swapping in Kafka is a
+    one-line change (``format("kafka")`` + from_json) because everything
+    downstream only sees the typed schema.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source lists a DIRECTORY; testdata ships events as a
+    # single file, so stream the dir with a glob filter selecting it
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(sf_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of e1_tumbling_window: per-(window, event_type)
+    count/sum with late-data eviction after `watermark`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of e2_sliding_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of e3_session_window: native session_window state
+    (merging sessions) with watermark-bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 300) -> None:
+    """Drain an availableNow stream into an in-memory table `name`
+    (complete mode for aggregations) — the test/debug sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def run_foreach_batch(
+    stream_df: DataFrame, batch_fn, checkpoint_dir: str, timeout_sec: int = 300
+):
+    """Production-shaped sink: per-microbatch callable (e.g. upsert to a
+    warehouse, or PipelineModel.transform for streaming serving) with
+    exactly-once bookkeeping via the checkpoint."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

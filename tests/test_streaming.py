@@ -1,0 +1,120 @@
+"""Structured Streaming tests: every stream drained with availableNow on
+the static events parquet must equal its batch twin (SURVEY §7.4#7 — stream
+semantics are specced from Spark, verified against batch plans that are
+themselves DuckDB-oracled in plans/window_queries.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.sources.readers import read_table
+from consumer_loans_analysis_spark.streaming.events import (
+    run_foreach_batch,
+    run_to_memory,
+    session_aggregates,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+from consumer_loans_analysis_spark.streaming.stateful import user_running_totals
+
+
+def _rows(df, keys):
+    return sorted(
+        (tuple(r[k] for k in keys) for r in df.collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events").cache()
+
+
+def test_stream_source_schema(spark, sf_dir):
+    s = stream_events(spark, sf_dir)
+    assert s.isStreaming
+    assert dict(s.dtypes)["ts"] == "timestamp"
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, batch_events):
+    run_to_memory(tumbling_counts(stream_events(spark, sf_dir)), "t_tumble")
+    got = spark.table("t_tumble")
+    want = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    g = _rows(got, ["window_start", "event_type", "n_events"])
+    w = _rows(want, ["window_start", "event_type", "n_events"])
+    assert g == w and len(g) > 0
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, batch_events):
+    run_to_memory(sliding_counts(stream_events(spark, sf_dir)), "t_slide")
+    got = spark.table("t_slide")
+    want = (
+        batch_events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    assert _rows(got, ["window_start", "n_events"]) == _rows(want, ["window_start", "n_events"])
+
+
+def test_session_stream_matches_batch(spark, sf_dir, batch_events):
+    run_to_memory(session_aggregates(stream_events(spark, sf_dir)), "t_sess")
+    got = spark.table("t_sess")
+    want = (
+        batch_events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    assert _rows(got, ["user_id", "session_start", "n_events"]) == _rows(
+        want, ["user_id", "session_start", "n_events"]
+    )
+
+
+def test_stateful_running_totals(spark, sf_dir, batch_events, tmp_path):
+    collected = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            collected[r["user_id"]] = (r["n_events"], r["sum_value"], r["last_ts"])
+
+    run_foreach_batch(
+        user_running_totals(stream_events(spark, sf_dir)),
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    want = {
+        r["user_id"]: (r["n"], r["s"], r["m"])
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max("ts").alias("m"),
+        )
+        .collect()
+    }
+    assert set(collected) == set(want)
+    for uid, (n, s, last) in want.items():
+        gn, gs, glast = collected[uid]
+        assert gn == n and glast == last
+        assert gs == pytest.approx(s, rel=1e-9)
+
+
+def test_foreach_batch_serving_shape(spark, sf_dir, tmp_path):
+    """Streaming serving path: a transform applied per micro-batch."""
+    seen = []
+
+    def serve(batch_df, batch_id):
+        scored = batch_df.withColumn("score", F.col("value") * 2)
+        seen.append(scored.count())
+
+    run_foreach_batch(
+        stream_events(spark, sf_dir), serve, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    total = read_table(spark, sf_dir, "events").count()
+    assert sum(seen) == total
