@@ -17,8 +17,11 @@ Scale design (the point of each variant):
 - **SimHash**: one 32-bit signature per doc from word-frequency votes;
   near-dups = signatures within Hamming distance k (cosine-like measure).
 
-All hashes are md5-based (engine-portable, see operators.text.portable_hash)
-so every variant is oracle-checkable against DuckDB.
+SimHash stays md5-based (its ORACLE recomputes the signatures in DuckDB, so
+the hash must be engine-portable — operators.text.portable_hash). Jaccard/
+MinHash internals use xxhash64 (JVM-native, never leaves the engine): their
+oracles state exact Jaccard over shingle STRINGS, so the internal hash only
+has to be injective-in-practice, not portable.
 """
 
 from __future__ import annotations
@@ -52,13 +55,44 @@ def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
     return df.dropDuplicates(key_cols)
 
 
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct 64-bit-hashed word n-gram shingles per document: (id, sh).
+
+    Hashing each shingle ONCE to a long (xxhash64, JVM-native) and doing all
+    downstream work (inverted-index joins, minhash, band keys) on 8-byte
+    longs instead of ~50-byte strings cuts shuffle volume ~6× and removes
+    per-row md5 cost. Collisions (~|shingles|²/2⁶⁴) are negligible.
+
+    Parallelism: a small corpus arrives as one file split, which would run
+    the whole explode+hash on ONE core; widen to the cluster's parallelism
+    first (round-robin, no key skew). At scale the scan already yields
+    enough splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    w = words(F.col(text_col))
+    sh = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("sh")
+    )
+
+
 def _pair_jaccard(sh: DataFrame) -> DataFrame:
-    """Inverted-index pairwise Jaccard from a (id, shingle) table."""
+    """Inverted-index pairwise Jaccard from a (id, sh) hashed-shingle table."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -80,7 +114,7 @@ def jaccard_near_dupes(
     id_col: str = "doc_id", n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold (inverted index)."""
-    sh = shingles(df, text_col, id_col, n)
+    sh = shingle_hashes(df, text_col, id_col, n)
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
@@ -94,36 +128,35 @@ def minhash_near_dupes(
 
     Output equals ``jaccard_near_dupes`` up to the (negligible) LSH
     false-negative probability; verification removes all false positives.
+
+    Hash scheme: each shingle is xxhash64'd once; signature i applies the
+    universal family g_i(x) = (a_i·x + b_i) mod p (p = 2³¹−1, fixed seeded
+    coefficients — the same construction as MLlib MinHashLSH). One
+    multiply-add-mod per hash instead of an md5 call: pure codegen
+    arithmetic, intermediates < 2⁶², no long overflow under any ANSI mode.
     """
-    sh = shingles(df, text_col, id_col, n).cache()
-    # signatures: num_hashes independent md5 hash functions, min per doc
+    import random as _random
+
+    rng = _random.Random(42)
+    p = (1 << 31) - 1
+    coeffs = [(rng.randint(1, p - 1), rng.randint(0, p - 1)) for _ in range(num_hashes)]
+    sh = shingle_hashes(df, text_col, id_col, n).cache()
+    x = F.pmod(F.col("sh"), F.lit(p))
     mins = sh.groupBy("id").agg(
         *[
-            F.min(portable_hash(F.col("shingle"), seed=i)).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(p))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
-    # bands: md5 over the concatenated row-hashes of each band
+    # band key: one long per band (xxhash64 of the band's row-hashes + index)
     n_bands = num_hashes // rows_per_band
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(str(b)),
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-        ).alias(f"b{b}")
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
         for b in range(n_bands)
     ]
-    banded = mins.select(
-        "id",
-        F.explode(
-            F.arrays_zip(
-                F.array(*[F.lit(i) for i in range(n_bands)]).alias("band_idx"),
-                F.array(*band_cols).alias("band_key"),
-            )
-        ).alias("z"),
-    ).select("id", F.col("z.band_idx").alias("band_idx"), F.col("z.band_key").alias("band_key"))
+    banded = mins.select("id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"))
     left = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     candidates = (
@@ -133,8 +166,8 @@ def minhash_near_dupes(
         .distinct()
     )
     # verify candidates with exact Jaccard (join back onto the shingle index)
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("id").alias("cand_b"), F.col("shingle").alias("sh_b"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("cand_b"), F.col("sh").alias("sh_b"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         candidates.join(a, "id_a")

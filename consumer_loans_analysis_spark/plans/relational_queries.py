@@ -37,9 +37,10 @@ from consumer_loans_analysis_spark.sources.readers import read_table
 
 
 def _det_std(c: Column) -> Column:
-    """Deterministic sample stddev from decimal moment sums."""
-    sx = F.sum(c.cast("decimal(25,6)")).cast("double")
-    sx2 = F.sum((c * c).cast("decimal(30,6)")).cast("double")
+    """Deterministic sample stddev from exact moment sums (decimal_sum is
+    the long-split exact accumulator — see functions.relational)."""
+    sx = decimal_sum(c)
+    sx2 = decimal_sum(c * c)
     n = F.count(c).cast("double")
     return F.sqrt((sx2 - sx * sx / n) / (n - F.lit(1.0)))
 
@@ -53,13 +54,13 @@ def _det_std_sql(x: str) -> str:
 
 
 def _det_corr(x: Column, y: Column) -> Column:
-    """Deterministic Pearson correlation from decimal moment sums."""
+    """Deterministic Pearson correlation from exact moment sums."""
     n = F.count(F.lit(1)).cast("double")
-    sx = F.sum(x.cast("decimal(25,6)")).cast("double")
-    sy = F.sum(y.cast("decimal(25,6)")).cast("double")
-    sxy = F.sum((x * y).cast("decimal(30,6)")).cast("double")
-    sx2 = F.sum((x * x).cast("decimal(30,6)")).cast("double")
-    sy2 = F.sum((y * y).cast("decimal(30,6)")).cast("double")
+    sx = decimal_sum(x)
+    sy = decimal_sum(y)
+    sxy = decimal_sum(x * y)
+    sx2 = decimal_sum(x * x)
+    sy2 = decimal_sum(y * y)
     return (n * sxy - sx * sy) / (
         F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)
     )
@@ -597,16 +598,20 @@ def a12_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a13_corr_scalar",
     oracle=f"""
     SELECT {_det_corr_sql('o_totalprice',
-        "CAST(epoch(o_orderdate) AS DOUBLE)")} AS corr
+        "CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE)")} AS corr
     FROM orders
     """,
 )
 def a13_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: single-pair correlation as one action (the M11 optimizer's inner
-    loop shape, notebooks/engineering.py:119-120)."""
+    loop shape, notebooks/engineering.py:119-120).
+
+    The date is taken as epoch DAYS (not seconds): correlation is invariant
+    under the linear rescale, and day-scale squares stay inside the exact
+    long-split sum envelope (seconds² ~1e18/row would overflow it)."""
     o = read_table(spark, sf_dir, "orders")
-    ts = F.unix_timestamp("o_orderdate").cast("double")
-    return o.agg(_det_corr(F.col("o_totalprice"), ts).alias("corr"))
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("double")
+    return o.agg(_det_corr(F.col("o_totalprice"), days).alias("corr"))
 
 
 @query(

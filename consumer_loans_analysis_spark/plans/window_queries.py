@@ -71,10 +71,7 @@ def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.groupBy("user_id").agg(
         F.count("delta").alias("n_deltas"),
-        (
-            F.sum(F.abs(F.col("delta")).cast("decimal(25,6)")).cast("double")
-            / F.count("delta")
-        ).alias("mean_abs_delta"),
+        (decimal_sum(F.abs(F.col("delta"))) / F.count("delta")).alias("mean_abs_delta"),
     )
 
 

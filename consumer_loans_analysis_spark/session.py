@@ -30,6 +30,12 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # Reasonable local shuffle width; AQE coalesces below this.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "128m",
+    # Split-size floor when a table is smaller than cores × 4 MB: Spark sets
+    # maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    # totalBytes/defaultParallelism)) — the 4 MB default open-cost would scan
+    # a 10 MB table on ~3 cores. 64 KB keeps small scans fully parallel and
+    # is irrelevant at scale (the totalBytes term dominates, capped at 128m).
+    "spark.sql.files.openCostInBytes": "65536",
     # Quiet progress bars in test output.
     "spark.ui.showConsoleProgress": "false",
 }
