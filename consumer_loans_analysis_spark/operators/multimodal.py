@@ -68,3 +68,99 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int = 32,
+    target_height: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize payloads to a thumbnail (Arrow-batched mapInPandas).
+
+    The resample itself is STUBBED deterministically (md5-keyed bytes of
+    exactly target_width*target_height); in production replace the inner
+    loop with ``PIL.Image.open(io.BytesIO(p)).resize(...)``. Schema,
+    batching, and partition behavior are the real contract.
+    """
+    id_name, payload_name = id_col, payload_col
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for p in pdf[payload_name]:
+                digest = hashlib.md5(bytes(p)).digest()
+                reps = (target_width * target_height) // len(digest) + 1
+                thumbs.append((digest * reps)[: target_width * target_height])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype("int64"),
+                    "width": target_width,
+                    "height": target_height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sample frames from 'video' payloads at a fixed interval, exploding
+    one output row per frame (mapInPandas may yield MORE rows than input —
+    the UDTF-ish contract a real frame sampler needs).
+
+    Frame extraction is STUBBED (frame k = md5(payload ‖ ascii(k)) bytes;
+    the fake 'duration' derives from payload length at 1 byte/ms). In
+    production the inner loop is ffmpeg/pyav seek-and-decode.
+    """
+    assert max_frames <= 10, "stub keys frames by single ascii digit"
+    id_name, payload_name = id_col, payload_col
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, p in zip(pdf[id_name], pdf[payload_name]):
+                payload = bytes(p)
+                duration_ms = len(payload)
+                n = min(max_frames, max(1, duration_ms // every_ms))
+                for k in range(int(n)):
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    tss.append(k * every_ms)
+                    frames.append(hashlib.md5(payload + str(k).encode()).digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(frame_batches, FRAME_SCHEMA)

@@ -316,3 +316,54 @@ def mm1_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same fake so the Pandas-UDF path itself is hash-checked)."""
     docs = read_table(spark, sf_dir, "documents")
     return multimodal.decode_images(multimodal.attach_binary(docs))
+
+
+@query(
+    "mm2_resize_thumbs",
+    oracle="""
+    SELECT doc_id, 32 AS width, 32 AS height,
+      CAST(1024 AS BIGINT) AS n_thumb_bytes,
+      upper(substr(md5(text), 1, 8)) AS thumb_prefix
+    FROM documents
+    """,
+)
+def mm2_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize over binary payloads (mapInPandas, 1:1 rows). The
+    thumb is the md5 digest tiled to 32×32; the oracle checks size + the
+    first digest bytes, proving the Arrow batch round-trip byte-for-byte."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = multimodal.resize_images(multimodal.attach_binary(docs), 32, 32)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("thumb").cast("bigint").alias("n_thumb_bytes"),
+        F.hex(F.substring("thumb", 1, 4)).alias("thumb_prefix"),
+    )
+
+
+@query(
+    "mm3_sample_frames",
+    oracle="""
+    SELECT doc_id,
+      CAST(k AS INTEGER) AS frame_idx,
+      CAST(k * 100 AS BIGINT) AS frame_ts_ms,
+      md5(text || CAST(k AS VARCHAR)) AS frame_md5
+    FROM documents,
+      UNNEST(range(LEAST(4, GREATEST(1, octet_length(encode(text)) // 100)))) AS t(k)
+    """,
+)
+def mm3_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one payload explodes to N frame rows inside
+    mapInPandas (the row-multiplying UDTF contract a video sampler needs);
+    the oracle regenerates every fake frame hash with a lateral range."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = multimodal.sample_frames(
+        multimodal.attach_binary(docs), every_ms=100, max_frames=4
+    )
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.lower(F.hex("frame")).alias("frame_md5"),
+    )

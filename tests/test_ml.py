@@ -129,3 +129,27 @@ def test_model_zoo_instantiable():
     for name, factory in zoo.items():
         est = factory()
         assert est is not None, name
+
+
+def test_feature_importances_named_table(spark, toy):
+    from pyspark.ml.classification import RandomForestClassifier
+
+    from consumer_loans_analysis_spark.ml.importance import (
+        feature_importances,
+        mean_abs_contribution,
+    )
+
+    model = RandomForestClassifier(numTrees=5, maxDepth=3, seed=1).fit(toy)
+    imp = feature_importances(model, ["x0", "x1"], spark, top_k=2).collect()
+    assert len(imp) == 2
+    assert {r["feature"] for r in imp} == {"x0", "x1"}
+    assert imp[0]["importance"] >= imp[1]["importance"] >= 0.0
+    total = sum(r["importance"] for r in imp)
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+    contribs = spark.createDataFrame(
+        [(0.5, -2.0, 0.1), (-0.5, 1.0, 0.0)], ["a", "b", "c"]
+    )
+    top = mean_abs_contribution(contribs, ["a", "b", "c"], top_k=2).collect()
+    assert [r["feature"] for r in top] == ["b", "a"]
+    assert top[0]["mean_abs"] == pytest.approx(1.5)
