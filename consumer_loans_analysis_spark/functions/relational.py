@@ -310,3 +310,21 @@ def clip_cols(df: DataFrame, bounds: dict[str, tuple[float, float]]) -> DataFram
             c, F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi))
         )
     return out
+
+
+# --- schema-driven column selection (P3) -------------------------------------
+
+def cols_of_dtype(df: DataFrame, kind: str) -> list[str]:
+    """P3: df.select_dtypes equivalent — column names by type class.
+
+    ``kind``: 'string' | 'numeric' | 'boolean' | 'timestamp'. Pure schema
+    inspection, no job."""
+    from pyspark.sql import types as T
+
+    classes = {
+        "string": (T.StringType,),
+        "numeric": (T.NumericType,),
+        "boolean": (T.BooleanType,),
+        "timestamp": (T.TimestampType, T.TimestampNTZType, T.DateType),
+    }[kind]
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, classes)]

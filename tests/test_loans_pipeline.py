@@ -181,3 +181,34 @@ def test_pipeline_persistence_roundtrip(spark, loans_train, tmp_path):
     assert list(a.columns) == list(b.columns)
     pd.testing.assert_frame_equal(a.sort_values(list(a.columns)).reset_index(drop=True),
                                   b.sort_values(list(b.columns)).reset_index(drop=True))
+
+
+def test_serving_wrapper_label_absent(spark, loans_train):
+    """C6 FinalModel: predict path injects the dummy label, runs the full
+    feature pipeline, and scores — on input WITHOUT the label column."""
+    from pyspark.ml import Pipeline as MLPipeline
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.feature import VectorAssembler
+
+    from consumer_loans_analysis_spark.pipeline.loans import fit_full_pipeline
+    from consumer_loans_analysis_spark.pipeline.model_imputer import ServingWrapper
+    from pyspark.ml import PipelineModel
+
+    proc, feat = fit_full_pipeline(loans_train, with_model_imputers=False)
+    featured = feat.transform(proc.transform(loans_train))
+    feature_cols = [c for c in featured.columns if c != "FINALIZED_LOAN"]
+    head = MLPipeline(
+        stages=[
+            VectorAssembler(inputCols=feature_cols, outputCol="features"),
+            NaiveBayes(modelType="gaussian", labelCol="FINALIZED_LOAN"),
+        ]
+    ).fit(featured)
+    serving = ServingWrapper(PipelineModel(stages=[proc, feat]), head)
+
+    valid = read_loans_csv(spark, ORIG_VALID).drop("FINALIZED_LOAN")
+    assert "FINALIZED_LOAN" not in valid.columns
+    out = serving.transform(valid)
+    n = out.count()
+    assert n == 3235
+    preds = {r["prediction"] for r in out.select("prediction").distinct().collect()}
+    assert preds <= {0.0, 1.0}

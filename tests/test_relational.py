@@ -99,3 +99,12 @@ def test_unpivot(tiny):
     long = R.unpivot(df, ["k"], ["v", "v2"])
     assert long.count() == 10
     assert set(long.columns) == {"k", "variable", "value"}
+
+
+def test_cols_of_dtype(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True)], "i long, s string, d double, b boolean"
+    )
+    assert R.cols_of_dtype(df, "string") == ["s"]
+    assert R.cols_of_dtype(df, "numeric") == ["i", "d"]
+    assert R.cols_of_dtype(df, "boolean") == ["b"]
