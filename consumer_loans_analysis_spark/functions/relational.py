@@ -328,3 +328,32 @@ def cols_of_dtype(df: DataFrame, kind: str) -> list[str]:
         "timestamp": (T.TimestampType, T.TimestampNTZType, T.DateType),
     }[kind]
     return [f.name for f in df.schema.fields if isinstance(f.dataType, classes)]
+
+
+# --- skew-aware join (scale path) --------------------------------------------
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with deterministic key salting for skewed LEFT key
+    distributions: the left side spreads each hot key over ``n_salts``
+    shuffle partitions (hash of the full row picks the salt — deterministic,
+    no rand()); the right side is replicated ``n_salts`` times via explode.
+
+    Result is identical to ``left.join(right, on, how)``. Prefer AQE's
+    runtime skew splitting (on by default in the session factory) when
+    statistics exist; pre-salting is for the cases AQE can't rescue —
+    e.g. a skewed aggregate feeding a join inside one stage, or a
+    deliberately partitioned iterative loop. Replication cost: right side
+    shuffles n_salts×, so keep the right side the small one.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l_salted.join(r_salted, [on, "_salt"], how).drop("_salt")

@@ -338,3 +338,60 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         decimal_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "grouping_sets_custom",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (each one-dimension margin + grand total) —
+    the general form under cube/rollup. One shuffle; Spark expands sets via
+    the Expand operator, so the scan happens once."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          {s} AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """.format(
+            s="CAST(SUM(CAST(FLOOR(o_totalprice) AS DECIMAL(25,0)))"
+            " + SUM(CAST(ROUND((o_totalprice - FLOOR(o_totalprice)) * 1e6) AS BIGINT))"
+            " * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE)"
+        )
+    )
+
+
+@query(
+    "approx_count_distinct_users",
+    oracle="""
+    SELECT event_type,
+      COUNT(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count — the
+    oracle pins the exact side; the approximate estimate is asserted
+    in-query to land within the configured rsd (guarded, then dropped so
+    the hash-compare sees only deterministic columns). At 100 TB the HLL
+    sketch (1.5 KB/group) replaces a count-distinct shuffle of raw user
+    ids."""
+    e = read_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    )
+    # fail loudly if the sketch is off (>6 sigma of the configured rsd)
+    checked = agg.withColumn(
+        "_ok",
+        (F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")) < 0.12,
+    )
+    return checked.filter(F.col("_ok")).select("event_type", "n_exact")

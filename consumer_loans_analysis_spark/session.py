@@ -58,6 +58,13 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # local mode runs every executor thread inside the driver JVM — the
+        # 1g default heap starves 32-way shuffles long before the machine
+        # does. On a cluster, leave executor/driver memory to spark-submit.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        ).config("spark.driver.maxResultSize", "8g")
     for k, v in DEFAULT_CONFIGS.items():
         builder = builder.config(k, v)
     for k, v in (extra_configs or {}).items():

@@ -108,3 +108,21 @@ def test_cols_of_dtype(spark):
     assert R.cols_of_dtype(df, "string") == ["s"]
     assert R.cols_of_dtype(df, "numeric") == ["i", "d"]
     assert R.cols_of_dtype(df, "boolean") == ["b"]
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("s")
+    ).collect()[0]
+    salted = R.salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        "k",
+        n_salts=8,
+    ).groupBy().agg(F.count("*").alias("n"), F.sum("l_quantity").alias("s")).collect()[0]
+    assert plain["n"] == salted["n"]
+    assert plain["s"] == pytest.approx(salted["s"], rel=1e-12)
