@@ -367,3 +367,15 @@ def mm3_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_ts_ms",
         F.lower(F.hex("frame")).alias("frame_md5"),
     )
+
+
+@query("sim3_ivf_topk")  # no SQL oracle: KMeans quantizer isn't SQL-expressible
+def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (KMeans coarse quantizer, 3-probe). Driver
+    records a rows-only check; recall vs the exact search is asserted in
+    tests/test_operators.py::test_ivf_recall."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=5
+    )
+    return out.withColumn("cos", F.round(F.col("cos"), 6))

@@ -279,3 +279,33 @@ def e3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "w4_ranking_functions",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drank,
+        NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+        ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6) AS prank
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, drank, quartile, prank FROM r WHERE drank <= 3
+    """,
+)
+def w4_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window battery: dense_rank / ntile / percent_rank per
+    customer (one shuffle on the partition key; all three functions share
+    one Window sort)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    wt = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    r = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(wt).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+    return r.filter(F.col("drank") <= 3)

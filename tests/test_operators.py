@@ -122,3 +122,38 @@ def test_portable_hash_matches_duckdb(spark):
         "SELECT CAST(concat('0x', substr(md5('abc'),1,8)) AS BIGINT)"
     ).fetchone()[0]
     assert spark_val == duck_val
+
+
+def test_ivf_recall(spark, sf_dir):
+    """IVF with moderate probes recovers most exact neighbors; full probe
+    (n_probe = n_lists) recovers them all."""
+    from consumer_loans_analysis_spark.operators import similarity
+    from consumer_loans_analysis_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    def recall(n_probe: int) -> float:
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                corpus, queries, k=5, n_lists=8, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r4, r6 = recall(4), recall(6)
+    # recall rises with probes and is well above the n_probe/n_lists floor
+    assert r4 >= 0.7, r4
+    assert r6 >= max(r4, 0.85), (r4, r6)
+    # full probe == exact search
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(corpus, queries, k=5, n_lists=8, n_probe=8).collect()
+    }
+    assert full == exact
