@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "d3_minhash_lsh_pairs",
     "sim1_cosine_topk",
     "t2_quality_features",
+    "q10_returned_items",
+    "q18_large_orders",
+    "w4_ranking_functions",
+    "grouping_sets_custom",
+    "mm3_sample_frames",
 ]
 
 

@@ -153,3 +153,22 @@ def test_feature_importances_named_table(spark, toy):
     top = mean_abs_contribution(contribs, ["a", "b", "c"], top_k=2).collect()
     assert [r["feature"] for r in top] == ["b", "a"]
     assert top[0]["mean_abs"] == pytest.approx(1.5)
+
+
+def test_imputer_eval_beats_mode_baseline(spark):
+    """E8 evaluation protocol (processing.py:188-233): hide present values,
+    recover, score micro-F1 vs the mode floor. Small/fast imputer config —
+    the full-size run (0.425 vs 0.279 on ECONOMIC_SECTOR) is recorded in
+    BASELINE.md terms in COVERAGE.md."""
+    from consumer_loans_analysis_spark.ml.imputer_eval import evaluate_imputer, mode_baseline
+    from consumer_loans_analysis_spark.pipeline.model_imputer import ModelImputer
+    from consumer_loans_analysis_spark.sources.readers import read_loans_csv
+
+    train = read_loans_csv(spark, "/root/reference/data/orig_train.csv").cache()
+    valid = read_loans_csv(spark, "/root/reference/data/orig_valid.csv").cache()
+    imp = ModelImputer(targetCol="EDUCATION", sentinel="Missing", numTrees=15, maxDepth=8)
+    fitted = imp.fit(train)
+    model_f1 = evaluate_imputer(fitted, valid, "EDUCATION")
+    floor = mode_baseline(train, valid, "EDUCATION")
+    assert 0.0 < floor < 1.0
+    assert model_f1 > floor, (model_f1, floor)
