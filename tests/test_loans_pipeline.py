@@ -212,3 +212,34 @@ def test_serving_wrapper_label_absent(spark, loans_train):
     assert n == 3235
     preds = {r["prediction"] for r in out.select("prediction").distinct().collect()}
     assert preds <= {0.0, 1.0}
+
+
+def test_minimum_slice_reference_truth(spark, loans_train):
+    """SURVEY §7.1: the EDA reports reproduce exact numbers frozen in the
+    reference notebook outputs (eda_processing.ipynb:861-960, 985-1060)."""
+    from consumer_loans_analysis_spark.functions import relational as R
+
+    vc = {r["value"]: r["count"] for r in R.value_counts(loans_train, "EDUCATION").collect()}
+    assert vc["University"] == 5457  # eda_processing.ipynb:868 output
+
+    mp = {
+        r["column"]: r["n_missing"] / r["n_rows"]
+        for r in R.missing_profile(
+            loans_train,
+            ["ECONOMIC_SECTOR", "EMPLOYEE_NO", "EDUCATION", "AREA"],
+            sentinel="Missing",
+        ).collect()
+    }
+    # eda_processing.ipynb:951 outputs: 27% / 22% / 5% / 0.2%
+    assert mp["ECONOMIC_SECTOR"] == pytest.approx(0.27, abs=0.005)
+    assert mp["EMPLOYEE_NO"] == pytest.approx(0.22, abs=0.005)
+    assert mp["EDUCATION"] == pytest.approx(0.05, abs=0.005)
+    assert mp["AREA"] == pytest.approx(0.002, abs=0.002)
+
+    # row-normalized crosstab shares sum to 1 within each ECONOMIC_SECTOR
+    ct = R.crosstab_norm(loans_train, "ECONOMIC_SECTOR", "FINALIZED_LOAN")
+    sums = (
+        ct.groupBy("a").agg(F.sum("share").alias("s")).collect()
+    )
+    for r in sums:
+        assert r["s"] == pytest.approx(1.0, abs=1e-9)

@@ -118,3 +118,84 @@ def test_foreach_batch_serving_shape(spark, sf_dir, tmp_path):
     )
     total = read_table(spark, sf_dir, "events").count()
     assert sum(seen) == total
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy: an event older than (max_ts - watermark) arriving
+    in a later micro-batch must NOT update its (closed) window in append
+    mode. Two availableNow drains share a checkpoint, so the watermark
+    carries across runs deterministically (no wall-clock polling)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame([Row(**r) for r in rows], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    # batch 1: events in windows 10:00 and 12:00 (12:00 advances the clock)
+    write_batch(
+        "b1",
+        [
+            dict(ts=t0, user_id=1, event_type="click", value=1.0),
+            dict(ts=t0 + dt.timedelta(hours=2), user_id=1, event_type="click", value=1.0),
+        ],
+    )
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(src / "b*"))
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: watermark advances to 11:30 (persisted in the checkpoint)
+    drain()
+    # run 2: a LATE event (10:05 < watermark 11:30) for the closed window;
+    # append mode now finalizes+emits the 10:00 window
+    write_batch(
+        "b2", [dict(ts=t0 + dt.timedelta(minutes=5), user_id=2, event_type="click", value=1.0)]
+    )
+    drain()
+    rows = {r["ws"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    # the 10:00 window closed with exactly 1 event — the late row was dropped
+    # (had it been admitted, the emitted count would be 2)
+    assert rows.get(t0) == 1, rows
