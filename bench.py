@@ -67,6 +67,11 @@ def _warmup(spark, sf_dir: str) -> None:
     r.groupBy("k").agg(F.sum("v"), F.min("v"), F.count(F.lit(1))).collect()
     r.join(r.select(F.col("k"), F.col("v").alias("v2")), "k").filter("v > 0.9").count()
     r.select(F.sum("v").over(Window.partitionBy("k").orderBy("id"))).count()
+    # spin up the reusable Python/Arrow worker pool (first Pandas-UDF query
+    # otherwise pays worker spawn, not query cost)
+    r.repartition(int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        lambda it: it, schema="id long, k long, v double"
+    ).count()
     for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
         with open(path, "rb") as fh:
             while fh.read(1 << 24):

@@ -357,3 +357,17 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return l_salted.join(r_salted, [on, "_salt"], how).drop("_salt")
+
+
+def decimal_sum_over(col: str | Column, window, scale: int = 6) -> Column:
+    """Windowed variant of ``decimal_sum``: exact running/frame sum via two
+    long accumulators recombined per row. Bit-identical to decimal window
+    accumulation; the frame sort still dominates cost."""
+    c = F.col(col) if isinstance(col, str) else col
+    hi = F.floor(c)
+    lo = F.round((c - hi) * F.lit(float(10**scale))).cast("long")
+    return (
+        F.sum(hi).over(window).cast("decimal(25,0)")
+        + F.sum(lo).over(window).cast("decimal(20,0)")
+        * F.lit(10**-scale).cast(f"decimal({scale + 1},{scale})")
+    ).cast("double")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from consumer_loans_analysis_spark.functions.relational import decimal_sum
+from consumer_loans_analysis_spark.functions.relational import decimal_sum, decimal_sum_over
 from consumer_loans_analysis_spark.plans.registry import query
 from consumer_loans_analysis_spark.sources.readers import read_table
 
@@ -97,10 +97,7 @@ def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
-        .over(w)
-        .cast("double")
-        .alias("running_spend"),
+        decimal_sum_over("o_totalprice", w).alias("running_spend"),
     )
 
 
@@ -330,7 +327,7 @@ def e4_stream_tumbling_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_value is decimal-summed per (window, type) group over the drained
     micro-batch output (complete mode re-emits final windows, so the
     groups are whole)."""
-    from consumer_loans_analysis_spark.functions.relational import decimal_sum
+    from consumer_loans_analysis_spark.functions.relational import decimal_sum, decimal_sum_over
     from consumer_loans_analysis_spark.streaming.events import (
         run_to_memory,
         stream_events,
