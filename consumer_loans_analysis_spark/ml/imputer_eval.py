@@ -52,7 +52,8 @@ def mode_baseline(
         .head()
     )
     mode = mode_row["m"]
-    present = valid.filter(tcond)
-    n = present.count()
-    hit = present.filter(F.col(target) == mode).count()
-    return hit / n if n else 0.0
+    row = valid.filter(tcond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col(target) == mode).cast("long")).alias("hit"),
+    ).head()
+    return (row["hit"] or 0) / row["n"] if row["n"] else 0.0

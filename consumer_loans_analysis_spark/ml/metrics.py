@@ -77,9 +77,9 @@ def classification_report(pred: DataFrame, label_col: str = "label", pred_col: s
 
 def micro_f1_multiclass(pred: DataFrame, label_col: str, pred_col: str) -> float:
     """Micro-F1 for multiclass single-label = accuracy (used by the imputer
-    evaluation harness, processing.py:232)."""
-    total = pred.count()
-    if not total:
-        return 0.0
-    correct = pred.filter(F.col(label_col) == F.col(pred_col)).count()
-    return correct / total
+    evaluation harness, processing.py:232). One aggregation pass."""
+    row = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col(label_col) == F.col(pred_col)).cast("long")).alias("correct"),
+    ).head()
+    return (row["correct"] or 0) / row["n"] if row["n"] else 0.0
