@@ -243,3 +243,33 @@ def test_minimum_slice_reference_truth(spark, loans_train):
     )
     for r in sums:
         assert r["s"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_featured_valid_deterministic_value_parity(spark, loans_train):
+    """Tier-1 value parity on featured_valid.csv's DETERMINISTIC columns:
+    the transform-only path must reproduce ratios, account one-hots, and
+    scaled numerics exactly (≤1e-9). TOTAL_SCORE is excluded — the golden
+    file embeds the reference's refit-on-valid leak (SURVEY §7.4#5) and is
+    checked statistically via the combiner tests instead."""
+    valid = read_loans_csv(spark, ORIG_VALID)
+    proc = build_processing_pipeline(with_model_imputers=False).fit(loans_train)
+    feat = build_feature_pipeline().fit(proc.transform(loans_train))
+    ours = feat.transform(proc.transform(valid)).toPandas()
+    gold = pd.read_csv("/root/reference/data/featured_valid.csv", index_col=0)
+
+    cols = [
+        "INCOME", "AGE", "EDUCATION", "HOUSEHOLD_MEMBERS",
+        "HAS_CURRENT_ACCOUNT_no",
+        "HAS_CURRENT_ACCOUNT_with debit card",
+        "HAS_CURRENT_ACCOUNT_without debit card",
+        "LENGTH_RELATIONSHIP_WITH_CLIENT_TO_WORK_SENIORITY",
+        "INCOME_TO_WORK_SENIORITY_RATIO",
+        "BUSINESS_AGE_TO_AGE_RATIO",
+        "LENGTH_RELATIONSHIP_WITH_CLIENT_TO_BUSINESS_AGE",
+        "INCOME_TO_LENGTH_RELATIONSHIP_WITH_CLIENT",
+    ]
+    a = ours[cols].sort_values(cols).reset_index(drop=True)
+    b = gold[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) == 3235
+    diff = (a - b).abs().max().max()
+    assert diff < 1e-9, diff
