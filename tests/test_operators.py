@@ -157,3 +157,15 @@ def test_ivf_recall(spark, sf_dir):
         for r in similarity.ivf_topk(corpus, queries, k=5, n_lists=8, n_probe=8).collect()
     }
     assert full == exact
+
+
+def test_seeded_samples_deterministic(spark, sf_dir):
+    """o4/o5 have no SQL oracle (Spark RNG); pin their contract instead:
+    same seed + same partitioning → identical sample, twice."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    for name in ("o4_sample_uniform", "o5_sample_stratified"):
+        a = sorted(map(str, registry.QUERIES[name](spark, sf_dir).collect()))
+        b = sorted(map(str, registry.QUERIES[name](spark, sf_dir).collect()))
+        assert a == b and len(a) > 0, name
