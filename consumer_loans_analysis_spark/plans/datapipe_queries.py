@@ -379,3 +379,35 @@ def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=5
     )
     return out.withColumn("cos", F.round(F.col("cos"), 6))
+
+_EXACT_TOPK_TAIL = """
+    , scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.v, c.v)
+          / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))) AS cos
+      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("sim4_ivf_full_probe_topk", oracle=_COSINE_SQL + _EXACT_TOPK_TAIL)
+def sim4_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe == n_lists probes every list, so the result must
+    EQUAL exact brute-force top-k — this puts the IVF plumbing itself
+    (spherical-KMeans routing, broadcast centroid expressions, the list
+    equi-join, the per-query window) under the DuckDB hash-compare. sim3
+    stays the approximate 3-probe path whose recall is tested separately."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_lists=8,
+        n_probe=8,
+    )
+    return out.withColumn("cos", F.round(F.col("cos"), 6))
+

@@ -676,6 +676,27 @@ def o5_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
 
+@query(
+    "o4b_sample_hash_portable",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST(concat('0x', substr(md5(concat('42:', CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT) % 10 = 0
+    """,
+)
+def o4b_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 scale path: content-deterministic ~10% Bernoulli sample via a
+    portable key hash — unlike RNG sampling (o4), the selected row SET is a
+    pure function of the data, so it is reproducible across engines,
+    partitionings, retries, and reruns (the property a 100 TB pipeline
+    needs for resumable sampling), and exactly oracle-checkable."""
+    from consumer_loans_analysis_spark.operators.text import portable_hash
+
+    o = read_table(spark, sf_dir, "orders")
+    h = portable_hash(F.col("o_orderkey").cast("string"), seed=42)
+    return o.filter(h % 10 == 0).select("o_orderkey", "o_totalprice")
+
+
 
 # --- J3: unpivot --------------------------------------------------------------
 
