@@ -915,9 +915,16 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
-    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum("late").alias("late_lines"),
-        F.max("late").alias("is_late"),
+    # One explicit shuffle on l_orderkey serves BOTH the (orderkey, suppkey)
+    # aggregation (a subset partitioning satisfies its clustering) and the
+    # order-level window below — without it Spark plans two exchanges.
+    per_supp = (
+        j.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum("late").alias("late_lines"),
+            F.max("late").alias("is_late"),
+        )
     )
     w = Window.partitionBy("l_orderkey")
     flagged = per_supp.withColumn("n_suppliers", F.count(F.lit(1)).over(w)).withColumn(
