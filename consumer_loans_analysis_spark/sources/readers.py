@@ -73,3 +73,32 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink with header (S2; reference ``to_csv`` at
     notebooks/eda_processing.ipynb:2765-2768)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan. An explicit schema skips the inference pre-scan and
+    pins types (same determinism argument as the CSV reader); without one,
+    Spark samples the file — fine for exploration, not for pipelines."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet, with the same predicate-pushdown
+    and column-pruning behavior under Catalyst."""
+    return spark.read.orc(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per row; splittable, schema-on-read)."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """ORC sink with optional hive-style partitioning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
