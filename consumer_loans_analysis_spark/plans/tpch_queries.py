@@ -981,3 +981,196 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM part p
+      JOIN link     ON link.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = link.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size = 10
+    )
+    SELECT c.p_partkey, c.p_name, c.s_name, c.n_name, c.s_acctbal
+    FROM cand c
+    WHERE c.s_acctbal = (
+      SELECT MIN(c2.s_acctbal) FROM cand c2 WHERE c2.p_partkey = c.p_partkey
+    )
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the lineitem link stands in for the absent
+    partsupp table, s_acctbal for ps_supplycost): per size-10 part, its
+    cheapest EUROPE supplier. The correlated per-part MIN becomes a window
+    over the candidate set (one shuffle of the |part×supplier|-bounded
+    candidates; the fact table only contributes a distinct link)."""
+    from pyspark.sql.window import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    link = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey, "left_semi")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    cand = (
+        link.join(F.broadcast(p), link.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), link.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value FROM v
+    WHERE value > (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 0.002 FROM v
+    )
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: traded value from lineitem stands in for
+    the absent partsupp stock value): parts whose NATION_3 traded value
+    exceeds 0.2% of the national total. The HAVING-vs-global-total scalar
+    is a one-row broadcast over the reused per-part aggregate (cached: ONE
+    fact aggregation feeds both sides); both sums are exact, so the
+    threshold comparison is engine-stable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    v = (
+        li.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value"
+            )
+        )
+        .cache()
+    )
+    total = v.agg((decimal_sum("value") * F.lit(0.002)).alias("threshold"))
+    return v.join(F.broadcast(total), F.col("value") > F.col("threshold")).select(
+        "l_partkey", "value"
+    )
+
+
+@query(
+    "q16_supplier_part_types",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+      COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the lineitem link stands in for partsupp;
+    negative account balance for the complaints filter): how many distinct
+    suppliers serve each surviving (brand, type, size) bucket. NOT IN is a
+    broadcast anti-join (the excluded set is tiny); count-distinct expands
+    to a two-phase aggregate on (group, suppkey)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_dominant_supplier",
+    oracle="""
+    WITH w AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+    li AS (
+      SELECT l_suppkey, l_partkey, l_quantity FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM w)
+    ),
+    ps AS (
+      SELECT l_suppkey, l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS supp_qty
+      FROM li GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) * 0.5 AS half_qty
+      FROM li GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.l_suppkey FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+      WHERE ps.supp_qty > pt.half_qty
+    )
+    """,
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: '>50% of a part's shipped 1997 quantity'
+    stands in for the absent ps_availqty excess-stock test): suppliers who
+    dominated any widget part's supply. The nested-IN pyramid becomes two
+    aggregations of the SAME filtered fact slice (cached — one scan) and a
+    semi-join; the per-part totals are |part|-bounded and broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = read_table(spark, sf_dir, "supplier")
+    sl = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(w.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .cache()
+    )
+    ps = sl.groupBy("l_suppkey", "l_partkey").agg(decimal_sum("l_quantity").alias("supp_qty"))
+    pt = sl.groupBy("l_partkey").agg((decimal_sum("l_quantity") * F.lit(0.5)).alias("half_qty"))
+    dominant = (
+        ps.join(F.broadcast(pt.withColumnRenamed("l_partkey", "t_partkey")),
+                (ps.l_partkey == F.col("t_partkey")) & (ps.supp_qty > F.col("half_qty")))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name"
+    )
