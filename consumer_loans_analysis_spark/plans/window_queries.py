@@ -357,3 +357,34 @@ def e4_stream_tumbling_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, ["window_start", "event_type"])
         .select("window_start", "event_type", "n_events", "sum_value")
     )
+
+
+@query(
+    "e5_stream_join_drained",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+    FROM events v JOIN events c
+      ON v.event_type = 'view' AND c.event_type = 'click'
+     AND v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def e5_stream_join_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN under the batch oracle: view→click attribution
+    runs as a real streaming self-join (file source → two watermarked
+    filtered readers → time-bounded inner join → append-mode memory sink,
+    availableNow) and the drained matches are hash-compared against the
+    equivalent batch SQL join. All output columns are longs — exact."""
+    from consumer_loans_analysis_spark.streaming.events import (
+        run_to_memory,
+        stream_events,
+        view_click_attribution,
+    )
+
+    name = "e5_drain"
+    run_to_memory(
+        view_click_attribution(stream_events(spark, sf_dir)),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name).select("view_id", "click_id", "user_id")

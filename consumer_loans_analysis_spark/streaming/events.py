@@ -59,7 +59,10 @@ EVENTS_SCHEMA = StructType(
 
 
 def stream_events(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
 ) -> DataFrame:
     """Unbounded events source: file-stream over the events parquet.
 
@@ -72,7 +75,7 @@ def stream_events(
     # single file, so stream the dir with a glob filter selecting it
     reader = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -126,13 +129,16 @@ def session_aggregates(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 300) -> None:
+def run_to_memory(
+    stream_df: DataFrame, name: str, timeout_sec: int = 300, output_mode: str = "complete"
+) -> None:
     """Drain an availableNow stream into an in-memory table `name`
-    (complete mode for aggregations) — the test/debug sink."""
+    (complete mode for aggregations; append for joins/dedup) — the
+    test/debug sink."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -154,3 +160,57 @@ def run_foreach_batch(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def view_click_attribution(
+    events: DataFrame, max_lag: str = "30 minutes", watermark: str = "30 days"
+) -> DataFrame:
+    """Stream-stream inner join: attribute each click to the views it
+    followed within ``max_lag`` for the same user (a self-join of the
+    event stream — views and clicks are two filtered readers of it).
+
+    Both sides carry a watermark and the join condition bounds click_ts
+    relative to view_ts, so the state store can evict a view once no
+    future click can match it: state is O(events inside the lag horizon),
+    not O(stream). Inner stream-stream joins emit in append mode.
+    """
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select(
+        "view_id", "click_id", F.col("v_user").alias("user_id"), "view_ts", "click_ts"
+    )
+
+
+def dedup_events_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "90 days"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins, duplicates
+    arriving in ANY later micro-batch within the watermark horizon are
+    dropped (``dropDuplicatesWithinWatermark`` state evicts keys whose
+    event time falls behind the watermark — bounded state, unlike a plain
+    ``dropDuplicates`` on a stream which retains keys forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

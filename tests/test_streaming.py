@@ -6,6 +6,8 @@ themselves DuckDB-oracled in plans/window_queries.py).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -199,3 +201,49 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window closed with exactly 1 event — the late row was dropped
     # (had it been admitted, the emitted count would be 2)
     assert rows.get(t0) == 1, rows
+
+
+def test_stream_join_matches_batch(spark, sf_dir, batch_events):
+    from consumer_loans_analysis_spark.streaming.events import view_click_attribution
+
+    run_to_memory(
+        view_click_attribution(stream_events(spark, sf_dir)),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    got = spark.table("t_ssjoin")
+    v = batch_events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("u"), F.col("ts").alias("vts")
+    )
+    c = batch_events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("u2"), F.col("ts").alias("cts")
+    )
+    want = v.join(
+        c,
+        (F.col("u") == F.col("u2"))
+        & (F.col("cts") >= F.col("vts"))
+        & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 30 minutes")),
+    ).select("view_id", "click_id")
+    g = _rows(got, ["view_id", "click_id"])
+    w = _rows(want, ["view_id", "click_id"])
+    assert g == w and len(g) > 0
+
+
+def test_stream_dedup_across_microbatches(spark, sf_dir, tmp_path, batch_events):
+    """Duplicate the whole events file into a second micro-batch: the dedup
+    state must drop every row of batch 2 (cross-batch exactly-once on key)."""
+    import shutil
+
+    from consumer_loans_analysis_spark.streaming.events import dedup_events_stream
+
+    d = str(tmp_path / "dup_events")
+    os.makedirs(d)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(d, "a.parquet"))
+    shutil.copy(src, os.path.join(d, "b.parquet"))
+    s = stream_events(spark, d, max_files_per_trigger=1, glob="*.parquet")
+    run_to_memory(dedup_events_stream(s), "t_dedup", output_mode="append")
+    got = spark.table("t_dedup")
+    n = batch_events.count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
