@@ -122,7 +122,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
     @keyword_only
     def __init__(self, targetCol: str = "", sentinel: str | None = "Missing",
                  excludePrefixes: list[str] | None = None,
-                 numTrees: int = 100, maxDepth: int = 12, seed: int = 42):
+                 numTrees: int = 150, maxDepth: int = 14, seed: int = 42):
         super().__init__()
         self._set(targetCol=targetCol, sentinel=sentinel if sentinel is not None else "",
                   numTrees=numTrees, maxDepth=maxDepth, seed=seed)
