@@ -195,7 +195,8 @@ def sim2_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
     SELECT doc_id, len(words) AS n_tokens,
-      (SELECT SUM(CAST(CEIL(LEN(x) / 4.0) AS BIGINT)) FROM UNNEST(words) AS t(x)) AS n_subwords
+      (SELECT CAST(SUM(CAST(CEIL(LEN(x) / 4.0) AS BIGINT)) AS BIGINT)
+       FROM UNNEST(words) AS t(x)) AS n_subwords
     FROM w
     """,
 )

@@ -280,15 +280,20 @@ def p11_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def p12_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P12: arithmetic ratio features. Spark yields NULL on x/0 (pandas
-    yields inf — SURVEY §7.4#2); the oracle uses NULLIF to state the same
-    semantics explicitly."""
+    """P12: arithmetic ratio features. ``try_divide`` yields NULL on x/0
+    under BOTH ANSI modes (pandas yields inf — SURVEY §7.4#2); the oracle
+    uses NULLIF to state the same semantics explicitly. Bare ``/`` would
+    throw DIVIDE_BY_ZERO under the driver's ANSI-on session."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
-        (F.col("l_tax") / F.col("l_discount")).alias("tax_to_discount"),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+        F.try_divide(F.col("l_tax"), F.col("l_discount")).alias(
+            "tax_to_discount"
+        ),
     )
 
 
@@ -382,7 +387,7 @@ def a1_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rk FROM counted
     )
     SELECT 'c_mktsegment' AS "column",
-      SUM(cnt) AS count, COUNT(*) AS unique,
+      CAST(SUM(cnt) AS BIGINT) AS count, COUNT(*) AS unique,
       MAX(CASE WHEN rk = 1 THEN value END) AS top,
       MAX(CASE WHEN rk = 1 THEN cnt END) AS freq
     FROM ranked
@@ -397,12 +402,12 @@ def a2_cat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a3_missing_profile",
     oracle="""
     SELECT 'text' AS "column",
-      SUM(CAST((text IS NULL OR text = '') AS BIGINT)) AS n_missing,
+      CAST(SUM(CAST((text IS NULL OR text = '') AS BIGINT)) AS BIGINT) AS n_missing,
       COUNT(*) AS n_rows
     FROM documents
     UNION ALL
     SELECT 'lang',
-      SUM(CAST((lang IS NULL OR lang = '') AS BIGINT)),
+      CAST(SUM(CAST((lang IS NULL OR lang = '') AS BIGINT)) AS BIGINT),
       COUNT(*)
     FROM documents
     """,
@@ -451,11 +456,11 @@ def a6_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a6b_pivot_wide",
     oracle="""
     SELECT o_orderstatus,
-      SUM(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS "1-URGENT",
-      SUM(CAST(o_orderpriority = '2-HIGH' AS BIGINT)) AS "2-HIGH",
-      SUM(CAST(o_orderpriority = '3-MEDIUM' AS BIGINT)) AS "3-MEDIUM",
-      SUM(CAST(o_orderpriority = '4-NOT SPECIFIED' AS BIGINT)) AS "4-NOT SPECIFIED",
-      SUM(CAST(o_orderpriority = '5-LOW' AS BIGINT)) AS "5-LOW"
+      CAST(SUM(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS BIGINT) AS "1-URGENT",
+      CAST(SUM(CAST(o_orderpriority = '2-HIGH' AS BIGINT)) AS BIGINT) AS "2-HIGH",
+      CAST(SUM(CAST(o_orderpriority = '3-MEDIUM' AS BIGINT)) AS BIGINT) AS "3-MEDIUM",
+      CAST(SUM(CAST(o_orderpriority = '4-NOT SPECIFIED' AS BIGINT)) AS BIGINT) AS "4-NOT SPECIFIED",
+      CAST(SUM(CAST(o_orderpriority = '5-LOW' AS BIGINT)) AS BIGINT) AS "5-LOW"
     FROM orders GROUP BY o_orderstatus
     """,
 )

@@ -6,6 +6,13 @@ names, and order-insensitive values (floats rounded), and prints a one-line
 verdict per query. Use while iterating:
 
     python verify_local.py [sf_dir] [query ...]
+
+Faithful to the driver's environment (lessons from CORRECTNESS_r01):
+- the Spark session runs with ANSI **enabled** (Spark 4 default — the driver
+  controls its own session, not ``get_spark``'s permissive defaults), and
+- both sides canonicalize **via pandas** (``toPandas`` / duckdb ``.df()``),
+  so type artifacts the driver sees (DuckDB HUGEINT -> float64 vs Spark
+  long) also show up here instead of being masked by ``fetchall``'s ints.
 """
 
 from __future__ import annotations
@@ -16,6 +23,7 @@ import time
 import traceback
 
 import duckdb
+import pandas as pd
 
 import __spark_entry__ as entry_mod
 from consumer_loans_analysis_spark.schemas import TESTDATA_TABLES
@@ -24,15 +32,14 @@ from consumer_loans_analysis_spark.session import get_spark
 ROUND = 6
 
 
-def canon(rows, colnames):
-    """Order-insensitive canonical form: sort columns by name, round floats,
-    stringify, sort rows."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def canon_pdf(pdf: pd.DataFrame):
+    """Order-insensitive canonical form over a pandas frame: sort columns by
+    name, round floats, stringify, sort rows — mirrors the driver's compare."""
+    pdf = pdf[sorted(pdf.columns)]
     out = []
-    for row in rows:
+    for row in pdf.itertuples(index=False):
         vals = []
-        for i in order:
-            v = row[i]
+        for v in row:
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
@@ -49,7 +56,11 @@ def canon(rows, colnames):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("verify_local")
+    # ANSI ON to mirror the driver's session (Spark 4 default) — every
+    # registered query must survive it.
+    spark = get_spark(
+        "verify_local", extra_configs={"spark.sql.ansi.enabled": "true"}
+    )
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
@@ -64,8 +75,7 @@ def main() -> int:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            spark_cols = df.columns
-            spark_rows = [tuple(r) for r in df.collect()]
+            spark_pdf = df.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc(limit=3)
@@ -73,34 +83,35 @@ def main() -> int:
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"WEAK {name}: rows-only ({len(spark_rows)} rows, {dt:.1f}s)")
+            print(f"WEAK {name}: rows-only ({len(spark_pdf)} rows, {dt:.1f}s)")
             n_weak += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            duck_pdf = con.execute(oracles[name]).df()
         except Exception:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc(limit=3)
             n_fail += 1
             continue
-        if sorted(spark_cols) != sorted(duck_cols):
-            print(f"FAIL {name}: columns {sorted(spark_cols)} != {sorted(duck_cols)}")
+        if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+            print(
+                f"FAIL {name}: columns {sorted(spark_pdf.columns)}"
+                f" != {sorted(duck_pdf.columns)}"
+            )
             n_fail += 1
             continue
-        if len(spark_rows) != len(duck_rows):
-            print(f"FAIL {name}: rowcount {len(spark_rows)} != {len(duck_rows)}")
+        if len(spark_pdf) != len(duck_pdf):
+            print(f"FAIL {name}: rowcount {len(spark_pdf)} != {len(duck_pdf)}")
             n_fail += 1
             continue
-        cs = canon(spark_rows, spark_cols)
-        cd = canon(duck_rows, duck_cols)
+        cs = canon_pdf(spark_pdf)
+        cd = canon_pdf(duck_pdf)
         if cs != cd:
             bad = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
             print(f"FAIL {name}: value mismatch, e.g. {bad}")
             n_fail += 1
             continue
-        print(f"PASS {name} ({len(spark_rows)} rows, {dt:.1f}s)")
+        print(f"PASS {name} ({len(spark_pdf)} rows, {dt:.1f}s)")
         n_pass += 1
     print(f"\n{n_pass} pass / {n_weak} weak / {n_fail} fail")
     return 1 if n_fail else 0
