@@ -344,13 +344,28 @@ def salted_join(
     shuffle partitions (hash of the full row picks the salt — deterministic,
     no rand()); the right side is replicated ``n_salts`` times via explode.
 
-    Result is identical to ``left.join(right, on, how)``. Prefer AQE's
-    runtime skew splitting (on by default in the session factory) when
-    statistics exist; pre-salting is for the cases AQE can't rescue —
-    e.g. a skewed aggregate feeding a join inside one stage, or a
+    Result is identical to ``left.join(right, on, how)`` for ``inner``,
+    ``left``, ``left_semi``, and ``left_anti`` joins only — the right
+    side's replication means an unmatched right row would surface
+    ``n_salts`` times under ``right``/``full`` semantics, so those raise.
+
+    Prefer AQE's runtime skew splitting (on by default in the session
+    factory) when statistics exist; pre-salting is for the cases AQE can't
+    rescue — e.g. a skewed aggregate feeding a join inside one stage, or a
     deliberately partitioned iterative loop. Replication cost: right side
     shuffles n_salts×, so keep the right side the small one.
     """
+    allowed = (
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    )
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti joins, got "
+            f"how={how!r}: the exploded right side emits unmatched right rows "
+            "n_salts times under right/full semantics"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(

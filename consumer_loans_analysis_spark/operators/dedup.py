@@ -221,15 +221,48 @@ def simhash_near_dupes(
 ) -> DataFrame:
     """Pairs whose SimHash signatures are within ``max_hamming`` bits.
 
-    Pairing here is a broadcast self-join (fine to ~10⁶ docs); the 100 TB
-    path blocks on signature bytes (join on each of k rotated prefixes) so
-    only same-prefix pairs are compared.
+    Pigeonhole blocking (Manku et al., WWW'07): split each signature into
+    ``k = max_hamming + 1`` disjoint bit blocks. Two signatures within
+    Hamming distance ``max_hamming`` differ in at most ``max_hamming``
+    blocks, so they agree EXACTLY on at least one block — candidates are an
+    equi-join on (block_idx, block_value), verified by the true Hamming
+    distance. No false negatives; verification removes all false positives.
+
+    Scale shape: candidate volume per block bucket is ~n²/2^w for block
+    width w (w = bits/k). The 32-bit oracle-portable default gives 8-bit
+    blocks — fine to ~10⁶ docs; for corpus-scale runs use ``bits=64``
+    (16-bit blocks) which the signature/blocking code handles unchanged.
+    The old all-pairs theta join compared every pair regardless of bits.
     """
+    k = max_hamming + 1
+    base, rem = divmod(bits, k)
+    widths = [base + (1 if i < rem else 0) for i in range(k)]
+    offsets = [sum(widths[:i]) for i in range(k)]
     sig = simhash_signatures(df, text_col, id_col, bits)
-    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
-    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    block_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in zip(offsets, widths)
+        ]
+    )
+    banded = sig.select(
+        "id", "simhash", F.posexplode(block_vals).alias("block_idx", "block_val")
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"),
+        "block_idx", "block_val",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"),
+        "block_idx", "block_val",
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair agreeing on m>1 blocks appears m times — dedup BEFORE the
+        # (cheap, but why pay it twice) hamming verify
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

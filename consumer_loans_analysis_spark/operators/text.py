@@ -49,10 +49,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop = F.array(*[F.lit(s) for s in ["the", "a", "and", "of", "to", "in"]])
     n_words = F.size(w).cast("double")
     n_chars = F.length(F.col(text_col)).cast("double")
-    mean_word_len = (n_chars - (n_words - 1)) / n_words  # chars minus separators
-    ttr = F.size(F.array_distinct(w)).cast("double") / n_words
-    stop_ratio = (
-        F.size(F.filter(w, lambda x: F.array_contains(stop, x))).cast("double") / n_words
+    # try_divide: a pathological empty document has n_words == 0; NULL
+    # features beat a DIVIDE_BY_ZERO abort under ANSI-on sessions.
+    mean_word_len = F.try_divide(n_chars - (n_words - 1), n_words)
+    ttr = F.try_divide(F.size(F.array_distinct(w)).cast("double"), n_words)
+    stop_ratio = F.try_divide(
+        F.size(F.filter(w, lambda x: F.array_contains(stop, x))).cast("double"),
+        n_words,
     )
     score = (
         F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.4

@@ -98,7 +98,10 @@ class CorrMaxCombinerModel(Model, _JsonParamMixin, DefaultParamsReadable, Defaul
             F.lit(0.0),
         )
         out = df.withColumn(
-            s["newName"], (combined - F.lit(s["mean"])) / F.lit(s["std"])
+            s["newName"],
+            # `or 1.0`: degenerate all-zero-weight fit yields std 0; scale
+            # by 1 instead of an ANSI DIVIDE_BY_ZERO.
+            (combined - F.lit(s["mean"])) / F.lit(s["std"] or 1.0),
         )
         if s.get("drop"):
             out = out.drop(*s["cols"])

@@ -167,9 +167,11 @@ class RatioFeatures(Transformer, _JsonParamMixin, DefaultParamsReadable, Default
         self._set_json(self.ratios, ratios or {})
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        # try_divide == `/` when the denominator is nonzero (true for the
+        # reference data) but stays NULL instead of throwing under ANSI.
         return df.withColumns(
             {
-                name: F.col(num) / F.col(den)
+                name: F.try_divide(F.col(num), F.col(den))
                 for name, (num, den) in self._get_json(self.ratios).items()
             }
         )
@@ -344,7 +346,11 @@ class ScalarStandardScaler(Estimator, _JsonParamMixin, DefaultParamsReadable, De
         for c in cols:
             aggs += [F.avg(c).alias(f"mu_{c}"), F.stddev_pop(c).alias(f"sd_{c}")]
         row = df.agg(*aggs).head()
-        stats = {c: [float(row[f"mu_{c}"]), float(row[f"sd_{c}"])] for c in cols}
+        # sklearn's _handle_zeros_in_scale: a constant column scales by 1
+        # (also keeps the transform's /sd literal ANSI-safe).
+        stats = {
+            c: [float(row[f"mu_{c}"]), float(row[f"sd_{c}"]) or 1.0] for c in cols
+        }
         model = ScalarStandardScalerModel(stats=stats)
         model._resetUid(self.uid)
         return self._copyValues(model)

@@ -49,19 +49,8 @@ MISSING_SENTINEL = "Missing"
 LEAKAGE_COLUMNS = ["DEFAULT_FLAG"]
 NEAR_CONSTANT_COLUMNS = ["PENSION_FUNDS", "SAVING_ACCOUNT", "FOREIGN_ACCOUNT", "DEPOSIT"]
 
-# Education ordinal ladder (reference notebooks/processing.py:19-43).
-EDUCATION_LADDER = [
-    "Missing",
-    "Primary school",
-    "Middle school",
-    "Vocational school",
-    "Highschool",
-    "Post secondary school",
-    "College",
-    "University",
-    "Post-graduate",
-    "Other",
-]
+# The education ordinal ladder lives in pipeline/loans.py (EDUCATION_LADDER)
+# in the reference-exact order — keep a single source of truth there.
 
 # EMPLOYEE_NO bucket → ordinal map (reference notebooks/processing.py:112-136).
 EMPLOYEE_NO_ORDER = [

@@ -37,8 +37,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # Scope the legacy flag to this read: schema resolution happens
+        # eagerly at spark.read.parquet(), so restoring the previous value
+        # afterwards keeps later unrelated parquet reads on this session
+        # from silently surfacing nano-timestamps as bigint. (The resolved
+        # relation keeps working after the restore — execution uses the
+        # schema captured here.)
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force resolution under the flag
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 

@@ -69,6 +69,12 @@ def stream_events(
     A parquet directory is the test/replay source; swapping in Kafka is a
     one-line change (``format("kafka")`` + from_json) because everything
     downstream only sees the typed schema.
+
+    Session-wide side effect: this sets ``spark.sql.legacy.parquet.
+    nanosAsLong=true`` and deliberately does NOT restore it — micro-batches
+    execute for the stream's whole lifetime and need the flag live. Batch
+    parquet reads on the same session afterwards will surface nano-timestamp
+    columns as bigint; ``read_table`` handles that shape either way.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source lists a DIRECTORY; testdata ships events as a

@@ -78,6 +78,49 @@ def test_embedding_near_dupes(spark):
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
 
 
+def _pair_set(rows):
+    return {(r["id_a"], r["id_b"]): round(r["cos"], 9) for r in rows}
+
+
+def test_embedding_near_dupes_fullprobe_equals_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = _pair_set(
+        similarity.embedding_near_dupes_exact(emb, threshold=0.45).collect()
+    )
+    # rows_per_band=0 → one all-pairs bucket through the SAME candidate/
+    # verify plumbing: provably identical to brute force
+    full_probe = _pair_set(
+        similarity.embedding_near_dupes(emb, threshold=0.45, rows_per_band=0).collect()
+    )
+    assert full_probe == exact
+    # default banded LSH: miss probability ~6e-16 per true pair at the
+    # threshold — expect the identical pair set on real data
+    lsh = _pair_set(similarity.embedding_near_dupes(emb, threshold=0.45).collect())
+    assert lsh == exact
+
+
+def test_simhash_blocking_equals_allpairs(docs):
+    """Pigeonhole blocking finds EXACTLY the all-pairs answer (the split
+    into max_hamming+1 blocks guarantees no false negatives; the Hamming
+    verify removes false positives)."""
+    sig = dedup.simhash_signatures(docs)
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= 5)
+        .select("id_a", "id_b", "hamming")
+        .collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dupes(docs, max_hamming=5).collect()
+    }
+    assert blocked == brute
+
+
 def test_token_stats(spark):
     df = spark.createDataFrame([(0, "abcd ab abcdefgh")], "doc_id long, text string")
     row = text.token_stats(df).collect()[0]
