@@ -117,15 +117,24 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
     excludePrefixes = Param(Params._dummy(), "excludePrefixes", "JSON [prefix]", TypeConverters.toString)
     numTrees = Param(Params._dummy(), "numTrees", "forest size", TypeConverters.toInt)
     maxDepth = Param(Params._dummy(), "maxDepth", "tree depth", TypeConverters.toInt)
+    maxBins = Param(Params._dummy(), "maxBins", "continuous-split bins", TypeConverters.toInt)
+    minInstancesPerNode = Param(Params._dummy(), "minInstancesPerNode", "leaf floor", TypeConverters.toInt)
+    subsamplingRate = Param(Params._dummy(), "subsamplingRate", "bagging fraction", TypeConverters.toFloat)
+    featureSubsetStrategy = Param(Params._dummy(), "featureSubsetStrategy", "per-split feature sample", TypeConverters.toString)
     seed = Param(Params._dummy(), "seed", "seed", TypeConverters.toInt)
 
     @keyword_only
     def __init__(self, targetCol: str = "", sentinel: str | None = "Missing",
                  excludePrefixes: list[str] | None = None,
-                 numTrees: int = 150, maxDepth: int = 14, seed: int = 42):
+                 numTrees: int = 150, maxDepth: int = 14, maxBins: int = 32,
+                 minInstancesPerNode: int = 1, subsamplingRate: float = 1.0,
+                 featureSubsetStrategy: str = "auto", seed: int = 42):
         super().__init__()
         self._set(targetCol=targetCol, sentinel=sentinel if sentinel is not None else "",
-                  numTrees=numTrees, maxDepth=maxDepth, seed=seed)
+                  numTrees=numTrees, maxDepth=maxDepth, maxBins=maxBins,
+                  minInstancesPerNode=minInstancesPerNode,
+                  subsamplingRate=subsamplingRate,
+                  featureSubsetStrategy=featureSubsetStrategy, seed=seed)
         self._set_json(self.excludePrefixes, excludePrefixes or [])
 
     def _fit(self, df: DataFrame) -> ModelImputerModel:
@@ -155,6 +164,10 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                     probabilityCol="_mi_prob",
                     numTrees=self.getOrDefault(self.numTrees),
                     maxDepth=self.getOrDefault(self.maxDepth),
+                    maxBins=self.getOrDefault(self.maxBins),
+                    minInstancesPerNode=self.getOrDefault(self.minInstancesPerNode),
+                    subsamplingRate=self.getOrDefault(self.subsamplingRate),
+                    featureSubsetStrategy=self.getOrDefault(self.featureSubsetStrategy),
                     seed=self.getOrDefault(self.seed),
                 ),
             ]

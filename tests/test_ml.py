@@ -8,6 +8,8 @@ end-to-end: NB valid recall(class 1) = 0.848, hard ROC-AUC = 0.828.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.ml.classification import LogisticRegression, NaiveBayes
 from pyspark.ml.linalg import Vectors
@@ -98,6 +100,41 @@ def test_sample_params_respects_space():
         assert -1 <= p["c"] <= 1
 
 
+def test_successive_halving_beats_random_at_equal_budget():
+    """At the same total budget (full-evaluation units), SHA screens ~eta×
+    more configs than random search and must land at least as close to the
+    optimum on a smooth synthetic objective."""
+    import numpy as np
+
+    from consumer_loans_analysis_spark.ml.tuning import successive_halving
+
+    space = {"x": ("uniform", 0.0, 1.0), "y": ("uniform", 0.0, 1.0)}
+
+    def true_value(p):
+        return -((p["x"] - 0.7) ** 2) - (p["y"] - 0.3) ** 2
+
+    def evaluate(p, fraction):
+        # low-fidelity rungs see a deterministic pseudo-noise that vanishes
+        # at full fraction — the SHA assumption (cheap evals are noisy but
+        # rank-informative)
+        noise = 0.05 * (1.0 - fraction) * math.sin(1000.0 * p["x"] + 77.0 * p["y"])
+        return true_value(p) + noise
+
+    sha = successive_halving(evaluate, space, n_configs=16, eta=4, seed=7)
+    # SHA budget: 16/16 + 4/4 + 1 = 3 full-eval units → random gets 3 trials
+    sha_units = sum(t["fraction"] for t in sha["trials"])
+    n_random = math.ceil(sha_units)
+    rng = np.random.default_rng(7)
+    rand_best = max(
+        true_value(sample_params(space, rng)) for _ in range(n_random)
+    )
+    assert true_value(sha["best_params"]) >= rand_best
+    assert sha["best_value"] == pytest.approx(true_value(sha["best_params"]))
+    # rung bookkeeping: fractions ascend to 1.0, survivors shrink by ~eta
+    assert [r["fraction"] for r in sha["rungs"]] == [1 / 16, 1 / 4, 1.0]
+    assert [r["n"] for r in sha["rungs"]] == [16, 4, 1]
+
+
 def test_optimize_improves_over_worst_trial(toy):
     result = optimize(
         lambda **kw: LogisticRegression(**kw),
@@ -153,6 +190,39 @@ def test_feature_importances_named_table(spark, toy):
     top = mean_abs_contribution(contribs, ["a", "b", "c"], top_k=2).collect()
     assert [r["feature"] for r in top] == ["b", "a"]
     assert top[0]["mean_abs"] == pytest.approx(1.5)
+
+
+def test_tree_contributions_sum_to_prediction(spark, toy):
+    """Saabas invariant: bias + Σ per-feature contributions == the model's
+    P(class 1) exactly, per row (reference per-row SHAP surface M9)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.functions import vector_to_array
+
+    from consumer_loans_analysis_spark.ml.importance import (
+        contributions_table,
+        mean_abs_contribution,
+    )
+
+    from pyspark.sql import functions as F
+
+    model = RandomForestClassifier(numTrees=7, maxDepth=4, seed=3).fit(toy)
+    names = ["x0", "x1"]
+    out = contributions_table(model, toy, names)
+    scored = model.transform(toy.select("features")).select(
+        vector_to_array(F.col("probability"))[1].alias("p1_model")
+    )
+    rows = out.collect()
+    model_p1 = [r["p1_model"] for r in scored.collect()]
+    assert len(rows) > 0
+    for r, p1 in zip(rows, model_p1):
+        total = r["bias"] + sum(r[f"contrib_{n}"] for n in names)
+        assert total == pytest.approx(r["pred_contrib"], abs=1e-12)
+        assert r["pred_contrib"] == pytest.approx(p1, abs=1e-9)
+    # global ranking over the per-row contributions (reference's |SHAP| mean)
+    top = mean_abs_contribution(
+        out, [f"contrib_{n}" for n in names], top_k=2
+    ).collect()
+    assert len(top) == 2 and top[0]["mean_abs"] >= top[1]["mean_abs"]
 
 
 def test_imputer_eval_beats_mode_baseline(spark):
