@@ -23,7 +23,11 @@ import os
 
 from pyspark import keyword_only
 from pyspark.ml import Estimator, Model, PipelineModel, Transformer
-from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.classification import (
+    LogisticRegression,
+    MultilayerPerceptronClassifier,
+    RandomForestClassifier,
+)
 from pyspark.ml.feature import StringIndexer, VectorAssembler
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.pipeline import Pipeline
@@ -75,7 +79,9 @@ class ModelImputerModel(Model, MLWritable, MLReadable):
                 F.col(target)
             ),
         )
-        return out.drop("_mi_features", "_mi_prediction", "_mi_raw", "_mi_prob")
+        return out.drop(
+            "_mi_features", "_mi_scaled", "_mi_prediction", "_mi_raw", "_mi_prob"
+        )
 
     # --- persistence ---------------------------------------------------------
 
@@ -122,20 +128,31 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
     subsamplingRate = Param(Params._dummy(), "subsamplingRate", "bagging fraction", TypeConverters.toFloat)
     featureSubsetStrategy = Param(Params._dummy(), "featureSubsetStrategy", "per-split feature sample", TypeConverters.toString)
     seed = Param(Params._dummy(), "seed", "seed", TypeConverters.toInt)
+    classifierFamily = Param(Params._dummy(), "classifierFamily", "rf | lr | mlp", TypeConverters.toString)
+    regParam = Param(Params._dummy(), "regParam", "lr L2/L1 strength", TypeConverters.toFloat)
+    elasticNetParam = Param(Params._dummy(), "elasticNetParam", "lr L1 mixing", TypeConverters.toFloat)
+    maxIter = Param(Params._dummy(), "maxIter", "lr/mlp iterations", TypeConverters.toInt)
+    hiddenLayers = Param(Params._dummy(), "hiddenLayers", "JSON [width] for mlp", TypeConverters.toString)
 
     @keyword_only
     def __init__(self, targetCol: str = "", sentinel: str | None = "Missing",
                  excludePrefixes: list[str] | None = None,
                  numTrees: int = 150, maxDepth: int = 14, maxBins: int = 32,
                  minInstancesPerNode: int = 1, subsamplingRate: float = 1.0,
-                 featureSubsetStrategy: str = "auto", seed: int = 42):
+                 featureSubsetStrategy: str = "auto", seed: int = 42,
+                 classifierFamily: str = "rf", regParam: float = 0.0,
+                 elasticNetParam: float = 0.0, maxIter: int = 100,
+                 hiddenLayers: list[int] | None = None):
         super().__init__()
         self._set(targetCol=targetCol, sentinel=sentinel if sentinel is not None else "",
                   numTrees=numTrees, maxDepth=maxDepth, maxBins=maxBins,
                   minInstancesPerNode=minInstancesPerNode,
                   subsamplingRate=subsamplingRate,
-                  featureSubsetStrategy=featureSubsetStrategy, seed=seed)
+                  featureSubsetStrategy=featureSubsetStrategy, seed=seed,
+                  classifierFamily=classifierFamily, regParam=regParam,
+                  elasticNetParam=elasticNetParam, maxIter=maxIter)
         self._set_json(self.excludePrefixes, excludePrefixes or [])
+        self._set_json(self.hiddenLayers, hiddenLayers or [64])
 
     def _fit(self, df: DataFrame) -> ModelImputerModel:
         target = self.getOrDefault(self.targetCol)
@@ -151,27 +168,61 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
         cond = F.col(target).isNotNull() if sentinel is None else (F.col(target) != sentinel)
         train = df.filter(cond).withColumn("_mi_label_src", F.col(target).cast("string"))
 
-        pipe = Pipeline(
-            stages=[
-                StringIndexer(
-                    inputCol="_mi_label_src", outputCol="_mi_label",
-                    stringOrderType="alphabetAsc",
-                ),
-                VectorAssembler(inputCols=feature_cols, outputCol="_mi_features"),
-                RandomForestClassifier(
-                    featuresCol="_mi_features", labelCol="_mi_label",
-                    predictionCol="_mi_prediction", rawPredictionCol="_mi_raw",
-                    probabilityCol="_mi_prob",
-                    numTrees=self.getOrDefault(self.numTrees),
-                    maxDepth=self.getOrDefault(self.maxDepth),
-                    maxBins=self.getOrDefault(self.maxBins),
-                    minInstancesPerNode=self.getOrDefault(self.minInstancesPerNode),
-                    subsamplingRate=self.getOrDefault(self.subsamplingRate),
-                    featureSubsetStrategy=self.getOrDefault(self.featureSubsetStrategy),
-                    seed=self.getOrDefault(self.seed),
-                ),
-            ]
+        family = self.getOrDefault(self.classifierFamily)
+        common = dict(
+            featuresCol="_mi_features", labelCol="_mi_label",
+            predictionCol="_mi_prediction", rawPredictionCol="_mi_raw",
+            probabilityCol="_mi_prob",
         )
+        if family == "rf":
+            clf = RandomForestClassifier(
+                numTrees=self.getOrDefault(self.numTrees),
+                maxDepth=self.getOrDefault(self.maxDepth),
+                maxBins=self.getOrDefault(self.maxBins),
+                minInstancesPerNode=self.getOrDefault(self.minInstancesPerNode),
+                subsamplingRate=self.getOrDefault(self.subsamplingRate),
+                featureSubsetStrategy=self.getOrDefault(self.featureSubsetStrategy),
+                seed=self.getOrDefault(self.seed),
+                **common,
+            )
+        elif family == "lr":
+            clf = LogisticRegression(
+                regParam=self.getOrDefault(self.regParam),
+                elasticNetParam=self.getOrDefault(self.elasticNetParam),
+                maxIter=self.getOrDefault(self.maxIter),
+                family="multinomial",
+                **common,
+            )
+        elif family == "mlp":
+            n_classes = train.select("_mi_label_src").distinct().count()
+            layers = [len(feature_cols), *self._get_json(self.hiddenLayers), n_classes]
+            clf = MultilayerPerceptronClassifier(
+                layers=layers,
+                maxIter=self.getOrDefault(self.maxIter),
+                seed=self.getOrDefault(self.seed),
+                **{**common, "featuresCol": "_mi_scaled"},
+            )
+        else:
+            raise ValueError(f"unknown classifierFamily {family!r} (rf | lr | mlp)")
+        stages = [
+            StringIndexer(
+                inputCol="_mi_label_src", outputCol="_mi_label",
+                stringOrderType="alphabetAsc",
+            ),
+            VectorAssembler(inputCols=feature_cols, outputCol="_mi_features"),
+        ]
+        if family == "mlp":
+            # MLP saturates on unscaled inputs (LR standardizes internally,
+            # trees don't care) — z-scale the assembled vector first
+            from pyspark.ml.feature import StandardScaler
+
+            stages.append(
+                StandardScaler(
+                    inputCol="_mi_features", outputCol="_mi_scaled",
+                    withMean=True, withStd=True,
+                )
+            )
+        pipe = Pipeline(stages=[*stages, clf])
         fitted = pipe.fit(train)
         labels = list(fitted.stages[0].labelsArray[0])
         # drop the indexer from the serving path (it would fail on sentinel

@@ -34,6 +34,8 @@ QUERIES = [
     "e3_session_window",
     "d2_ngram_jaccard_pairs",
     "d3_minhash_lsh_pairs",
+    "d4_simhash_pairs",
+    "d5_embedding_near_dupes",
     "t2_quality_features",
 ]
 
@@ -80,7 +82,33 @@ def build(spark) -> None:
     docs10.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
     ev10 = times(ev, {"user_id": ukey_span, "event_id": 10_000_000})
     ev10.write.mode("overwrite").parquet(f"{DST}/events.parquet")
-    for small in ("nation", "region", "supplier", "part", "embeddings"):
+    # embeddings: 10 key-shifted copies, each under a copy-specific diagonal
+    # ±1 reflection (an orthogonal transform): within-copy cosines are
+    # preserved exactly (near-dup structure replicates) while cross-copy
+    # twins decorrelate instead of forming 10-way exact-dup clusters.
+    emb = read_table(spark, SRC, "embeddings")
+    vkey_span = emb.agg(F.max("vec_id")).head()[0] + 1
+    dim = len(emb.select("embedding").head()[0])
+    parts = []
+    for i in range(COPIES):
+        signs = F.array(
+            *[
+                F.lit(1.0 if i == 0 or (j * 7 + i * 13 + i * j) % 2 == 0 else -1.0)
+                for j in range(dim)
+            ]
+        )
+        parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vkey_span))
+            .withColumn(
+                "embedding",
+                F.zip_with("embedding", signs, lambda x, s: (x * s).cast("float")),
+            )
+        )
+    emb10 = parts[0]
+    for p in parts[1:]:
+        emb10 = emb10.unionByName(p)
+    emb10.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+    for small in ("nation", "region", "supplier", "part"):
         read_table(spark, SRC, small).write.mode("overwrite").parquet(
             f"{DST}/{small}.parquet"
         )

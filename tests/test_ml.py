@@ -242,3 +242,30 @@ def test_imputer_eval_beats_mode_baseline(spark):
     floor = mode_baseline(train, valid, "EDUCATION")
     assert 0.0 < floor < 1.0
     assert model_f1 > floor, (model_f1, floor)
+
+
+def test_imputer_classifier_families(spark):
+    """classifierFamily swaps the inner model (rf | lr | mlp) behind the
+    same impute semantics: every family recovers hidden EDUCATION values
+    above the mode floor, and unknown families raise."""
+    import pytest as _pytest
+
+    from consumer_loans_analysis_spark.ml.imputer_eval import evaluate_imputer, mode_baseline
+    from consumer_loans_analysis_spark.pipeline.model_imputer import ModelImputer
+    from consumer_loans_analysis_spark.sources.readers import read_loans_csv
+
+    train = read_loans_csv(spark, "/root/reference/data/orig_train.csv").cache()
+    valid = read_loans_csv(spark, "/root/reference/data/orig_valid.csv").cache()
+    floor = mode_baseline(train, valid, "EDUCATION")
+    for family, extra in [
+        ("lr", {"regParam": 0.01, "maxIter": 40}),
+        ("mlp", {"hiddenLayers": [32], "maxIter": 120}),
+    ]:
+        imp = ModelImputer(
+            targetCol="EDUCATION", sentinel="Missing",
+            classifierFamily=family, **extra,
+        )
+        f1 = evaluate_imputer(imp.fit(train), valid, "EDUCATION")
+        assert f1 > floor, (family, f1, floor)
+    with _pytest.raises(ValueError, match="classifierFamily"):
+        ModelImputer(targetCol="EDUCATION", classifierFamily="nope").fit(train)
