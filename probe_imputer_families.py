@@ -24,7 +24,8 @@ from consumer_loans_analysis_spark.session import get_spark
 from consumer_loans_analysis_spark.sources.readers import read_loans_csv
 
 CONFIGS = [
-    ("rf_default", {"classifierFamily": "rf"}),
+    # rf_default control row comes from IMPUTER_TUNING.json (0.449) — the
+    # 150x14 fit costs ~10 min on a contended host, no need to re-measure.
     ("lr", {"classifierFamily": "lr", "regParam": 0.0}),
     ("lr_l2_0.01", {"classifierFamily": "lr", "regParam": 0.01}),
     ("lr_l2_0.1", {"classifierFamily": "lr", "regParam": 0.1}),

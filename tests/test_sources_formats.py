@@ -33,3 +33,36 @@ def test_orc_round_trip_partitioned(spark, tmp_path):
     assert _sorted_rows(back, "c_custkey") == _sorted_rows(src, "c_custkey")
     pruned = readers.read_orc(spark, path).filter(F.col("c_mktsegment") == "BUILDING")
     assert pruned.count() == src.filter(F.col("c_mktsegment") == "BUILDING").count()
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Co-located bucketed join: both sides bucketed by the join key into the
+    same bucket count -> sort-merge join with NO Exchange on either side (the
+    100 TB fact-to-fact join path; shuffle paid once at write time)."""
+    orders = readers.read_table(spark, "/root/testdata/sf0.001", "orders")
+    li = readers.read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    readers.write_bucketed(
+        orders, "t_orders_b", ["o_orderkey"], 4,
+        path=os.path.join(str(tmp_path), "orders_b"), sort_cols=["o_orderkey"],
+    )
+    readers.write_bucketed(
+        li, "t_lineitem_b", ["l_orderkey"], 4,
+        path=os.path.join(str(tmp_path), "lineitem_b"), sort_cols=["l_orderkey"],
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ob, lb = readers.read_bucketed(spark, "t_orders_b"), readers.read_bucketed(spark, "t_lineitem_b")
+            joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select("o_orderkey", "l_quantity")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            # and the co-located plan is still correct
+            expect = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+            assert joined.count() == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
