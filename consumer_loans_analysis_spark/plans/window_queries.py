@@ -388,3 +388,38 @@ def e5_stream_join_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return spark.table(name).select("view_id", "click_id", "user_id")
+
+
+@query(
+    "e6_stream_dedup_drained",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def e6_stream_dedup_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DEDUP under the batch oracle: exact dedup on
+    (user_id, event_type) runs as a real stream (file source →
+    ``dropDuplicatesWithinWatermark`` → append-mode memory sink,
+    availableNow). Which physical row survives depends on arrival order,
+    so the drained output is projected to its key columns — that set is
+    order-independent and must hash-match ``SELECT DISTINCT``.
+
+    Scale: state holds one entry per live key and evicts keys older than
+    the watermark horizon, so a 1000-executor job over an unbounded
+    stream carries O(keys-in-horizon) state, not O(stream). This is the
+    streaming twin of d1_exact_dedup for continuously-arriving corpora."""
+    from consumer_loans_analysis_spark.streaming.events import (
+        dedup_events_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    name = "e6_drain"
+    run_to_memory(
+        dedup_events_stream(
+            stream_events(spark, sf_dir), keys=["user_id", "event_type"]
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name).select("user_id", "event_type")
