@@ -142,12 +142,17 @@ def minhash_near_dupes(
     coeffs = [(rng.randint(1, p - 1), rng.randint(0, p - 1)) for _ in range(num_hashes)]
     sh = shingle_hashes(df, text_col, id_col, n).cache()
     x = F.pmod(F.col("sh"), F.lit(p))
+    # cached: both band-join sides consume the signature table, and the
+    # broadcast build side blocks exchange reuse — without the cache the
+    # whole explode+64-agg subtree (the dominant stage on a large corpus)
+    # executes twice. Signatures are ~3 orders smaller than the corpus
+    # (64 longs/doc), so MEMORY_AND_DISK holds them at any scale.
     mins = sh.groupBy("id").agg(
         *[
             F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(p))).alias(f"h{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
-    )
+    ).cache()
     # band key: one long per band (xxhash64 of the band's row-hashes + index)
     n_bands = num_hashes // rows_per_band
     band_cols = [
@@ -238,7 +243,11 @@ def simhash_near_dupes(
     base, rem = divmod(bits, k)
     widths = [base + (1 if i < rem else 0) for i in range(k)]
     offsets = [sum(widths[:i]) for i in range(k)]
-    sig = simhash_signatures(df, text_col, id_col, bits)
+    # cached for the same reason as minhash: the block equi-join consumes
+    # the signature table on both sides and the broadcast build side
+    # defeats exchange reuse, so the explode+bitwise-vote aggregation (the
+    # expensive stage) would otherwise run twice. One long per doc — tiny.
+    sig = simhash_signatures(df, text_col, id_col, bits).cache()
     block_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))

@@ -189,9 +189,13 @@ def embedding_near_dupes(
     if rows_per_band == 0:
         n_bands = 1
     keys = _rh_band_keys_udf(dim, n_bands, rows_per_band, seed)
+    # cached: both candidate-join sides consume the banded keys, and the
+    # dense random-projection (the Arrow-batched UDF — the expensive part)
+    # would otherwise run over every vector twice. 24 B × n_bands per row,
+    # vectors never enter the cache.
     banded = e.select(
         "id", F.posexplode(keys(F.col("v"))).alias("band_idx", "band_key")
-    )
+    ).cache()
     a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     candidates = (
