@@ -24,8 +24,10 @@ import os
 from pyspark import keyword_only
 from pyspark.ml import Estimator, Model, PipelineModel, Transformer
 from pyspark.ml.classification import (
+    GBTClassifier,
     LogisticRegression,
     MultilayerPerceptronClassifier,
+    OneVsRest,
     RandomForestClassifier,
 )
 from pyspark.ml.feature import StringIndexer, VectorAssembler
@@ -128,10 +130,11 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
     subsamplingRate = Param(Params._dummy(), "subsamplingRate", "bagging fraction", TypeConverters.toFloat)
     featureSubsetStrategy = Param(Params._dummy(), "featureSubsetStrategy", "per-split feature sample", TypeConverters.toString)
     seed = Param(Params._dummy(), "seed", "seed", TypeConverters.toInt)
-    classifierFamily = Param(Params._dummy(), "classifierFamily", "rf | lr | mlp", TypeConverters.toString)
+    classifierFamily = Param(Params._dummy(), "classifierFamily", "rf | lr | mlp | gbt_ovr", TypeConverters.toString)
     regParam = Param(Params._dummy(), "regParam", "lr L2/L1 strength", TypeConverters.toFloat)
     elasticNetParam = Param(Params._dummy(), "elasticNetParam", "lr L1 mixing", TypeConverters.toFloat)
-    maxIter = Param(Params._dummy(), "maxIter", "lr/mlp iterations", TypeConverters.toInt)
+    maxIter = Param(Params._dummy(), "maxIter", "lr/mlp iterations; gbt boosting rounds", TypeConverters.toInt)
+    stepSize = Param(Params._dummy(), "stepSize", "gbt learning rate", TypeConverters.toFloat)
     hiddenLayers = Param(Params._dummy(), "hiddenLayers", "JSON [width] for mlp", TypeConverters.toString)
 
     @keyword_only
@@ -142,6 +145,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                  featureSubsetStrategy: str = "auto", seed: int = 42,
                  classifierFamily: str = "rf", regParam: float = 0.0,
                  elasticNetParam: float = 0.0, maxIter: int = 100,
+                 stepSize: float = 0.1,
                  hiddenLayers: list[int] | None = None):
         super().__init__()
         self._set(targetCol=targetCol, sentinel=sentinel if sentinel is not None else "",
@@ -150,7 +154,8 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                   subsamplingRate=subsamplingRate,
                   featureSubsetStrategy=featureSubsetStrategy, seed=seed,
                   classifierFamily=classifierFamily, regParam=regParam,
-                  elasticNetParam=elasticNetParam, maxIter=maxIter)
+                  elasticNetParam=elasticNetParam, maxIter=maxIter,
+                  stepSize=stepSize)
         self._set_json(self.excludePrefixes, excludePrefixes or [])
         self._set_json(self.hiddenLayers, hiddenLayers or [64])
 
@@ -202,8 +207,33 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                 seed=self.getOrDefault(self.seed),
                 **{**common, "featuresCol": "_mi_scaled"},
             )
+        elif family == "gbt_ovr":
+            # the reference's imputer is boosted trees (XGBClassifier,
+            # eda_processing.ipynb:2423-2480). MLlib GBT is binary-only, so
+            # the multiclass target trains one-vs-rest: k parallel binary
+            # GBTs, argmax of margins at predict time.
+            clf = OneVsRest(
+                classifier=GBTClassifier(
+                    maxDepth=self.getOrDefault(self.maxDepth),
+                    maxBins=self.getOrDefault(self.maxBins),
+                    maxIter=self.getOrDefault(self.maxIter),
+                    stepSize=self.getOrDefault(self.stepSize),
+                    subsamplingRate=self.getOrDefault(self.subsamplingRate),
+                    minInstancesPerNode=self.getOrDefault(self.minInstancesPerNode),
+                    seed=self.getOrDefault(self.seed),
+                    featuresCol="_mi_features",
+                    labelCol="_mi_label",
+                ),
+                featuresCol="_mi_features",
+                labelCol="_mi_label",
+                predictionCol="_mi_prediction",
+                rawPredictionCol="_mi_raw",
+                parallelism=8,
+            )
         else:
-            raise ValueError(f"unknown classifierFamily {family!r} (rf | lr | mlp)")
+            raise ValueError(
+                f"unknown classifierFamily {family!r} (rf | lr | mlp | gbt_ovr)"
+            )
         stages = [
             StringIndexer(
                 inputCol="_mi_label_src", outputCol="_mi_label",

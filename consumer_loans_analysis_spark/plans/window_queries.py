@@ -160,7 +160,11 @@ def range_join_followers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stays a hash join at any scale (a raw interval join would fall back to
     broadcast-nested-loop, O(n²))."""
     e = read_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    # ts only feeds RELATIVE arithmetic here; the cast makes unix_micros
+    # accept the TIMESTAMP_NTZ shape newer testdata ships (a no-op for
+    # TIMESTAMP, a uniform session-tz shift for NTZ — bucket and range
+    # comparisons are shift-invariant)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     bucket = F.floor(us / 60_000_000)
     probe = e.select(
         F.col("event_id").alias("e1_id"), F.col("user_id").alias("u"),

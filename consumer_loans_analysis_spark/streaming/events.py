@@ -31,10 +31,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS); the streaming
-# reader (like read_table) takes it as long under the legacy flag and
-# truncates to microseconds with integer division (gotcha: double division
-# loses ulps at 1e18 nanos).
+# events.parquet raw shape when ts is TIMESTAMP(NANOS) (driver testdata has
+# shipped both NANOS and MICROS across rounds — the reader probes): the
+# vectorized reader rejects nanos, so the stream takes ts as long under the
+# legacy flag and truncates to microseconds with integer division (gotcha:
+# double division loses ulps at 1e18 nanos).
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -70,21 +71,39 @@ def stream_events(
     one-line change (``format("kafka")`` + from_json) because everything
     downstream only sees the typed schema.
 
-    Session-wide side effect: this sets ``spark.sql.legacy.parquet.
-    nanosAsLong=true`` and deliberately does NOT restore it — micro-batches
-    execute for the stream's whole lifetime and need the flag live. Batch
-    parquet reads on the same session afterwards will surface nano-timestamp
-    columns as bigint; ``read_table`` handles that shape either way.
+    The physical ``ts`` type is probed first (a metadata-only batch schema
+    resolution): TIMESTAMP(MICROS) files stream directly under the typed
+    schema; TIMESTAMP(NANOS) files — which the vectorized reader rejects —
+    stream as long under the legacy flag and truncate to microseconds.
+    In the nanos case the flag is session-wide and deliberately NOT
+    restored: micro-batches execute for the stream's whole lifetime and
+    need it live (``read_table`` handles either shape for batch reads).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        probed = (
+            spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+        )
+        ts_is_nanos = dict(
+            (f.name, f.dataType.simpleString()) for f in probed
+        ).get("ts") == "bigint"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     # the file stream source lists a DIRECTORY; testdata ships events as a
     # single file, so stream the dir with a glob filter selecting it
-    reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", glob)
-    )
+    reader = spark.readStream.schema(
+        EVENTS_RAW_SCHEMA if ts_is_nanos else EVENTS_SCHEMA
+    ).option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if not ts_is_nanos:
+        return reader.parquet(sf_dir)
+    spark.conf.set(key, "true")  # live for the stream's lifetime
     raw = reader.parquet(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

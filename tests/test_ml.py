@@ -260,6 +260,7 @@ def test_imputer_classifier_families(spark):
     for family, extra in [
         ("lr", {"regParam": 0.01, "maxIter": 40}),
         ("mlp", {"hiddenLayers": [32], "maxIter": 120}),
+        ("gbt_ovr", {"maxDepth": 3, "maxIter": 8}),
     ]:
         imp = ModelImputer(
             targetCol="EDUCATION", sentinel="Missing",
