@@ -276,3 +276,74 @@ def simhash_near_dupes(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every document gets
+    ``cluster_id`` = the minimum doc id reachable through pairs (singletons
+    cluster with themselves) and ``is_canonical`` marks the one survivor per
+    cluster — the step that turns near-dup PAIRS into a deduplicated corpus
+    (``docs.join(clusters, ...).filter("is_canonical")``).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(graph diameter)
+    rounds. Near-dup components are near-cliques (every member overlaps the
+    template it was perturbed from), so 2-4 rounds in practice; ``max_iter``
+    guards pathological chain graphs, raising rather than returning a
+    partially-propagated (wrong) labeling.
+
+    Scale shape: each round is one shuffle of (id, label) longs — 16 B/row —
+    plus an equi-join against the (symmetrized, cached) edge list; documents
+    never enter the loop. ``localCheckpoint`` truncates lineage each round so
+    the plan doesn't grow with iterations (the classic iterative-DataFrame
+    trap). For graphs with whale components at extreme scale, the
+    alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce") halves round count; min-label is
+    the right tradeoff at dedup's near-clique shapes.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "cluster_id")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds — "
+            "graph diameter exceeds the near-dup assumption"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )

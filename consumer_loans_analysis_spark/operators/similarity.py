@@ -183,6 +183,14 @@ def embedding_near_dupes(
     — 24 bytes/row — never the vectors; vectors rejoin only for the
     distinct candidate pairs. The old implementation was an O(n²) theta
     join over full vectors.
+
+    DOMAIN OF APPLICABILITY: banding prunes in proportion to the gap
+    between matching-pair bit-agreement p^r and the random-pair ½^r. Use
+    this for HIGH thresholds (≥ ~0.7, p ≥ 0.75), where short bands are
+    both selective and high-recall. At thresholds near the random-pair
+    cosine (like this testdata's 0.45 — measured in SCALING.md), ½^r
+    bucket collisions make candidate volume approach all-pairs × bands;
+    ``embedding_near_dupes_blocked`` is the right exact path there.
     """
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     dim = len(e.select("v").first()["v"])
@@ -286,3 +294,112 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def embedding_near_dupes_blocked(
+    embeddings: DataFrame, threshold: float = 0.45,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_blocks: int = 32,
+) -> DataFrame:
+    """EXACT all-pairs cosine pairs ≥ threshold via block-partitioned matrix
+    multiplication (the BLAS path).
+
+    Why this exists next to the sign-LSH variant: LSH prunes in proportion
+    to the gap between matching-pair and random-pair bit-agreement. At a
+    LOW cosine threshold sitting near the random-pair distribution (this
+    testdata: matches from 0.4501, non-matches up to 0.4497 — measured),
+    per-band selectivity collapses to ~3× and candidate volume approaches
+    all-pairs × bands — LSH does strictly more work than brute force.
+    Exact low-margin all-pairs is Θ(n²) no matter what; the right move is
+    to pay n² at dense-BLAS constants instead of shuffle-join constants:
+
+    - pack each hash-block of vectors into ONE row holding the
+      L2-normalized block matrix (``applyInPandas``);
+    - join block pairs with ``block_a <= block_b`` — B(B+1)/2 rows moving
+      B² matrices, NOT n² vector pairs;
+    - one numpy GEMM per block pair (``mapInPandas``), emit only
+      qualifying pairs.
+
+    Cluster shape: parallelism = block pairs; per-task memory = two
+    (n/B × dim) float64 matrices — size ``n_blocks`` so a block fits
+    executor memory. Zero vectors get NaN rows (cos undefined) and can
+    never qualify, matching the Column path's try_divide → NULL.
+    """
+    import numpy as np
+
+    e = embeddings.select(
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("block"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    pack_schema = (
+        "block int, ids array<long>, mat array<double>, n int, dim int"
+    )
+
+    def pack(key, pdf):
+        ids = pdf["id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = np.nan
+        mn = m / norms[:, None]
+        return pd.DataFrame(
+            {
+                "block": [int(key[0])],
+                "ids": [ids],
+                "mat": [mn.ravel()],
+                "n": [len(ids)],
+                "dim": [m.shape[1]],
+            }
+        )
+
+    packed = e.groupBy("block").applyInPandas(pack, pack_schema)
+    a = packed.select(
+        F.col("block").alias("block_a"), F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"), F.col("n").alias("n_a"),
+        F.col("dim").alias("dim_a"),
+    )
+    b = packed.select(
+        F.col("block").alias("block_b"), F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"), F.col("n").alias("n_b"),
+        F.col("dim").alias("dim_b"),
+    )
+    blk = a.join(F.broadcast(b), F.col("block_a") <= F.col("block_b"))
+
+    def gemm(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for r in pdf.itertuples(index=False):
+                ia = np.asarray(r.ids_a, dtype=np.int64)
+                ib = np.asarray(r.ids_b, dtype=np.int64)
+                ma = np.asarray(r.mat_a).reshape(r.n_a, r.dim_a)
+                mb = np.asarray(r.mat_b).reshape(r.n_b, r.dim_b)
+                c = ma @ mb.T
+                with np.errstate(invalid="ignore"):
+                    ii, jj = np.nonzero(c >= threshold)
+                if len(ii) == 0:
+                    continue
+                id1, id2, cs = ia[ii], ib[jj], c[ii, jj]
+                if r.block_a == r.block_b:
+                    # diagonal block: c holds BOTH (i,j) and (j,i) — keep
+                    # the ordered one (also drops the self diagonal)
+                    keep = id1 < id2
+                    lo, hi = id1, id2
+                else:
+                    # off-diagonal: each pair appears once; just order ids
+                    keep = slice(None)
+                    lo = np.minimum(id1, id2)
+                    hi = np.maximum(id1, id2)
+                out_a.append(lo[keep])
+                out_b.append(hi[keep])
+                out_c.append(cs[keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    return blk.mapInPandas(gemm, "id_a long, id_b long, cos double")

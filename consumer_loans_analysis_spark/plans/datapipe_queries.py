@@ -121,10 +121,62 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d5_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.45 (rounded for the hash gate)."""
+    """Embedding-cosine near-dup pairs ≥ 0.45 (rounded for the hash gate).
+
+    Blocked-GEMM exact path: the 0.45 threshold sits at the random-pair
+    cosine boundary of this corpus (measured margin 0.4497 vs 0.4501), where
+    sign-LSH candidate volume approaches all-pairs — see
+    ``embedding_near_dupes_blocked``'s docstring and SCALING.md. The LSH
+    variant (``embedding_near_dupes``) remains the scale path for
+    high-similarity thresholds."""
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dupes(emb, threshold=0.45)
+    pairs = similarity.embedding_near_dupes_blocked(emb, threshold=0.45)
     return pairs.withColumn("cos", F.round(F.col("cos"), 6))
+
+
+@query(
+    "d6_dup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM d, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup
+      UNION SELECT id_b AS src, id_a AS dst FROM dup
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id,
+      (id = MIN(r)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → deduplicated corpus: connected components over the
+    MinHash-LSH pair graph (≥ 0.8 exact-verified Jaccard — identical pair
+    set to d2/d3), min-id cluster labels, one canonical doc per cluster.
+    Oracle states reachability directly with a recursive CTE."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dupes(docs, threshold=0.8)
+    return dedup.duplicate_clusters(docs, pairs)
 
 
 # --- similarity search -------------------------------------------------------

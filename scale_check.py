@@ -36,6 +36,7 @@ QUERIES = [
     "d3_minhash_lsh_pairs",
     "d4_simhash_pairs",
     "d5_embedding_near_dupes",
+    "d6_dup_clusters",
     "t2_quality_features",
 ]
 

@@ -99,6 +99,53 @@ def test_embedding_near_dupes_fullprobe_equals_bruteforce(spark, sf_dir):
     assert lsh == exact
 
 
+def test_embedding_near_dupes_blocked_equals_bruteforce(spark, sf_dir):
+    """Blocked-GEMM path is exact by construction (it enumerates every
+    block pair) — verify against the row-wise Column implementation,
+    including with a block count that forces uneven singleton blocks."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = _pair_set(
+        similarity.embedding_near_dupes_exact(emb, threshold=0.45).collect()
+    )
+    for n_blocks in (1, 7, 32):
+        blocked = _pair_set(
+            similarity.embedding_near_dupes_blocked(
+                emb, threshold=0.45, n_blocks=n_blocks
+            ).collect()
+        )
+        assert blocked == exact, n_blocks
+
+
+def test_duplicate_clusters(spark):
+    """Connected components over an explicit pair graph: a 3-chain
+    {0-1, 1-2} (diameter 2 — exercises >1 propagation round), a 2-clique
+    {5, 6}, and singletons {3, 4}; canonical = min id per cluster."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(7)], schema="doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], schema="id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.duplicate_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (4, True),
+        5: (5, True), 6: (5, False),
+    }
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    docs = spark.createDataFrame([(i,) for i in range(5)], schema="doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], schema="id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.duplicate_clusters(docs, chain, max_iter=1)
+
+
 def test_simhash_blocking_equals_allpairs(docs):
     """Pigeonhole blocking finds EXACTLY the all-pairs answer (the split
     into max_hamming+1 blocks guarantees no false negatives; the Hamming
