@@ -120,3 +120,69 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fp).withColumn(
         "fingerprint64", F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    top_bigram_max: float = 0.18, dup_trigram_max: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    the fraction of the document occupied by its most frequent word 2-gram
+    and the fraction of word 3-grams that are repeats. High values mark
+    boilerplate/spam for corpus filtering (``is_repetitive``).
+
+    Shape: n-gram explode → (doc, gram) count → per-doc aggregate — two
+    hash aggregations partitioned by doc id; Catalyst reuses one exchange
+    for both gram widths' doc-level re-aggregation. No Python.
+    """
+    w = F.split(F.col(text_col), " ")
+
+    def grams(n: int) -> Column:
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(F.col(id_col).alias("id"), grams(2).alias("g2"), grams(3).alias("g3"))
+    b2 = (
+        base.select("id", F.explode("g2").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(
+            (F.max("cnt") / F.sum("cnt")).alias("top_bigram_frac"),
+        )
+    )
+    b3 = (
+        base.select("id", F.explode("g3").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(
+            (
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+                / F.sum("cnt")
+            ).alias("dup_trigram_frac"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(b2, "id", "left")
+        .join(b3, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.coalesce("dup_trigram_frac", F.lit(0.0)), 6).alias(
+                "dup_trigram_frac"
+            ),
+            (
+                (F.coalesce("top_bigram_frac", F.lit(0.0)) > top_bigram_max)
+                | (F.coalesce("dup_trigram_frac", F.lit(0.0)) > dup_trigram_max)
+            ).alias("is_repetitive"),
+        )
+    )

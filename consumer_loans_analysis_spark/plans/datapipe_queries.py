@@ -350,6 +350,45 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(docs).select("doc_id", "fingerprint", "fingerprint64")
 
 
+@query(
+    "t5_repetition_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g2 AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM d, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+    a2 AS (
+      SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS tbf
+      FROM c2 GROUP BY 1
+    ),
+    g3 AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM d, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+    a3 AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS dtf
+      FROM c3 GROUP BY 1
+    )
+    SELECT doc.doc_id,
+      ROUND(COALESCE(tbf, 0.0), 6) AS top_bigram_frac,
+      ROUND(COALESCE(dtf, 0.0), 6) AS dup_trigram_frac,
+      (COALESCE(tbf, 0.0) > 0.18 OR COALESCE(dtf, 0.0) > 0.30) AS is_repetitive
+    FROM documents doc
+    LEFT JOIN a2 ON a2.doc_id = doc.doc_id
+    LEFT JOIN a3 ON a3.doc_id = doc.doc_id
+    """,
+)
+def t5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: top-2-gram occupancy and
+    duplicate-3-gram fraction per document."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
 # --- multimodal --------------------------------------------------------------
 
 @query(

@@ -184,6 +184,27 @@ def test_fingerprint_order_invariant(spark):
     assert fp[0] == fp[1] != fp[2]
 
 
+def test_repetition_stats(spark):
+    """A pure 2-word loop is maximally repetitive (every trigram repeats,
+    one bigram dominates); an all-distinct doc has zero repetition; a
+    1-word doc (no n-grams) gets zeros, not nulls."""
+    docs = spark.createDataFrame(
+        [
+            (0, "spam ham " * 20 + "spam"),
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "single"),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    assert got[0]["is_repetitive"] and got[0]["dup_trigram_frac"] == 1.0
+    assert got[0]["top_bigram_frac"] == pytest.approx(0.5, abs=0.01)
+    assert not got[1]["is_repetitive"]
+    assert got[1]["dup_trigram_frac"] == 0.0 and got[1]["top_bigram_frac"] == pytest.approx(1 / 9)
+    assert not got[2]["is_repetitive"]
+    assert got[2]["top_bigram_frac"] == 0.0 and got[2]["dup_trigram_frac"] == 0.0
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [(0, "the cat and the dog of the house"), (1, "el gato y la casa de los perros")],
