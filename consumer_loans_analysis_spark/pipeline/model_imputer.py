@@ -82,7 +82,8 @@ class ModelImputerModel(Model, MLWritable, MLReadable):
             ),
         )
         return out.drop(
-            "_mi_features", "_mi_scaled", "_mi_prediction", "_mi_raw", "_mi_prob"
+            "_mi_features", "_mi_scaled", "_mi_prediction", "_mi_raw",
+            "_mi_prob", "rawPrediction", "probability",
         )
 
     # --- persistence ---------------------------------------------------------
@@ -227,7 +228,10 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                 featuresCol="_mi_features",
                 labelCol="_mi_label",
                 predictionCol="_mi_prediction",
-                rawPredictionCol="_mi_raw",
+                # rawPredictionCol stays at its default: PySpark 4.1's
+                # OneVsRestModel.transform mis-resolves custom (and empty)
+                # raw-prediction names; the default "rawPrediction" column
+                # is dropped in ModelImputerModel._transform instead
                 parallelism=8,
             )
         else:
