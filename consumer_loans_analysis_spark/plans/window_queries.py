@@ -427,3 +427,57 @@ def e6_stream_dedup_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return spark.table(name).select("user_id", "event_type")
+
+
+@query(
+    "e7_time_rollup",
+    oracle="""
+    SELECT
+      CASE WHEN GROUPING(hr) = 0 THEN 'hour'
+           WHEN GROUPING(dy) = 0 THEN 'day' ELSE 'total' END AS grain,
+      COALESCE(hr, dy) AS bucket_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT date_trunc('hour', ts) AS hr, date_trunc('day', ts) AS dy,
+        event_type, value
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((hr, event_type), (dy, event_type), (event_type))
+    """,
+)
+def e7_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (the continuous-aggregate
+    shape): hour + day + total aggregates per event_type in ONE scan via
+    GROUPING SETS — Catalyst's Expand operator emits one row per
+    granularity per input row, then a single hash aggregation; no
+    self-union of per-grain queries, no second scan."""
+    e = read_table(spark, sf_dir, "events")
+    base = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.date_trunc("day", F.col("ts")).alias("dy"),
+        "event_type",
+        "value",
+    )
+    # grouping() flags are only legal inside the grouping-sets aggregate's
+    # own select list — compute them in .agg, label grains after
+    rolled = base.groupingSets(
+        [["hr", "event_type"], ["dy", "event_type"], ["event_type"]],
+        "hr", "dy", "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_sum("value").alias("sum_value"),
+        F.grouping("hr").alias("_g_hr"),
+        F.grouping("dy").alias("_g_dy"),
+    )
+    return rolled.select(
+        F.when(F.col("_g_hr") == 0, "hour")
+        .when(F.col("_g_dy") == 0, "day")
+        .otherwise("total")
+        .alias("grain"),
+        F.coalesce("hr", "dy").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
