@@ -503,3 +503,61 @@ def sim4_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn("cos", F.round(F.col("cos"), 6))
 
+
+
+@query(
+    "t6_normalize_fingerprint",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    )
+    SELECT doc_id, md5(norm) AS fp, CAST(length(norm) AS BIGINT) AS n_chars_norm
+    FROM n
+    """,
+)
+def t6_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for dedup keying: lowercase, trim, collapse
+    whitespace, then an md5 content fingerprint. The normalize+hash is pure
+    Column expressions (JVM regex + digest, whole-stage codegen, map-only);
+    at 100 TB this is the cheap pre-pass that feeds d1's fingerprint
+    groupBy so raw bodies never shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+# per-100 keep rates by language: downsample the dominant language toward
+# a balanced mix (the "temperature"/reweighting step of corpus curation)
+_O7_RATES = {"en": 30, "de": 90, "es": 85, "fr": 95, "zh": 85}
+
+
+@query(
+    "o7_lang_balanced_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(concat('o7:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100
+      < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _O7_RATES.items())} ELSE 0 END
+    """,
+)
+def o7_lang_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing downsample: per-language deterministic Bernoulli
+    keep-rates via the portable content hash (o4b's scale-sampling property:
+    the kept SET is a pure function of the data — reproducible across
+    engines, partitionings, and retries, which is what corpus-mixture
+    reweighting needs at 100 TB). Rates ride a literal CASE ladder — pure
+    codegen, map-only, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = text.portable_hash(
+        F.concat(F.lit("o7:"), F.col("doc_id").cast("string"))
+    )
+    rate = F.lit(0)
+    for k, v in _O7_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return docs.filter((h % 100) < rate).select("doc_id", "lang", "source")

@@ -41,3 +41,4 @@ def load_all() -> None:
     import consumer_loans_analysis_spark.plans.tpch_queries  # noqa: F401
     import consumer_loans_analysis_spark.plans.window_queries  # noqa: F401
     import consumer_loans_analysis_spark.plans.datapipe_queries  # noqa: F401
+    import consumer_loans_analysis_spark.plans.behavioral_queries  # noqa: F401

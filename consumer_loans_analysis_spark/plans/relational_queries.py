@@ -732,3 +732,26 @@ def j3_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimal_avg("value").alias("mean_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "a15_histogram_fixed_width",
+    oracle="""
+    SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def a15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: fixed-width histogram (bucket = floor(x/w)*w) — the
+    distributed equivalent of pd.cut + value_counts the reference uses for
+    distribution plots. One groupBy shuffle on the bucket key; bucket
+    count is bounded by the value range, not the row count, so the
+    aggregate output is tiny at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / F.lit(50)) * 50).cast("long")
+    return docs.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
