@@ -120,6 +120,30 @@ def jaccard_near_dupes(
     )
 
 
+def shingle_hash_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document DISTINCT hashed-shingle ARRAY: (id, arr: array<bigint>).
+
+    The array form (vs the exploded ``shingle_hashes``) keeps the shingle
+    set row-aligned with the document, so signature computation and
+    candidate verification stay map-side expressions — no explode, no
+    groupBy re-assembly shuffle. Documents with fewer than ``n`` words get
+    an empty array (they cannot near-dup and are filtered by callers).
+    """
+    w = words(F.col(text_col))
+    sh = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.array_distinct(sh).alias("arr")
+    )
+
+
 def minhash_near_dupes(
     df: DataFrame, threshold: float = 0.8, text_col: str = "text",
     id_col: str = "doc_id", n: int = 3, num_hashes: int = 64, rows_per_band: int = 2,
@@ -134,25 +158,47 @@ def minhash_near_dupes(
     coefficients — the same construction as MLlib MinHashLSH). One
     multiply-add-mod per hash instead of an md5 call: pure codegen
     arithmetic, intermediates < 2⁶², no long overflow under any ANSI mode.
+
+    Plan shape (the 100 TB story): signatures are
+    ``array_min(transform(arr, g_i))`` over the per-doc shingle array —
+    MAP-ONLY, no explode and no 64-aggregate groupBy shuffle (which an
+    exploded (id, sh) layout would force). The only shuffles are the
+    band-bucket equi-join on candidates and the two id equi-joins that
+    fetch shingle arrays for verification; verification itself is
+    ``array_intersect``/``array_union`` arithmetic on the joined rows.
+    Candidate pairs ≪ n² by LSH construction (miss probability at s=0.8,
+    r=2, b=32: ~5·10⁻⁸).
+
+    The shingle-array table feeds three consumers (signatures + both
+    verification sides) and tokenize+hash is the dominant per-row cost, so
+    it is cached — at 8 B × |shingles| per doc it is ~2 orders smaller
+    than the corpus. The repartition widens a few-split small scan to the
+    cluster's parallelism (a no-op at scale where the scan already yields
+    enough splits).
     """
     import random as _random
 
     rng = _random.Random(42)
     p = (1 << 31) - 1
     coeffs = [(rng.randint(1, p - 1), rng.randint(0, p - 1)) for _ in range(num_hashes)]
-    sh = shingle_hashes(df, text_col, id_col, n).cache()
-    x = F.pmod(F.col("sh"), F.lit(p))
-    # cached: both band-join sides consume the signature table, and the
-    # broadcast build side blocks exchange reuse — without the cache the
-    # whole explode+64-agg subtree (the dominant stage on a large corpus)
-    # executes twice. Signatures are ~3 orders smaller than the corpus
-    # (64 longs/doc), so MEMORY_AND_DISK holds them at any scale.
-    mins = sh.groupBy("id").agg(
-        *[
-            F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(p))).alias(f"h{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    ).cache()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    arr_tbl = (
+        shingle_hash_arrays(df, text_col, id_col, n)
+        .filter(F.size("arr") > 0)
+        .cache()
+    )
+    arr = F.col("arr")
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                arr, lambda x: F.pmod(F.lit(a) * F.pmod(x, F.lit(p)) + F.lit(b), F.lit(p))
+            )
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    mins = arr_tbl.select("id", *sig_cols)
     # band key: one long per band (xxhash64 of the band's row-hashes + index)
     n_bands = num_hashes // rows_per_band
     band_cols = [
@@ -170,24 +216,16 @@ def minhash_near_dupes(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify candidates with exact Jaccard (join back onto the shingle index)
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("cand_b"), F.col("sh").alias("sh_b"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        candidates.join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("cand_b")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # verify candidates with exact Jaccard on the per-doc shingle arrays
+    a = arr_tbl.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a"))
+    b = arr_tbl.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            / F.size(F.array_union("arr_a", "arr_b")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
