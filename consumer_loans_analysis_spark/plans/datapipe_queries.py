@@ -561,3 +561,97 @@ def o7_lang_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in _O7_RATES.items():
         rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
     return docs.filter((h % 100) < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "sq1_int8_quantization",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id, v,
+        127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e
+      WHERE list_max(list_transform(v, x -> abs(x))) > 0
+    ), qq AS (
+      SELECT vec_id, v, scale,
+        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS DOUBLE)) AS qv
+      FROM q
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+      ROUND(list_dot_product(v, qv)
+            / (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 6)
+        AS recon_cos
+    FROM qq
+    """,
+)
+def sq1_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column with the
+    per-vector reconstruction cosine (scale cancels in cosine, so the
+    fidelity check needs no dequantize). Map-only pure Column arithmetic —
+    the 4×-compression storage path for embedding tables at 100 TB."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    scale, qvec = similarity.quantize_int8(F.col("embedding"))
+    out = emb.select("vec_id", scale.alias("scale"), F.col("embedding").alias("v"),
+                     qvec.alias("qv")).filter(F.col("scale").isNotNull())
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(similarity.cosine(F.col("v"), F.col("qv")), 6).alias("recon_cos"),
+    )
+
+
+@query(
+    "pipe1_corpus_curation",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, lang, text, len(w) AS n_words,
+        ROUND(
+          LEAST(len(w) / 200.0, 1.0) * 0.4
+          + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+          + LEAST((CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+                   / len(w)) * 5.0, 1.0) * 0.2
+        , 6) AS quality_score
+      FROM f
+    ), filtered AS (
+      SELECT * FROM s WHERE quality_score >= 0.35 AND n_words >= 30
+    ), deduped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      FROM filtered
+    )
+    SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words, quality_score
+    FROM deduped
+    WHERE rk = 1
+      AND CAST(concat('0x', substr(md5(concat('o7:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100
+        < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 90 WHEN 'es' THEN 85 WHEN 'fr' THEN 95 WHEN 'zh' THEN 85 ELSE 0 END
+    """,
+)
+def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality filter (Gopher-style composite
+    score ≥ 0.35, ≥ 30 words) → exact dedup keeping the lowest doc_id per
+    content fingerprint → language-rebalancing deterministic downsample
+    (o7's rates). One pipeline a pretraining-data user runs verbatim.
+
+    Plan shape: the quality stage is map-only (quality filter runs BEFORE
+    the dedup shuffle, shrinking it); dedup is one window shuffle on the
+    md5 fingerprint (32 B keys, never bodies); the rebalance filter is
+    map-only again. ONE shuffle end-to-end."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = text.quality_features(docs, "text")
+    filtered = q.select(
+        "doc_id", "lang", "text", "n_words",
+        F.round("quality_score", 6).alias("quality_score"),
+    ).filter((F.col("quality_score") >= 0.35) & (F.col("n_words") >= 30))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = filtered.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    h = text.portable_hash(F.concat(F.lit("o7:"), F.col("doc_id").cast("string")))
+    rate = F.lit(0)
+    for k, v in _O7_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return deduped.filter((h % 100) < rate).select(
+        "doc_id", "lang", "n_words", "quality_score"
+    )

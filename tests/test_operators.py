@@ -280,3 +280,23 @@ def test_seeded_samples_deterministic(spark, sf_dir):
         a = sorted(map(str, registry.QUERIES[name](spark, sf_dir).collect()))
         b = sorted(map(str, registry.QUERIES[name](spark, sf_dir).collect()))
         assert a == b and len(a) > 0, name
+
+
+def test_quantize_int8_bounds_and_fidelity(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25, 0.125]), (1, [1e-3, 2e-3, -4e-3, 0.0])],
+        schema="vec_id long, embedding array<float>",
+    )
+    scale, qvec = similarity.quantize_int8(F.col("embedding"))
+    rows = df.select(
+        "vec_id", scale.alias("s"), qvec.alias("q"), F.col("embedding").alias("v")
+    ).collect()
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r["q"])
+        # max-|v| element maps to exactly ±127
+        assert 127.0 in [abs(x) for x in r["q"]]
+        # dequantized reconstruction is within half a quantization step
+        for orig, q in zip(r["v"], r["q"]):
+            assert math.isclose(q / r["s"], orig, abs_tol=0.5 / r["s"] + 1e-12)
