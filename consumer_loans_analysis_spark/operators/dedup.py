@@ -385,3 +385,56 @@ def duplicate_clusters(
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    span_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring signal (the span-level complement of
+    document-level near-dedup, after Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): for every document, the
+    number of its distinct ``span_words``-word spans that also occur in at
+    least one OTHER document, and the duplicated-span ratio.
+
+    Plan: explode per-doc DISTINCT span hashes (xxhash64, 8 B — span text
+    never shuffles), one groupBy for global span document-frequency, join
+    back, one groupBy per doc. Σ|spans| shuffle rows — the inverted-index
+    shape (like d2), linear in corpus size; hot boilerplate spans are the
+    skew risk → cap span document-frequency or AQE skew-join at scale.
+    Docs shorter than ``span_words`` have zero spans and report 0/NULL.
+    """
+    w = words(F.col(text_col))
+    spans = F.when(
+        F.size(w) >= span_words,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (span_words - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, span_words), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sp = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(F.array_distinct(spans)).alias("sh")
+    )
+    df_counts = (
+        sp.filter(F.col("sh").isNotNull())
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("span_df"))
+    )
+    return (
+        sp.join(df_counts, "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count("sh").alias("n_spans"),
+            F.count(F.when(F.col("span_df") >= 2, F.lit(1))).alias("n_dup_spans"),
+            F.round(
+                F.try_divide(
+                    F.count(F.when(F.col("span_df") >= 2, F.lit(1))),
+                    F.count("sh"),
+                ),
+                6,
+            ).alias("dup_span_ratio"),
+        )
+        .select(F.col("id").alias(id_col), "n_spans", "n_dup_spans", "dup_span_ratio")
+    )

@@ -655,3 +655,36 @@ def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.filter((h % 100) < rate).select(
         "doc_id", "lang", "n_words", "quality_score"
     )
+
+
+@query(
+    "d7_duplicate_spans",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sp AS (
+      SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+19], ' ') AS s
+      FROM d, UNNEST(range(1, len(w) - 18)) AS t(i)
+      WHERE len(w) >= 20
+    ), df_counts AS (
+      SELECT s, COUNT(*) AS span_df FROM sp GROUP BY s
+    ), joined AS (
+      SELECT sp.id, df_counts.span_df FROM sp JOIN df_counts USING (s)
+    ), per_doc AS (
+      SELECT id, COUNT(*) AS n_spans,
+        COUNT(*) FILTER (span_df >= 2) AS n_dup_spans
+      FROM joined GROUP BY id
+    )
+    SELECT d.doc_id, COALESCE(p.n_spans, 0) AS n_spans,
+      COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+      ROUND(CAST(p.n_dup_spans AS DOUBLE) / p.n_spans, 6) AS dup_span_ratio
+    FROM d LEFT JOIN per_doc p ON p.id = d.doc_id
+    """,
+)
+def d7_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication signal (Lee et al. 2022
+    style): per document, how many of its distinct 20-word spans occur in
+    ≥ 2 documents, and the duplicated ratio. Inverted-index shape on 8-byte
+    span hashes (span text never shuffles); the oracle states the same
+    semantics over raw span strings."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, span_words=20)

@@ -300,3 +300,20 @@ def test_quantize_int8_bounds_and_fidelity(spark):
         # dequantized reconstruction is within half a quantization step
         for orig, q in zip(r["v"], r["q"]):
             assert math.isclose(q / r["s"], orig, abs_tol=0.5 / r["s"] + 1e-12)
+
+
+def test_duplicate_spans(spark):
+    shared = " ".join(f"w{i}" for i in range(20))          # exact 20-word span
+    doc_a = shared + " tail_a unique_a"
+    doc_b = "head_b " + shared
+    doc_c = " ".join(f"z{i}" for i in range(25))           # no shared spans
+    doc_d = "too short"                                    # < 20 words
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b), (2, doc_c), (3, doc_d)],
+        schema="doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.duplicate_spans(df, span_words=20).collect()}
+    assert got[0]["n_spans"] == 3 and got[0]["n_dup_spans"] == 1  # only the exact shared span
+    assert got[1]["n_spans"] == 2 and got[1]["n_dup_spans"] == 1
+    assert got[2]["n_spans"] == 6 and got[2]["n_dup_spans"] == 0
+    assert got[3]["n_spans"] == 0 and got[3]["dup_span_ratio"] is None
