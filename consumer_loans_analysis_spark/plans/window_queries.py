@@ -481,3 +481,40 @@ def e7_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@query(
+    "w5_frame_navigation",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      first_value(o_totalprice) OVER w_full AS first_price,
+      last_value(o_totalprice) OVER w_full AS last_price,
+      nth_value(o_totalprice, 2) OVER w_full AS second_price,
+      ROUND(AVG(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+      ), 6) AS slide3_avg
+    FROM orders
+    WINDOW w_full AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def w5_frame_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation functions over explicit row frames: first/last/nth value
+    across the full partition and a centered 3-row sliding average. All
+    four windows share one (custkey) partitioning and one (date, key)
+    sort — a single Exchange + Sort in the physical plan."""
+    o = read_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_slide = base.rowsBetween(-1, 1)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w_full).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+        F.round(F.avg("o_totalprice").over(w_slide), 6).alias("slide3_avg"),
+    )
