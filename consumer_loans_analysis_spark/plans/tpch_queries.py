@@ -92,7 +92,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            o.join(c, o.o_custkey == c.c_custkey).select(
                 "o_orderkey", "o_orderdate"
             ),
             li.l_orderkey == F.col("o_orderkey"),
@@ -138,13 +138,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region")
-    co = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    co = o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "c_nationkey"
     )
     return (
         li.join(co, li.l_orderkey == co.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (co.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -423,7 +423,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return (
@@ -473,9 +473,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        li.join(F.broadcast(big), li.l_orderkey == F.col("big_orderkey"), "left_semi")
+        li.join(big, li.l_orderkey == F.col("big_orderkey"), "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(decimal_sum("l_quantity").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -535,7 +535,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (F.lit(100.0) * decimal_sum(promo) / decimal_sum(rev)).alias(
                 "promo_revenue_pct"
@@ -561,7 +561,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop), and pushes the brand/size disjunction to the part scan."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
@@ -650,8 +650,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -709,12 +709,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nat_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg((decimal_sum(nat_vol) / decimal_sum(vol)).alias("mkt_share"))
@@ -752,9 +752,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -832,7 +832,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -864,11 +864,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pf = read_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
     )
-    li_f = li.join(F.broadcast(pf.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+    li_f = li.join(pf.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
     part_avg = li_f.groupBy("l_partkey").agg(decimal_avg("l_quantity").alias("avg_qty"))
     return (
         li.join(
-            F.broadcast(part_avg.withColumnRenamed("l_partkey", "a_partkey")),
+            part_avg.withColumnRenamed("l_partkey", "a_partkey"),
             (li.l_partkey == F.col("a_partkey"))
             & (li.l_quantity < 0.2 * F.col("avg_qty")),
         )
@@ -936,7 +936,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_late_suppliers") == 1)
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        sole_late.join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("late_lines").alias("numwait"))
     )
@@ -1017,13 +1017,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     link = (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey, "left_semi")
+        li.join(p.select("p_partkey"), li.l_partkey == p.p_partkey, "left_semi")
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
     cand = (
-        link.join(F.broadcast(p), link.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), link.l_suppkey == s.s_suppkey)
+        link.join(p, link.l_partkey == p.p_partkey)
+        .join(s, link.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
@@ -1066,9 +1066,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     v = (
         li.join(
-            F.broadcast(
-                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
-            ),
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey"),
             li.l_suppkey == F.col("s_suppkey"),
         )
         .groupBy("l_partkey")
@@ -1111,8 +1109,8 @@ def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1159,18 +1157,18 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(w.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(w.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
         .select("l_suppkey", "l_partkey", "l_quantity")
         .cache()
     )
     ps = sl.groupBy("l_suppkey", "l_partkey").agg(decimal_sum("l_quantity").alias("supp_qty"))
     pt = sl.groupBy("l_partkey").agg((decimal_sum("l_quantity") * F.lit(0.5)).alias("half_qty"))
     dominant = (
-        ps.join(F.broadcast(pt.withColumnRenamed("l_partkey", "t_partkey")),
+        ps.join(pt.withColumnRenamed("l_partkey", "t_partkey"),
                 (ps.l_partkey == F.col("t_partkey")) & (ps.supp_qty > F.col("half_qty")))
         .select("l_suppkey")
         .distinct()
     )
-    return s.join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+    return s.join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
         "s_suppkey", "s_name"
     )
