@@ -688,3 +688,68 @@ def d7_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics over raw span strings."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.duplicate_spans(docs, span_words=20)
+
+
+@query(
+    "d8_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE source <> 'src19'
+    )
+    SELECT doc_id, source FROM documents
+    WHERE source = 'src19'
+      AND md5(text) NOT IN (SELECT fp FROM corpus)
+    """,
+)
+def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-batch dedup — the production pattern at 100 TB: a new
+    batch (here source src19) is anti-joined against the existing corpus's
+    FINGERPRINT table, so the historical corpus is never re-scanned or
+    re-shuffled beyond its 32 B/doc fingerprints (which a real pipeline
+    keeps materialized). Anti-join on md5 keys; bodies never move."""
+    docs = read_table(spark, sf_dir, "documents")
+    corpus_fp = (
+        docs.filter(F.col("source") != "src19")
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("source") == "src19").withColumn("fp", F.md5("text"))
+    return batch.join(corpus_fp, "fp", "left_anti").select("doc_id", "source")
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH dim(event_type, weight) AS (
+      VALUES ('view', 1.0), ('click', 2.0), ('purchase', 10.0),
+             ('signup', 5.0), ('error', 0.0)
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(e.value * d.weight AS DECIMAL(25,6))) AS DOUBLE) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware salted join: events join a 5-row dimension on
+    event_type — a 5-distinct-value key is the canonical pathological
+    shuffle-join skew (every row lands on ≤ 5 reducers). ``salted_join``
+    spreads each hot key over 16 salts deterministically; result is
+    proven identical to the plain join (oracle + pytest). At scale prefer
+    AQE skew splitting where stats exist; this is the explicit fallback."""
+    from consumer_loans_analysis_spark.functions.relational import (
+        decimal_sum,
+        salted_join,
+    )
+
+    e = read_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        schema="event_type string, weight double",
+    )
+    joined = salted_join(e, dim, on="event_type", n_salts=16)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        decimal_sum(F.col("value") * F.col("weight")).alias("weighted_value"),
+    )
