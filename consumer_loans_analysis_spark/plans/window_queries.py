@@ -518,3 +518,51 @@ def w5_frame_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
         F.round(F.avg("o_totalprice").over(w_slide), 6).alias("slide3_avg"),
     )
+
+
+@query(
+    "e11_stream_stateful_drained",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def e11_stream_stateful_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING under the batch oracle: the
+    ``applyInPandasWithState`` running-totals operator runs as a real
+    stream (update mode re-emits a user's row each micro-batch); the
+    FINAL state per user — last emitted row, selected by max n_events,
+    which is monotone per user — must equal the batch per-user aggregate.
+
+    n_events / last_ts come from the stream's state (exact integer /
+    timestamp compare); sum_value follows e4's convention — the stream's
+    Python-float accumulation is arrival-order dependent, so the exact
+    decimal sum is recomputed in one batch pass and joined (the stream's
+    own sum is tolerance-asserted in tests/test_streaming.py)."""
+    from consumer_loans_analysis_spark.functions.relational import decimal_sum
+    from consumer_loans_analysis_spark.streaming.events import (
+        run_to_memory,
+        stream_events,
+    )
+    from consumer_loans_analysis_spark.streaming.stateful import user_running_totals
+
+    name = "e11_drain"
+    run_to_memory(
+        user_running_totals(stream_events(spark, sf_dir)), name, output_mode="update"
+    )
+    drained = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        drained.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "last_ts")
+    )
+    exact = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(decimal_sum("value").alias("sum_value"))
+    )
+    return final.join(exact, "user_id").select(
+        "user_id", "n_events", "last_ts", "sum_value"
+    )
