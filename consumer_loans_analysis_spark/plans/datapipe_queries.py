@@ -753,3 +753,54 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         decimal_sum(F.col("value") * F.col("weight")).alias("weighted_value"),
     )
+
+
+@query(
+    "pack1_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tokens,
+        COALESCE(CAST(SUM(n_tokens) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS BIGINT), 0) AS cum_before
+      FROM t
+    )
+    SELECT source, CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS seq_id,
+      COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pack1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing for pretraining: documents are laid
+    out in (source, doc_id) order and each is assigned to the 512-token
+    training sequence where its first token lands (floor(cum_tokens/512)
+    over a 1-PRECEDING running sum); output is per-sequence doc count and
+    token fill. Packing per SOURCE shard — one window shuffle on the shard
+    key, never a global sort (the real pipeline packs within shards for
+    exactly this reason)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(text.words(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        c.withColumn("seq_id", F.floor(F.col("cum_before") / F.lit(512.0)).cast("long"))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
