@@ -804,3 +804,57 @@ def pack1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "c1_eval_contamination",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    sp AS (
+      SELECT DISTINCT doc_id, source, array_to_string(w[i:i+12], ' ') AS s
+      FROM d, UNNEST(range(1, len(w) - 11)) AS t(i)
+      WHERE len(w) >= 13
+    ),
+    train_spans AS (SELECT DISTINCT s FROM sp WHERE source <> 'src19'),
+    eval_docs AS (SELECT doc_id, s FROM sp WHERE source = 'src19')
+    SELECT e.doc_id,
+      COUNT(*) AS n_spans,
+      CAST(COUNT(*) FILTER (t.s IS NOT NULL) AS BIGINT) AS n_contaminated,
+      (COUNT(*) FILTER (t.s IS NOT NULL)) > 0 AS is_contaminated
+    FROM eval_docs e LEFT JOIN train_spans t USING (s)
+    GROUP BY e.doc_id
+    """,
+)
+def c1_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (the GPT-3/PaLM 13-gram rule): for each
+    held-out document (source src19), count its distinct 13-word spans
+    that also occur anywhere in the training shards, and flag any overlap.
+    Inverted-index left-join on 8-byte span hashes — the eval set is tiny
+    relative to the corpus, so at 100 TB this is a broadcast-able probe
+    side against the training span index (which a real pipeline keeps
+    materialized, like d8's fingerprints)."""
+    docs = read_table(spark, sf_dir, "documents")
+    span_words = 13
+    w = text.words(F.col("text"))
+    spans = F.when(
+        F.size(w) >= span_words,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (span_words - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, span_words), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sp = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(spans)).alias("sh")
+    )
+    train_spans = sp.filter(F.col("source") != "src19").select("sh").distinct()
+    eval_spans = sp.filter(F.col("source") == "src19")
+    hit = train_spans.withColumn("hit", F.lit(1))
+    return (
+        eval_spans.join(hit, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count("hit") > 0).alias("is_contaminated"),
+        )
+    )
