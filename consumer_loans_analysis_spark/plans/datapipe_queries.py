@@ -858,3 +858,34 @@ def c1_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit") > 0).alias("is_contaminated"),
         )
     )
+
+
+@query(
+    "o8_hash_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+        CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
+      FROM documents
+    )
+    SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+      COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs
+    FROM h GROUP BY 1
+    """,
+)
+def o8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment from the portable
+    content-key hash — the split is a pure function of the data (stable
+    across engines, partitionings, reruns, and incremental appends: a new
+    document never moves an old one between splits, unlike randomSplit).
+    Map-only + one tiny aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    b = text.portable_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("lang").alias("n_langs"))
+    )
