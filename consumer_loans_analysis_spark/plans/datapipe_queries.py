@@ -889,3 +889,51 @@ def o8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("lang").alias("n_langs"))
     )
+
+
+@query(
+    "drift1_token_kl",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), c AS (
+      SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY 1, 2
+    ), t AS (
+      SELECT source, w, c_sw,
+        CAST(SUM(c_sw) OVER (PARTITION BY source) AS BIGINT) AS c_s,
+        CAST(SUM(c_sw) OVER (PARTITION BY w) AS BIGINT) AS c_w,
+        CAST(SUM(c_sw) OVER () AS BIGINT) AS c_tot
+      FROM c
+    )
+    SELECT source,
+      ROUND(SUM((CAST(c_sw AS DOUBLE) / c_s)
+                * ln((CAST(c_sw AS DOUBLE) / c_s) / (CAST(c_w AS DOUBLE) / c_tot))), 6)
+        AS kl_vs_global,
+      COUNT(*) AS n_words
+    FROM t GROUP BY source
+    """,
+)
+def drift1_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix drift monitor: KL(P_source || P_global) over word
+    unigram distributions, per source shard. One explode + one
+    (source, word) count shuffle; the three marginals are windows over the
+    TINY aggregated (source × vocab) table, so the heavy token table is
+    aggregated exactly once. Every source word exists globally by
+    construction, so no zero-support terms."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(text.words(F.col("text"))).alias("w"))
+    c = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    t = c.select(
+        "source", "w", "c_sw",
+        F.sum("c_sw").over(Window.partitionBy("source")).alias("c_s"),
+        F.sum("c_sw").over(Window.partitionBy("w")).alias("c_w"),
+        F.sum("c_sw").over(Window.partitionBy()).alias("c_tot"),
+    )
+    p = F.col("c_sw").cast("double") / F.col("c_s")
+    q = F.col("c_w").cast("double") / F.col("c_tot")
+    return t.groupBy("source").agg(
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_global"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
