@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for dedup/behavioral operators.
+
+Random corpora are drawn from a tiny vocabulary so collisions and
+near-dups actually occur; examples are capped low because every example
+runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from consumer_loans_analysis_spark.operators import behavioral, dedup
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=docs_strategy)
+@settings(**_SETTINGS)
+def test_minhash_equals_exact_jaccard(spark, texts):
+    """LSH candidates + exact verification must reproduce the exact
+    inverted-index pair set (false-negative probability at threshold 0.5
+    with 64 hashes / 2 rows-per-band is ~1e-10 per pair)."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), schema="doc_id long, text string"
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.jaccard_near_dupes(df, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.minhash_near_dupes(df, threshold=0.5).collect()
+    }
+    assert lsh == exact
+
+
+@given(texts=docs_strategy)
+@settings(**_SETTINGS)
+def test_simhash_blocking_equals_bruteforce(spark, texts):
+    """Pigeonhole blocking must find EXACTLY the brute-force Hamming pairs
+    (no false negatives by construction, verification kills positives)."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), schema="doc_id long, text string"
+    )
+    sigs = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash_signatures(df).collect()
+    }
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dupes(df, max_hamming=3).collect()
+    }
+    assert got == brute
+
+
+@given(texts=docs_strategy)
+@settings(**_SETTINGS)
+def test_duplicate_spans_invariants(spark, texts):
+    """0 <= n_dup_spans <= n_spans; short docs report 0 spans; a doc's
+    duplicated spans are non-zero iff another doc shares a full span."""
+    n = 4
+    df = spark.createDataFrame(
+        list(enumerate(texts)), schema="doc_id long, text string"
+    )
+    rows = dedup.duplicate_spans(df, span_words=n).collect()
+    assert len(rows) == len(texts)
+    spans_by_doc = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        spans_by_doc[i] = {
+            " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+        } if len(w) >= n else set()
+    for r in rows:
+        mine = spans_by_doc[r["doc_id"]]
+        others = set().union(
+            *(s for d, s in spans_by_doc.items() if d != r["doc_id"])
+        ) if len(texts) > 1 else set()
+        assert r["n_spans"] == len(mine)
+        assert r["n_dup_spans"] == len(mine & others)
+
+
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=6 * 3600), min_size=1, max_size=20
+    )
+)
+@settings(**_SETTINGS)
+def test_sessionize_conservation(spark, offsets):
+    """Sessionization conserves events, produces contiguous session ids
+    from 1, and non-negative durations."""
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + timedelta(seconds=off), "view")
+        for i, off in enumerate(sorted(set(offsets)))
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = behavioral.sessionize(df, gap_seconds=1800).collect()
+    assert sum(r["n_events"] for r in out) == len(rows)
+    ids = sorted(r["session_id"] for r in out)
+    assert ids == list(range(1, len(ids) + 1))
+    assert all(r["duration_sec"] >= 0 for r in out)
