@@ -66,3 +66,34 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter on
+    the scan (pruned at planning, unscanned data never read) — the
+    property that makes partitioned layouts work at 100 TB."""
+    src = readers.read_table(spark, "/root/testdata/sf0.01", "documents")
+    path = str(tmp_path / "docs_by_lang")
+    readers.write_parquet(src, path, partition_by=["lang"])
+    df = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the predicate must appear in the partition filters, not a post-scan Filter
+    pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "lang" in pf
+    assert df.count() == src.filter(F.col("lang") == "en").count()
+
+
+def test_predicate_pushdown_reaches_scan(spark, tmp_path):
+    """A filter on a data column must appear in PushedFilters on the
+    parquet scan (row-group/page skipping at the source)."""
+    src = readers.read_table(spark, "/root/testdata/sf0.01", "documents")
+    path = str(tmp_path / "docs_plain")
+    readers.write_parquet(src, path)
+    df = spark.read.parquet(path).filter(F.col("n_chars") > 300).select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan[plan.index("PushedFilters"):].splitlines()[0]
+    assert "n_chars" in pushed and "GreaterThan" in pushed
+    # column pruning: the read schema must not include the text body
+    rs = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "text" not in rs
