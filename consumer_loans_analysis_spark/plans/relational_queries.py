@@ -755,3 +755,39 @@ def a15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "j6_fuzzy_supplier_match",
+    oracle="""
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+      levenshtein(a.s_name, b.s_name) AS edit_dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def j6_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match: supplier-name pairs within edit
+    distance 2, BLOCKED by nation key so the quadratic comparison runs
+    only inside equi-join groups (the plan stays a hash join + post-filter,
+    never a cross product — the same blocking discipline as d4/c1; at
+    scale the block key would be a phonetic/prefix signature)."""
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    a = s.select(
+        F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("key_a", "key_b", "edit_dist")
+    )
