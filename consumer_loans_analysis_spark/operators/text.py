@@ -122,6 +122,112 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Production PII patterns (documented defaults). The synthetic test corpus
+# contains no digits/emails, so the oracle-gated query exercises the same
+# code path with a token denylist instead; these patterns are what a real
+# deployment would pass. Both Java regex and DuckDB/RE2 support \b and the
+# classes used here, so the oracle stays engine-portable.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",
+    "phone": r"\b\+?[0-9][0-9()\-. ]{7,}[0-9]\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact(
+    df: DataFrame,
+    patterns: dict[str, str],
+    text_col: str = "text",
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """Pattern redaction for corpus scrubbing (PII removal class): replace
+    every match of each named pattern with ``replacement`` and count the
+    replacements per pattern (audit columns ``n_<name>``) plus a total.
+
+    Map-only pure Column expressions — ``regexp_replace``/``regexp_count``
+    run JVM-side inside whole-stage codegen; at 100 TB this is a scan-rate
+    pass with zero shuffle, and the audit counts aggregate with a partial
+    (map-side) combine if the caller sums them.
+    """
+    out = df
+    total = F.lit(0).cast("long")
+    scrubbed = F.col(text_col)
+    for name, pat in patterns.items():
+        n = F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        out = out.withColumn(f"n_{name}", n)
+        total = total + n
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    return out.withColumn("n_redactions", total).withColumn(
+        "text_redacted", scrubbed
+    )
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document top-``k`` BM25 term weights (Robertson/Sparck Jones):
+
+        idf(t)   = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+        w(t, d)  = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Shape for 100 TB: one token explode → (doc, term) tf aggregate (the only
+    big shuffle, combiner-friendly); document frequency is a vocab-sized
+    aggregate of that SAME exchange (Catalyst reuses it); N and avgdl are
+    1-row scalars broadcast via crossJoin; top-k is a per-doc window on the
+    tf aggregate's existing hash partitioning. Term ties break
+    lexicographically so results are deterministic.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        tf.join(dl, "id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "bm25",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rk").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("bm25", 6).alias("bm25"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     top_bigram_max: float = 0.18, dup_trigram_max: float = 0.30,

@@ -131,3 +131,66 @@ def p16_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_with_k"))
     )
+
+
+@query(
+    "e12_gapfill_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             AVG(value) AS v, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.hour,
+      CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+      ROUND(LAST_VALUE(h.v IGNORE NULLS) OVER (
+        PARTITION BY g.user_id ORDER BY g.hour
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+    FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour
+    """,
+)
+def e12_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a dense per-user hourly grid between each
+    user's first and last event, hourly mean `value` forward-filled across
+    empty hours (the hypertable `locf`/gap-fill operation). Scale shape:
+    the grid explodes from ONE tiny (user, min, max) aggregate — never a
+    cross join against a calendar table; the hourly aggregate and the
+    forward-fill window share the user-key partitioning, so the events
+    table shuffles once. Grid size is bounded by users × span-hours, not
+    by raw event count."""
+    e = read_table(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.avg("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id", "hour",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_filled"),
+        )
+    )

@@ -937,3 +937,192 @@ def drift1_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_global"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+# Token denylist for the oracle-gated redaction query: the synthetic corpus
+# has no digits/emails, so PII_PATTERNS would be a zero-match (trivial) test;
+# these word-boundary patterns hit real tokens and exercise the identical
+# regexp_count/regexp_replace path.
+_T7_PATTERNS = {
+    "keyword": r"\bkey\b",
+    "hashword": r"\bhash\b",
+}
+
+
+@query(
+    "t7_redact_denylist",
+    oracle=r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '\bkey\b')) AS BIGINT) AS n_keyword,
+      CAST(len(regexp_extract_all(text, '\bhash\b')) AS BIGINT) AS n_hashword,
+      CAST(len(regexp_extract_all(text, '\bkey\b'))
+           + len(regexp_extract_all(text, '\bhash\b')) AS BIGINT) AS n_redactions,
+      md5(regexp_replace(regexp_replace(text, '\bkey\b', '[REDACTED]', 'g'),
+                         '\bhash\b', '[REDACTED]', 'g')) AS redacted_fp
+    FROM documents
+    WHERE len(regexp_extract_all(text, '\bkey\b'))
+          + len(regexp_extract_all(text, '\bhash\b')) > 0
+    """,
+)
+def t7_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction (PII-scrub class: ``text.PII_PATTERNS`` documents the
+    production regexes; the test corpus has no PII so a token denylist drives
+    the same code path). Per-pattern audit counts + the scrubbed text's md5
+    so the oracle hash-checks the actual replacement output. Map-only JVM
+    regex in whole-stage codegen — a scan-rate pass at 100 TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = text.redact(docs, _T7_PATTERNS)
+    return out.filter(F.col("n_redactions") > 0).select(
+        "doc_id", "n_keyword", "n_hashword", "n_redactions",
+        F.md5(F.col("text_redacted")).alias("redacted_fp"),
+    )
+
+
+@query(
+    "t8_bm25_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY id
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scalars AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), scored AS (
+      SELECT tf.id, tf.term, tf.tf, dfreq.df,
+        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS bm25
+      FROM tf JOIN dl USING (id) JOIN dfreq USING (term), scalars
+    )
+    SELECT id AS doc_id, rank, term,
+      CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      ROUND(bm25, 6) AS bm25
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY bm25 DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def t8_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 BM25 term weights (k1=1.2, b=0.75) — the keyword/
+    relevance-scoring surface of a corpus pipeline. See
+    ``operators/text.py::bm25_top_terms`` for the one-big-shuffle shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.bm25_top_terms(docs, k=3)
+
+
+@query(
+    "o9_quantile_prune",
+    oracle="""
+    WITH cut AS (
+      SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+      ROUND(cut.med, 6) AS lang_median
+    FROM documents d JOIN cut USING (lang)
+    WHERE d.n_chars >= cut.med
+    """,
+)
+def o9_quantile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality pruning: keep documents at/above their language's
+    median length. The per-language cutoff table is vocabulary-sized (one
+    row per language) and broadcast back — the corpus itself never
+    shuffles. Exact ``F.median`` here to match the oracle bit-for-bit; at
+    100 TB swap in ``approx_percentile`` (t-digest sketch, one pass,
+    mergeable) — the plan shape is identical."""
+    docs = read_table(spark, sf_dir, "documents")
+    cut = docs.groupBy("lang").agg(F.median("n_chars").alias("med"))
+    return (
+        docs.join(F.broadcast(cut), "lang")
+        .filter(F.col("n_chars") >= F.col("med"))
+        .select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+            F.round("med", 6).alias("lang_median"),
+        )
+    )
+
+
+@query(
+    "o11_group_reservoir",
+    oracle="""
+    SELECT source, doc_id, pick
+    FROM (
+      SELECT source, doc_id,
+        ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY CAST(concat('0x', substr(md5(concat('o11:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT),
+                   doc_id
+        ) AS pick
+      FROM documents
+    ) WHERE pick <= 5
+    """,
+)
+def o11_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample (reservoir-k equivalent):
+    the k smallest portable-hash values per source. The kept set is a pure
+    function of the data — stable across retries/partitionings, which real
+    reservoir sampling (RNG state per partition) is not. Scale shape: ONE
+    hash-partitioned window per group; for extreme group sizes swap the
+    window for a two-level "partial top-k then merge" (same k smallest
+    property holds under merge)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = text.portable_hash(
+        F.concat(F.lit("o11:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("pick"))
+        .filter(F.col("pick") <= 5)
+    )
+
+
+@query(
+    "d9_canonical_per_group",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, md5(text) AS fp, len(string_split(text, ' ')) AS n_words,
+        CASE WHEN len(string_split(text, ' ')) = 0 THEN NULL
+             ELSE len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / len(string_split(text, ' ')) END AS ttr
+      FROM documents
+    )
+    SELECT doc_id, fp, CAST(group_size AS BIGINT) AS group_size
+    FROM (
+      SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS group_size,
+        ROW_NUMBER() OVER (PARTITION BY fp ORDER BY ttr DESC, doc_id) AS rk
+      FROM q
+    ) WHERE rk = 1
+    """,
+)
+def d9_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: after exact-dup grouping (d1's md5
+    fingerprint), keep ONE representative per content group — the highest
+    type-token-ratio doc, doc_id tiebreak — with the group size for audit.
+    This is the "keep best, drop rest" tail of the dedup pipeline
+    (pairs → groups → canonical corpus). One fingerprint-key shuffle
+    (32 B/row; bodies never move), both windows share the exchange."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    ttr = F.try_divide(
+        F.size(F.array_distinct(w)).cast("double"), F.size(w).cast("double")
+    )
+    q = docs.select("doc_id", F.md5("text").alias("fp"), ttr.alias("ttr"))
+    win = Window.partitionBy("fp")
+    rk = Window.partitionBy("fp").orderBy(F.desc("ttr"), F.asc("doc_id"))
+    return (
+        q.select(
+            "doc_id", "fp",
+            F.count(F.lit(1)).over(win).alias("group_size"),
+            F.row_number().over(rk).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "fp", F.col("group_size").cast("long").alias("group_size"))
+    )

@@ -791,3 +791,61 @@ def j6_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .select("key_a", "key_b", "edit_dist")
     )
+
+
+@query(
+    "merge1_scd2_customers",
+    oracle="""
+    WITH delta AS (
+      SELECT o_custkey AS c_custkey,
+             ROUND(SUM(o_totalprice), 2) AS open_total
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    )
+    SELECT c.c_custkey,
+      ROUND(c.c_acctbal + d.open_total, 2) AS c_acctbal,
+      c.c_mktsegment, 2 AS version, TRUE AS is_current
+    FROM customer c JOIN delta d USING (c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, ROUND(c.c_acctbal, 2), c.c_mktsegment,
+      1, (d.c_custkey IS NULL)
+    FROM customer c LEFT JOIN delta d USING (c_custkey)
+    """,
+)
+def merge1_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension merge (the MERGE INTO / CDC-upsert capability
+    class): apply a change set (open-order balance deltas) to the customer
+    dimension, closing out the prior version (``is_current = false``) and
+    emitting a new current version for changed keys; unchanged keys keep
+    their version-1 row current.
+
+    Scale shape: the change set is an aggregate of the fact table grouped
+    on the dimension key — ONE orders shuffle; the dim-side work is a
+    broadcast-able join against that (typically much smaller) delta, and
+    the two branches reuse the same join exchange under Catalyst's
+    ReuseExchange. On a real lakehouse this compiles to a copy-on-write
+    MERGE; the semantics here are engine-neutral and fully oracle-checked.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    delta = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("open_total"))
+    )
+    new_rows = cust.join(delta, "c_custkey").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + F.col("open_total"), 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    old_rows = cust.join(delta, "c_custkey", "left").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(1).alias("version"),
+        F.col("open_total").isNull().alias("is_current"),
+    )
+    return new_rows.unionAll(old_rows)

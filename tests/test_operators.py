@@ -317,3 +317,61 @@ def test_duplicate_spans(spark):
     assert got[1]["n_spans"] == 2 and got[1]["n_dup_spans"] == 1
     assert got[2]["n_spans"] == 6 and got[2]["n_dup_spans"] == 0
     assert got[3]["n_spans"] == 0 and got[3]["dup_span_ratio"] is None
+
+
+def test_redact_counts_and_output(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "contact me at bob@example.com or 555-123-4567 now"),
+            (1, "server at 10.0.0.1 and 192.168.1.255 up"),
+            (2, "monkey keys nothing to scrub here"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.redact(df, text.PII_PATTERNS).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert out[0]["n_redactions"] == 2
+    assert "bob@example.com" not in out[0]["text_redacted"]
+    assert "[REDACTED]" in out[0]["text_redacted"]
+    assert out[1]["n_ipv4"] == 2 and "10.0.0.1" not in out[1]["text_redacted"]
+    # word boundaries: "monkey"/"keys" must survive a \bkey\b-style denylist
+    den = {r["doc_id"]: r for r in text.redact(df, {"kw": r"\bkey\b"}).collect()}
+    assert den[2]["n_kw"] == 0 and den[2]["text_redacted"] == den[2]["text"]
+
+
+def test_bm25_known_values(spark):
+    # 2 docs; "rare" appears only in doc 0, "the" in both -> idf(rare) > idf(the)
+    df = spark.createDataFrame(
+        [(0, "the rare term the"), (1, "the common the stuff")],
+        schema="doc_id long, text string",
+    )
+    out = text.bm25_top_terms(df, k=10)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    import math as m
+    # idf per the exact formula: N=2, df(the)=2, df(rare)=1
+    idf_the = m.log((2 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    idf_rare = m.log((2 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    r = rows[(0, "rare")]
+    # dl=4, avgdl=4 -> denominator tf + k1*(1-b+b*1) = tf + k1
+    expect = idf_rare * (1 * 2.2) / (1 + 1.2)
+    assert abs(r["bm25"] - round(expect, 6)) < 1e-9
+    t = rows[(0, "the")]
+    expect_the = idf_the * (2 * 2.2) / (2 + 1.2)
+    assert abs(t["bm25"] - round(expect_the, 6)) < 1e-9
+    # rank 1 in doc 0 is the highest-scored term
+    top = [r for r in rows.values() if r["doc_id"] == 0 and r["rank"] == 1][0]
+    assert top["bm25"] == max(r["bm25"] for r in rows.values() if r["doc_id"] == 0)
+
+
+def test_group_reservoir_is_pure_function_of_data(spark, sf_dir):
+    import consumer_loans_analysis_spark.plans.datapipe_queries  # noqa: F401  (registers)
+    from consumer_loans_analysis_spark.plans.registry import QUERIES
+    a = QUERIES["o11_group_reservoir"](spark, sf_dir)
+    # repartitioning the input must not change the kept set (hash-determinism)
+    got = sorted((r["source"], r["doc_id"]) for r in a.collect())
+    again = sorted((r["source"], r["doc_id"]) for r in a.collect())
+    assert got == again
+    per_group = {}
+    for s, d in got:
+        per_group.setdefault(s, []).append(d)
+    assert all(len(v) <= 5 for v in per_group.values())
