@@ -159,7 +159,18 @@ def run_to_memory(
 ) -> None:
     """Drain an availableNow stream into an in-memory table `name`
     (complete mode for aggregations; append for joins/dedup) — the
-    test/debug sink."""
+    test/debug sink.
+
+    Most availableNow queries self-terminate once the source is exhausted.
+    Stateful queries with a ProcessingTimeTimeout do NOT: after the data
+    batches, the engine keeps scheduling empty "no new data but cleaning up
+    state" batches waiting for timers that may be hours away, so a plain
+    ``awaitTermination(timeout)`` silently burns the whole timeout. Detect
+    the drained condition instead — all input consumed AND two consecutive
+    completed zero-row triggers — and stop the query explicitly (update-mode
+    output for the data batches is already in the sink at that point)."""
+    import time as _time
+
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -167,7 +178,41 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_drained(q, timeout_sec)
+
+
+def _await_drained(q, timeout_sec: int) -> None:
+    """Wait until an availableNow query has consumed its source, then stop it.
+
+    Self-terminating queries exit via the ``isActive`` check; the stateful
+    ProcessingTimeTimeout case (see ``run_to_memory``) is detected as all
+    input consumed + two consecutive completed zero-row triggers."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_sec
+    seen_data = False
+    zero_row_batches = 0
+    last_batch = -1
+    while _time.monotonic() < deadline:
+        if not q.isActive:
+            return
+        lp = q.lastProgress
+        if lp is not None and lp["batchId"] != last_batch:
+            last_batch = lp["batchId"]
+            if lp["numInputRows"] > 0:
+                seen_data = True
+                zero_row_batches = 0
+            else:
+                zero_row_batches += 1
+        if (
+            seen_data
+            and zero_row_batches >= 2
+            and not q.status["isDataAvailable"]
+        ):
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
 
 
 def run_foreach_batch(
@@ -183,7 +228,7 @@ def run_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_drained(q, timeout_sec)
     return q
 
 
