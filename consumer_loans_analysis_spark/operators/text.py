@@ -176,16 +176,22 @@ def bm25_top_terms(
         w(t, d)  = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
 
     Shape for 100 TB: one token explode → (doc, term) tf aggregate (the only
-    big shuffle, combiner-friendly); document frequency is a vocab-sized
-    aggregate of that SAME exchange (Catalyst reuses it); N and avgdl are
-    1-row scalars broadcast via crossJoin; top-k is a per-doc window on the
-    tf aggregate's existing hash partitioning. Term ties break
-    lexicographically so results are deterministic.
+    big shuffle, combiner-friendly). That tf table feeds FOUR consumers
+    (scored rows, doc lengths, document frequencies, corpus scalars), and
+    Catalyst does NOT reuse a shuffle across join branches — without
+    materialization the tokenize+explode+aggregate runs four times
+    (verified via explain). So tf is cached: at ~16 bytes + term per row it
+    is roughly the size of the deduplicated corpus vocabulary per doc, far
+    smaller than re-reading the text 4×; on a cluster this would be a
+    checkpoint/persist to local disk. dl/df/scalars are then
+    broadcast-joined back; top-k is a per-doc window with a
+    WindowGroupLimit pre-rank. Term ties break lexicographically so
+    results are deterministic.
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scalars = dl.agg(

@@ -819,11 +819,14 @@ def merge1_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     their version-1 row current.
 
     Scale shape: the change set is an aggregate of the fact table grouped
-    on the dimension key — ONE orders shuffle; the dim-side work is a
-    broadcast-able join against that (typically much smaller) delta, and
-    the two branches reuse the same join exchange under Catalyst's
-    ReuseExchange. On a real lakehouse this compiles to a copy-on-write
-    MERGE; the semantics here are engine-neutral and fully oracle-checked.
+    on the dimension key — ONE orders shuffle; ONE left join applies it to
+    the dimension, and the 1-or-2 output versions per key come from
+    exploding a conditional array of version structs (a union-of-two-joins
+    formulation would scan and aggregate the fact table twice — Catalyst
+    does not reuse the exchange across union branches when the join
+    strategies diverge; verified via explain). On a real lakehouse this
+    compiles to a copy-on-write MERGE; the semantics here are
+    engine-neutral and fully oracle-checked.
     """
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
@@ -834,18 +837,26 @@ def merge1_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("open_total"))
     )
-    new_rows = cust.join(delta, "c_custkey").select(
-        "c_custkey",
-        F.round(F.col("c_acctbal") + F.col("open_total"), 2).alias("c_acctbal"),
-        "c_mktsegment",
-        F.lit(2).alias("version"),
-        F.lit(True).alias("is_current"),
+    ver = lambda bal, version, current: F.struct(  # noqa: E731
+        bal.alias("c_acctbal"),
+        F.lit(version).alias("version"),
+        current.alias("is_current"),
     )
-    old_rows = cust.join(delta, "c_custkey", "left").select(
-        "c_custkey",
-        F.round("c_acctbal", 2).alias("c_acctbal"),
-        "c_mktsegment",
-        F.lit(1).alias("version"),
-        F.col("open_total").isNull().alias("is_current"),
+    old_bal = F.round("c_acctbal", 2)
+    new_bal = F.round(F.col("c_acctbal") + F.col("open_total"), 2)
+    changed = F.col("open_total").isNotNull()
+    versions = F.when(
+        changed,
+        F.array(ver(old_bal, 1, F.lit(False)), ver(new_bal, 2, F.lit(True))),
+    ).otherwise(F.array(ver(old_bal, 1, F.lit(True))))
+    return (
+        cust.join(delta, "c_custkey", "left")
+        .select("c_custkey", "c_mktsegment", F.explode(versions).alias("v"))
+        .select(
+            "c_custkey",
+            F.col("v.c_acctbal").alias("c_acctbal"),
+            "c_mktsegment",
+            F.col("v.version").alias("version"),
+            F.col("v.is_current").alias("is_current"),
+        )
     )
-    return new_rows.unionAll(old_rows)
