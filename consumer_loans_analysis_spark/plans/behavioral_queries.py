@@ -170,6 +170,16 @@ def e12_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
     )
+    # The bounds table is tiny (one row per user), so AQE coalesces its
+    # exchange to ~1 partition — and the explode then materializes the
+    # ENTIRE grid (users × span-hours, orders of magnitude bigger) in that
+    # one partition, serializing the downstream window. The explicit
+    # fixed-width repartition on the window's own key spreads the
+    # generation AND is reused by the forward-fill window (no extra
+    # exchange); 10× scale-up ratio drops from 27.8× to ~7× (SCALING.md).
+    bounds = bounds.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     grid = bounds.select(
         "user_id",
         F.explode(

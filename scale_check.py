@@ -123,7 +123,8 @@ def main() -> None:
         build(spark)
         print(f"built {DST} in {time.perf_counter() - t0:.1f}s")
 
-    for name in QUERIES:
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or QUERIES
+    for name in names:
         fn = registry.QUERIES[name]
         fn(spark, SRC).collect()  # warm/compile
         t0 = time.perf_counter()
