@@ -1126,3 +1126,72 @@ def d9_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", "fp", F.col("group_size").cast("long").alias("group_size"))
     )
+
+
+@query(
+    "t9_bigram_lm_score",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    big AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM d, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+    ), uc AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
+    )
+    SELECT b.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      ROUND(-AVG(ln(CAST(bc.c12 AS DOUBLE) / uc.c1)), 6) AS cross_entropy
+    FROM big b
+    JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    JOIN uc ON uc.w1 = b.w1
+    GROUP BY b.doc_id
+    """,
+)
+def t9_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality scoring (KenLM-class, self-
+    trained): corpus bigram MLE probabilities P(w2|w1) = c(w1,w2)/c(w1),
+    then per-document cross-entropy −mean ln P over the doc's own bigrams.
+    High cross-entropy = improbable word sequences (the perplexity filter
+    of pretraining pipelines; a pre-trained LM would replace the counts
+    table, nothing else).
+
+    Scale shape: doc-bigrams are a map-only transform of the token array
+    (no positional explode + self-join); the model is ONE (w1,w2) count
+    shuffle, with unigram totals derived FROM the bigram counts (second
+    agg runs on the already-aggregated vocab²-bounded table, not the
+    corpus). Scoring joins doc-bigrams to the model on (w1,w2) — here the
+    model fits a broadcast; at 100 TB it becomes a sort-merge join on the
+    bigram key, still linear in corpus bigrams. The model table feeds the
+    probability join once (cached — same multi-consumer rule as t8/d3).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_big = docs.select(
+        "doc_id", F.explode(bigrams).alias("b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = doc_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = bc.join(uc, "w1").withColumn(
+        "logp", F.log(F.col("c12").cast("double") / F.col("c1"))
+    )
+    return (
+        doc_big.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("logp"), 6).alias("cross_entropy"),
+        )
+    )

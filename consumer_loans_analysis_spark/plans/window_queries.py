@@ -566,3 +566,60 @@ def e11_stream_stateful_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.join(exact, "user_id").select(
         "user_id", "n_events", "last_ts", "sum_value"
     )
+
+
+@query(
+    "e13_stream_static_enrich_drained",
+    oracle="""
+    WITH prof AS (
+      SELECT user_id, AVG(value) AS user_avg
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    )
+    SELECT e.user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      CAST(SUM(CASE WHEN e.value > prof.user_avg THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_above_avg
+    FROM events e JOIN prof USING (user_id)
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+    """,
+)
+def e13_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN under the batch oracle: the purchase stream is
+    enriched per micro-batch against a STATIC profile table (per-user mean
+    view value computed in batch), then aggregated — the feature-lookup /
+    dimension-enrichment shape of a serving pipeline.
+
+    Semantics note: a stream-static inner join is stateless — each
+    micro-batch joins against the static relation as of that batch; no
+    watermark and no join state. At scale the static side is a broadcast
+    (small dim) or a bucketed table co-located with the stream's
+    partitioning (see sources/bucketed.py); state is only the final
+    aggregation's (one row per user). Aggregation runs in the stream
+    (complete mode), so the drained table IS the answer — exact integer
+    counts, hash-comparable."""
+    from consumer_loans_analysis_spark.sources.readers import read_table as _rt
+    from consumer_loans_analysis_spark.streaming.events import (
+        run_to_memory,
+        stream_events,
+    )
+
+    profile = (
+        _rt(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("user_avg"))
+    )
+    purchases = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    enriched = purchases.join(F.broadcast(profile), "user_id").select(
+        "user_id", (F.col("value") > F.col("user_avg")).alias("above")
+    )
+    agg = enriched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("above").cast("long")).alias("n_above_avg"),
+    )
+    name = "e13_drain"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select("user_id", "n_purchases", "n_above_avg")
