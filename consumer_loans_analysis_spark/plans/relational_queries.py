@@ -860,3 +860,63 @@ def merge1_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v.is_current").alias("is_current"),
         )
     )
+
+
+@query(
+    "dq1_constraint_audit",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+    SELECT 'not_null_o_orderkey' AS rule, n.n_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey IS NULL) AS n_violations,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) = 0 AS passed
+    FROM n
+    UNION ALL
+    SELECT 'unique_o_orderkey', n.n_rows,
+      (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+      (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0
+    FROM n
+    UNION ALL
+    SELECT 'set_o_orderstatus', n.n_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')),
+      (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')) = 0
+    FROM n
+    UNION ALL
+    SELECT 'range_o_totalprice', n.n_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 10000000)),
+      (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 10000000)) = 0
+    FROM n
+    UNION ALL
+    SELECT 'fk_o_custkey', n.n_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+    FROM n
+    """,
+)
+def dq1_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (expectations-class) over the orders
+    fact: null/uniqueness/domain/range invariants fold into ONE
+    conditional-aggregate pass; the referential-integrity rule is a
+    broadcast anti-join against the customer key set. See
+    ``operators/quality.py`` for the rule compiler."""
+    from consumer_loans_analysis_spark.operators import quality as dq
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return dq.audit(
+        orders,
+        [
+            dq.not_null("o_orderkey"),
+            dq.unique("o_orderkey"),
+            dq.in_set("o_orderstatus", ["O", "F", "P"]),
+            dq.in_range("o_totalprice", 0, 10_000_000),
+            dq.foreign_key("o_custkey", cust, "c_custkey"),
+        ],
+    )

@@ -375,3 +375,40 @@ def test_group_reservoir_is_pure_function_of_data(spark, sf_dir):
     for s, d in got:
         per_group.setdefault(s, []).append(d)
     assert all(len(v) <= 5 for v in per_group.values())
+
+
+def test_quality_audit_detects_seeded_violations(spark):
+    from consumer_loans_analysis_spark.operators import quality as dq
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "a@b.co"),
+            (1, "O", 20.0, "c@d.eu"),        # duplicate key
+            (None, "F", -5.0, "not-an-email"),  # null key, range, pattern
+            (3, "X", 99.0, None),            # bad status; null email not a violation
+        ],
+        schema="k int, status string, amt double, email string",
+    )
+    ref = spark.createDataFrame([(1,), (3,)], schema="k int")
+    res = {
+        r["rule"]: r
+        for r in dq.audit(
+            df,
+            [
+                dq.not_null("k"),
+                dq.unique("k"),
+                dq.in_set("status", ["O", "F", "P"]),
+                dq.in_range("amt", 0, 50),
+                dq.matches("email", r"^[^@]+@[^@]+\.[a-z]+$"),
+                dq.foreign_key("k", ref, "k"),
+            ],
+        ).collect()
+    }
+    assert res["not_null_k"]["n_violations"] == 1
+    assert res["unique_k"]["n_violations"] == 1     # one extra row in the dup group
+    assert res["set_status"]["n_violations"] == 1
+    assert res["range_amt"]["n_violations"] == 2    # -5 and 99
+    assert res["matches_email"]["n_violations"] == 1
+    assert res["fk_k"]["n_violations"] == 0         # nulls skipped; 1 and 3 exist
+    assert all(r["n_rows"] == 4 for r in res.values())
+    assert not res["unique_k"]["passed"] and res["fk_k"]["passed"]
