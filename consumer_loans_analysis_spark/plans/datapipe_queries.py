@@ -1195,3 +1195,42 @@ def t9_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg("logp"), 6).alias("cross_entropy"),
         )
     )
+
+
+# GPT-2-style pretokenizer classes, simplified to the engine-portable
+# subset (letters / digits / other-symbol runs; both Java regex and
+# DuckDB/RE2 read this pattern identically).
+_T10_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+@query(
+    "t10_regex_tokens",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+        regexp_extract_all(text, '{_T10_PATTERN}') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+      md5(list_aggregate(toks, 'string_agg', chr(30))) AS token_fp
+    FROM tok
+    """,
+)
+def t10_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-class regex pretokenization (the GPT-2 pretokenizer shape,
+    reduced to its engine-portable letter/digit/symbol-run classes):
+    per-doc token count, unique-token count, and an md5 over the exact
+    token sequence so the oracle checks the tokenization itself, not just
+    counts. Map-only JVM regex (``regexp_extract_all``) — scan-rate; a
+    real BPE merge table would follow as a broadcast join on these
+    pretokens."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_T10_PATTERN), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.md5(F.array_join(toks, "\x1e")).alias("token_fp"),
+    )
