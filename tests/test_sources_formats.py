@@ -97,3 +97,47 @@ def test_predicate_pushdown_reaches_scan(spark, tmp_path):
     # column pruning: the read schema must not include the text body
     rs = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "text" not in rs
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Dynamic partition pruning: when the pruning predicate only exists on
+    the DIM side of a join (so static pruning can't fire), Spark must
+    inject a runtime subquery into the fact scan's PartitionFilters —
+    at 100 TB this is the difference between scanning 2 partitions and
+    scanning all of them."""
+    src = readers.read_table(spark, "/root/testdata/sf0.01", "events")
+    path = str(tmp_path / "events_by_type")
+    readers.write_parquet(src, path, partition_by=["event_type"])
+    fact = spark.read.parquet(path)
+    # DPP preconditions learned the hard way (each was a silent no-fire):
+    # (1) the dim must have real size stats — a createDataFrame LogicalRDD
+    #     reports unknown/huge size and fails the benefit check, so the dim
+    #     is parquet-backed;
+    # (2) the dim filter must be "likely selective" (comparison/IN-shaped;
+    #     a bare boolean attribute does not qualify);
+    # (3) the dim, not the fact, must be the broadcast build side.
+    dim_path = str(tmp_path / "event_type_dim")
+    spark.createDataFrame(
+        [("view", "active"), ("click", "active"), ("purchase", "retired"),
+         ("signup", "retired")],
+        schema="et string, category string",
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the cost-based benefit check reads table statistics this throwaway
+    # un-ANALYZEd layout doesn't have; fall back to the filter-ratio
+    # heuristic (real deployments have stats and keep the default)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try:
+        joined = fact.join(
+            F.broadcast(dim), fact.event_type == dim.et
+        ).filter(F.col("category") == "active")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+        assert "dynamicpruning" in pf, plan
+        want = src.filter(F.col("event_type").isin("view", "click")).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
