@@ -403,3 +403,96 @@ class NamedOneHotEncoder(Estimator, _JsonParamMixin, DefaultParamsReadable, Defa
         model = NamedOneHotEncoderModel(vocab=vocab)
         model._resetUid(self.uid)
         return self._copyValues(model)
+
+
+class TargetMeanEncoderModel(Model, _JsonParamMixin, DefaultParamsReadable, DefaultParamsWritable):
+    encodings = Param(
+        Params._dummy(), "encodings", "JSON {col: {category: value}}",
+        TypeConverters.toString,
+    )
+    globalMean = Param(
+        Params._dummy(), "globalMean", "label mean", TypeConverters.toFloat
+    )
+
+    @keyword_only
+    def __init__(self, encodings: dict | None = None, globalMean: float = 0.0):
+        super().__init__()
+        self._set_json(self.encodings, encodings or {})
+        self._set(globalMean=globalMean)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        g = F.lit(self.getOrDefault(self.globalMean))
+        out = {}
+        for c, enc in self._get_json(self.encodings).items():
+            # literal map lookup: one create_map expression regardless of
+            # vocab size (vs an O(|vocab|)-deep when-chain); unknown/null
+            # categories back off to the global mean
+            if enc:
+                m = F.create_map(
+                    *[x for k, v in enc.items() for x in (F.lit(k), F.lit(float(v)))]
+                )
+                out[f"{c}_te"] = F.coalesce(
+                    m.getItem(F.col(c).cast("string")), g
+                )
+            else:
+                out[f"{c}_te"] = g
+        return df.withColumns(out)
+
+
+class TargetMeanEncoder(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultParamsWritable):
+    """Smoothed target (mean) encoding — the vocabulary-unbounded
+    categorical encoder of large-scale tabular pipelines, where one-hot
+    widening (J4/E7) stops being viable:
+
+        enc(cat) = (n_cat * mean_cat + m * global_mean) / (n_cat + m)
+
+    (m = ``smoothing`` pseudo-observations; m=0 is the raw per-category
+    mean, larger m shrinks rare categories toward the global mean —
+    the standard empirical-Bayes formulation.)
+
+    Fit = ONE groupBy per column over (count, sum(label)) — map-side
+    combining makes this a vocab-sized result regardless of table size —
+    plus one global 1-row aggregate. Fit state is {category: value}
+    literals (same fit-state-as-broadcast-literals stance as every stage
+    here); transform is a map-only ``create_map`` lookup, no join, no
+    shuffle. Unknown categories at serving time get the global mean.
+    """
+
+    inputCols = Param(Params._dummy(), "inputCols", "JSON [col]", TypeConverters.toString)
+    labelCol = Param(Params._dummy(), "labelCol", "label", TypeConverters.toString)
+    smoothing = Param(Params._dummy(), "smoothing", "pseudo-count m", TypeConverters.toFloat)
+
+    @keyword_only
+    def __init__(
+        self,
+        inputCols: list[str] | None = None,
+        labelCol: str = "label",
+        smoothing: float = 10.0,
+    ):
+        super().__init__()
+        self._set_json(self.inputCols, inputCols or [])
+        self._set(labelCol=labelCol, smoothing=smoothing)
+
+    def _fit(self, df: DataFrame) -> TargetMeanEncoderModel:
+        cols = self._get_json(self.inputCols)
+        label = self.getOrDefault(self.labelCol)
+        m = self.getOrDefault(self.smoothing)
+        y = F.col(label).cast("double")
+        g = df.agg(F.avg(y).alias("g")).head()["g"]
+        g = float(g) if g is not None else 0.0
+        encodings: dict[str, dict[str, float]] = {}
+        for c in cols:
+            rows = (
+                df.filter(F.col(c).isNotNull())
+                .groupBy(F.col(c).cast("string").alias("k"))
+                .agg(F.count(y).alias("n"), F.avg(y).alias("mu"))
+                .collect()
+            )
+            encodings[c] = {
+                r["k"]: (r["n"] * r["mu"] + m * g) / (r["n"] + m)
+                for r in rows
+                if r["mu"] is not None
+            }
+        model = TargetMeanEncoderModel(encodings=encodings, globalMean=g)
+        model._resetUid(self.uid)
+        return self._copyValues(model)

@@ -920,3 +920,39 @@ def dq1_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             dq.foreign_key("o_custkey", cust, "c_custkey"),
         ],
     )
+
+
+@query(
+    "p17_target_mean_encode",
+    oracle="""
+    WITH g AS (
+      SELECT AVG(CAST(o_totalprice > 200000 AS INT)) AS gm FROM orders
+    ), enc AS (
+      SELECT o_orderpriority AS k,
+        COUNT(*) AS n,
+        AVG(CAST(o_totalprice > 200000 AS INT)) AS mu
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey,
+      ROUND((enc.n * enc.mu + 10.0 * g.gm) / (enc.n + 10.0), 6) AS priority_te
+    FROM orders o JOIN enc ON enc.k = o.o_orderpriority, g
+    """,
+)
+def p17_target_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target-mean encoding as a query: the
+    ``TargetMeanEncoder`` stage (pipeline/stages.py) fit on
+    orders(priority → P(is_large)) with m=10 pseudo-observations, applied
+    to the same table. Fit = one vocab-sized groupBy; transform = map-only
+    create_map literal lookup (fit-state-as-literals — no join in the
+    transform path). Oracle restates the empirical-Bayes formula in SQL."""
+    from consumer_loans_analysis_spark.pipeline.stages import TargetMeanEncoder
+
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "is_large", (F.col("o_totalprice") > 200000).cast("double")
+    )
+    model = TargetMeanEncoder(
+        inputCols=["o_orderpriority"], labelCol="is_large", smoothing=10.0
+    ).fit(o)
+    return model.transform(o).select(
+        "o_orderkey", F.round("o_orderpriority_te", 6).alias("priority_te")
+    )

@@ -273,3 +273,32 @@ def test_featured_valid_deterministic_value_parity(spark, loans_train):
     assert len(a) == len(b) == 3235
     diff = (a - b).abs().max().max()
     assert diff < 1e-9, diff
+
+
+def test_target_mean_encoder_closed_form(spark, tmp_path):
+    from consumer_loans_analysis_spark.pipeline.stages import TargetMeanEncoder
+
+    # category a: n=3, mean=2/3; category b: n=1, mean=0; global mean=0.5
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 0.0), ("b", 0.0)],
+        schema="cat string, label double",
+    )
+    m = 2.0
+    model = TargetMeanEncoder(
+        inputCols=["cat"], labelCol="label", smoothing=m
+    ).fit(df)
+    got = {r["cat"]: r["cat_te"] for r in model.transform(df).collect()}
+    g = 0.5
+    assert got["a"] == pytest.approx((3 * (2 / 3) + m * g) / (3 + m))
+    assert got["b"] == pytest.approx((1 * 0.0 + m * g) / (1 + m))
+    # unknown + null categories back off to the global mean
+    new = spark.createDataFrame([("zzz",), (None,)], schema="cat string")
+    vals = [r["cat_te"] for r in model.transform(new).collect()]
+    assert vals == [pytest.approx(g), pytest.approx(g)]
+    # persistence round-trip preserves encodings exactly
+    p = str(tmp_path / "te_model")
+    model.write().overwrite().save(p)
+    from consumer_loans_analysis_spark.pipeline.stages import TargetMeanEncoderModel
+    loaded = TargetMeanEncoderModel.load(p)
+    got2 = {r["cat"]: r["cat_te"] for r in loaded.transform(df).collect()}
+    assert got2 == got
