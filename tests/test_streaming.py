@@ -247,3 +247,43 @@ def test_stream_dedup_across_microbatches(spark, sf_dir, tmp_path, batch_events)
     n = batch_events.count()
     assert got.count() == n
     assert got.select("event_id").distinct().count() == n
+
+
+def test_transform_with_state_recent_mean(spark, sf_dir, batch_events):
+    """Spark 4 transformWithStateInPandas operator: per-user mean of the 3
+    most recent values. Skips where the TWS python protocol (protobuf)
+    isn't installed — the container case; the plan itself must still
+    BUILD (API misuse fails at build time regardless of runtime)."""
+    from pyspark.sql import Window
+
+    from consumer_loans_analysis_spark.streaming.stateful import (
+        has_tws_runtime,
+        run_transform_with_state,
+    )
+
+    stream = run_transform_with_state(stream_events(spark, sf_dir), k=3)
+    assert stream.isStreaming and set(stream.columns) == {
+        "user_id", "n_seen", "recent_mean",
+    }
+    if not has_tws_runtime():
+        pytest.skip("google.protobuf absent: TWS python worker cannot start")
+    run_to_memory(stream, "tws_drain", output_mode="update")
+    drained = spark.table("tws_drain")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    final = (
+        drained.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_seen", "recent_mean")
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.desc("ts"))
+    want = (
+        batch_events.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 3)
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("want_mean"))
+    )
+    joined = final.join(want, "user_id")
+    bad = joined.filter(
+        F.abs(F.col("recent_mean") - F.col("want_mean")) > 1e-9
+    ).count()
+    assert bad == 0
