@@ -1172,3 +1172,123 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
         "s_suppkey", "s_name"
     )
+
+
+@query(
+    "sk1_theta_set_ops",
+    oracle="""
+    SELECT 'view' AS metric,
+      (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'view') AS n_exact
+    UNION ALL
+    SELECT 'click',
+      (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click')
+    UNION ALL
+    SELECT 'union',
+      (SELECT COUNT(DISTINCT user_id) FROM events
+        WHERE event_type IN ('view', 'click'))
+    UNION ALL
+    SELECT 'intersection',
+      (SELECT COUNT(*) FROM (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'click'))
+    """,
+)
+def sk1_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (DataSketches) for distinct-set algebra: per-type
+    distinct users plus UNION and INTERSECTION estimates — the sketch
+    family that answers "how many users did both X and Y" without ever
+    shuffling raw ids (sketches are a few KB, mergeable across shards;
+    exact distinct-intersection at 100 TB needs a full semi-join).
+
+    Same guard pattern as the HLL query: the exact answers are computed
+    alongside, every estimate is asserted within 5% in-query (rows drop →
+    loud rows_match failure), and only the deterministic exact columns
+    reach the oracle compare."""
+    e = read_table(spark, sf_dir, "events")
+    uid_view = F.when(F.col("event_type") == "view", F.col("user_id"))
+    uid_click = F.when(F.col("event_type") == "click", F.col("user_id"))
+    agg = e.agg(
+        F.theta_sketch_agg(uid_view).alias("sk_v"),
+        F.theta_sketch_agg(uid_click).alias("sk_c"),
+        F.countDistinct(uid_view).alias("x_v"),
+        F.countDistinct(uid_click).alias("x_c"),
+        F.countDistinct(
+            F.when(F.col("event_type").isin("view", "click"), F.col("user_id"))
+        ).alias("x_u"),
+    )
+    both = (
+        e.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        )
+        .agg(F.sum(F.col("v") * F.col("c")).cast("long").alias("x_i"))
+    )
+    est = agg.crossJoin(F.broadcast(both)).select(
+        F.theta_sketch_estimate(F.col("sk_v")).alias("e_v"),
+        F.theta_sketch_estimate(F.col("sk_c")).alias("e_c"),
+        F.theta_sketch_estimate(F.theta_union(F.col("sk_v"), F.col("sk_c"))).alias("e_u"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_v"), F.col("sk_c"))
+        ).alias("e_i"),
+        "x_v", "x_c", "x_u", "x_i",
+    )
+    rows = []
+    for metric, ex, es in [
+        ("view", "x_v", "e_v"), ("click", "x_c", "e_c"),
+        ("union", "x_u", "e_u"), ("intersection", "x_i", "e_i"),
+    ]:
+        rows.append(
+            est.select(
+                F.lit(metric).alias("metric"),
+                F.col(ex).cast("long").alias("n_exact"),
+                (F.abs(F.col(es) - F.col(ex)) / F.col(ex) < 0.05).alias("_ok"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.filter(F.col("_ok")).select("metric", "n_exact")
+
+
+@query(
+    "sk2_kll_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+      ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+      ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_exact
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sk2_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches next to exact percentiles: the mergeable
+    one-pass quantile path for 100 TB (a KLL sketch is KBs per group and
+    unions across shards; exact percentile needs a per-group sort). The
+    sketch estimates are guarded in-query against the exact values at 2%
+    relative error (KLL k=200 rank error ≈ 1.6 %, and order totalprice is
+    smooth enough that rank error ≈ value error here), then dropped so
+    the oracle compares only the deterministic exact side."""
+    o = read_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk"),
+        F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9))).alias("px"),
+    )
+    est = agg.select(
+        "o_orderstatus",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("e50"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)).alias("e90"),
+        F.col("px")[0].alias("x50"),
+        F.col("px")[1].alias("x90"),
+    )
+    ok = (F.abs(F.col("e50") - F.col("x50")) / F.col("x50") < 0.02) & (
+        F.abs(F.col("e90") - F.col("x90")) / F.col("x90") < 0.02
+    )
+    return (
+        est.filter(ok)
+        .select(
+            "o_orderstatus",
+            F.round("x50", 6).alias("p50_exact"),
+            F.round("x90", 6).alias("p90_exact"),
+        )
+    )
