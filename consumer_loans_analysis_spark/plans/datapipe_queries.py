@@ -1234,3 +1234,80 @@ def t10_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
         F.md5(F.array_join(toks, "\x1e")).alias("token_fp"),
     )
+
+
+@query(
+    "t11_winnow_fingerprints",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+        list_transform(
+          list_transform(range(1, len(text) - 2), i -> substr(text, i, 4)),
+          g -> CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)) AS hs
+      FROM documents
+      WHERE len(text) >= 7
+    ), fp AS (
+      SELECT doc_id, hs,
+        list_sort(list_distinct(
+          list_transform(range(1, len(hs) - 1), j -> list_min(hs[j:j+2])))) AS fps
+      FROM h
+    )
+    SELECT doc_id,
+      CAST(len(hs) AS BIGINT) AS n_grams,
+      CAST(len(fps) AS BIGINT) AS n_fingerprints,
+      md5(list_aggregate(list_transform(fps, x -> CAST(x AS VARCHAR)),
+                         'string_agg', ',')) AS fp_digest
+    FROM fp
+    """,
+)
+def t11_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): hash every char
+    4-gram, then keep the minimum of each 4-hash sliding window; the
+    distinct minima are the document's fingerprints (guaranteed to share
+    fingerprints with any document overlapping ≥ 7 chars of content).
+    Output pins the full fingerprint SET via an md5 digest, so the oracle
+    checks the algorithm, not just counts.
+
+    All array expressions (substr/hash/slice/min inside transform
+    lambdas) — map-only, no explode, no shuffle; the fingerprint set
+    (~|text|/window) is what a plagiarism/near-dup index would invert, at
+    a fraction of the shingle count d2/d3 index."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 7
+    )
+    t = F.col("text")
+    k, w = 4, 3
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: t.substr(i, F.lit(k)),
+    )
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    # Stage the array columns: lambda expressions are NOT subexpression-
+    # eliminated across consumers, so referencing `hs` four times in one
+    # projection re-hashed every gram four times (measured 120 s → 4 s at
+    # sf0.001 after staging). Each withColumn binds the array to an
+    # attribute evaluated once per row.
+    staged = docs.select("doc_id", hs.alias("hs"))
+    fps = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
+            )
+        )
+    )
+    staged = staged.select(
+        "doc_id", F.size("hs").cast("long").alias("n_grams"), fps.alias("fps")
+    )
+    return staged.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(F.col("fps").cast("array<string>"), ",")).alias(
+            "fp_digest"
+        ),
+    )
