@@ -1311,3 +1311,61 @@ def t11_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_digest"
         ),
     )
+
+
+def _t12_oracle() -> str:
+    """Build the t12 oracle from the SAME marker vocabularies as the
+    operator, so the two can't drift."""
+    score = lambda lang: (  # noqa: E731
+        "len(list_intersect(w, ["
+        + ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+        + f"])) "
+    )
+    # t3's argmax rule: start at en, replace only on strictly-greater in
+    # sorted lang order == pick max, ties resolved en-first then sorted
+    case = (
+        "CASE WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de' "
+        "WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' ELSE 'zh' END"
+    )
+    return f"""
+    WITH d AS (
+      SELECT lang, list_distinct(string_split(text, ' ')) AS w FROM documents
+    ), s AS (
+      SELECT lang, {score('en')} AS s_en, {score('de')} AS s_de,
+        {score('es')} AS s_es, {score('fr')} AS s_fr, {score('zh')} AS s_zh
+      FROM d
+    ), p AS (
+      SELECT lang,
+        greatest(s_en, s_de, s_es, s_fr, s_zh) AS m,
+        {case} AS pred
+      FROM s
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      ROUND(AVG(CASE WHEN pred = lang THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM p GROUP BY lang
+    """
+
+
+@query("t12_langid_eval", oracle=_t12_oracle())
+def t12_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation as a query: per-language accuracy of the t3
+    language-ID heuristic against the table's ground-truth ``lang`` —
+    the eval loop of a classifier-based corpus filter run WHERE THE DATA
+    IS (one marker-scoring projection + one confusion aggregate; no
+    collect, no python). The oracle derives its marker lists from the
+    same ``LANG_MARKERS`` constant so operator and oracle cannot drift."""
+    docs = read_table(spark, sf_dir, "documents")
+    pred = text.lang_id(docs)
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("lang_pred") == F.col("lang")).cast("long")).alias(
+                "n_correct"
+            ),
+            F.round(
+                F.avg((F.col("lang_pred") == F.col("lang")).cast("double")), 6
+            ).alias("accuracy"),
+        )
+    )
