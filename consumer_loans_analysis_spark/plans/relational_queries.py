@@ -956,3 +956,35 @@ def p17_target_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.transform(o).select(
         "o_orderkey", F.round("o_orderpriority_te", 6).alias("priority_te")
     )
+
+
+@query(
+    "sql1_revenue_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+      CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sql1_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end surface: the same engine via ``spark.sql`` over temp
+    views — identical Catalyst plan space as the DataFrame API (views are
+    lazy aliases over the parquet scans; pushdown/broadcast/AQE all
+    apply), so a reference user can bring raw SQL unchanged. DECIMAL
+    accumulation in the SUM keeps the float aggregate order-independent
+    for the hash compare (same convention as the DataFrame queries)."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment,
+          COUNT(DISTINCT c.c_custkey) AS n_customers,
+          CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM v_customer c JOIN v_orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus <> 'F'
+        GROUP BY c.c_mktsegment
+        """
+    )
