@@ -1369,3 +1369,41 @@ def t12_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+@query("d10_stream_dedup_drained", oracle=_JACCARD_SQL)
+def d10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING NEAR-DUP DEDUP under the batch oracle: documents are
+    split into three files and ingested as three micro-batches through
+    ``streaming/corpus.py`` — each batch LSH-probes the persistent
+    band index for matches against everything already ingested, then
+    joins the index. The cumulative verified pair set must equal the
+    batch d2/d3 answer (pair discovery commutes with any batch split:
+    a pair lands either within one batch or across the index probe).
+    Same exact-Jaccard oracle as d2/d3."""
+    import shutil
+    import tempfile
+
+    from consumer_loans_analysis_spark.streaming.corpus import stream_dedup_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = f"{work}/chunks"
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        pairs = stream_dedup_corpus(
+            spark, src, f"{work}/state", f"{work}/ckpt", threshold=0.8
+        )
+        # materialize before the tmp dir disappears
+        out = spark.createDataFrame(
+            pairs.select(
+                "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+            ).collect(),
+            schema="id_a long, id_b long, jaccard double",
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,162 @@
+"""Streaming corpus ingestion: incremental MinHash near-dup detection.
+
+The continuous-ingestion twin of the batch dedup surface: documents
+arrive in micro-batches; each batch is checked for near-duplicates both
+WITHIN the batch and AGAINST everything already ingested, then its
+signatures join the persistent index. The historical corpus is touched
+only through its (id, band_key) index and its per-doc shingle arrays —
+never re-tokenized, never re-shuffled wholesale — so per-batch cost is
+O(batch + matched candidates), the property that makes dedup-on-ingest
+viable at 100 TB (batch d8 is the exact-dup analogue; d3 documents the
+signature scheme).
+
+State layout (parquet, append-only — foreachBatch writes both tables
+transactionally enough for the availableNow test drain; production would
+use a lakehouse table with MERGE):
+- ``bands/``: (id, band_idx, band_key) — the LSH index the next batches
+  probe with an equi-join.
+- ``arrs/``:  (id, arr) — hashed-shingle arrays for exact-Jaccard
+  verification of candidates.
+- ``pairs/``: (id_a, id_b, jaccard) — verified output, id_a < id_b.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.operators import dedup
+
+
+def _band_keys(arr_tbl: DataFrame, num_hashes: int = 64, rows_per_band: int = 2) -> DataFrame:
+    """(id, band_idx, band_key) for each doc's minhash signature — same
+    coefficients as the batch operator (seed 42) so streamed and batch
+    indexes are interchangeable."""
+    import random as _random
+
+    rng = _random.Random(42)
+    p = (1 << 31) - 1
+    coeffs = [(rng.randint(1, p - 1), rng.randint(0, p - 1)) for _ in range(num_hashes)]
+    def g(a: int, b: int):
+        # one-arg lambda factory: PySpark introspects the lambda's arity,
+        # so coefficients must be closure-captured, not default args
+        return lambda x: F.pmod(F.lit(a) * F.pmod(x, F.lit(p)) + F.lit(b), F.lit(p))
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("arr"), g(a, b))).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    mins = arr_tbl.select("id", *sig_cols)
+    n_bands = num_hashes // rows_per_band
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        for b in range(n_bands)
+    ]
+    return mins.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+
+
+def _verify(candidates: DataFrame, arrs_a: DataFrame, arrs_b: DataFrame, threshold: float) -> DataFrame:
+    a = arrs_a.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a"))
+    b = arrs_b.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            / F.size(F.array_union("arr_a", "arr_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ingest_batch(
+    batch_docs: DataFrame, state_dir: str, threshold: float = 0.8
+) -> None:
+    """Process one micro-batch: detect near-dups (batch-internal + vs the
+    persistent index), append verified pairs, then index the batch."""
+    spark = batch_docs.sparkSession
+    arr_new = (
+        dedup.shingle_hash_arrays(batch_docs)
+        .filter(F.size("arr") > 0)
+        .cache()
+    )
+    bands_new = _band_keys(arr_new).cache()
+
+    # within-batch candidates (id_a < id_b dedupes the symmetric join)
+    left = bands_new.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    right = bands_new.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    cand_new = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = _verify(cand_new, arr_new, arr_new, threshold)
+
+    bands_path = os.path.join(state_dir, "bands")
+    arrs_path = os.path.join(state_dir, "arrs")
+    pairs_path = os.path.join(state_dir, "pairs")
+    if os.path.isdir(bands_path):
+        bands_old = spark.read.parquet(bands_path)
+        arrs_old = spark.read.parquet(arrs_path)
+        # cross-batch candidates: new bands probe the persistent index.
+        # Normalize pair order on ids so each pair appears exactly once.
+        cand_cross = (
+            bands_new.select(F.col("id").alias("id_n"), "band_idx", "band_key")
+            .join(
+                bands_old.select(F.col("id").alias("id_o"), "band_idx", "band_key"),
+                ["band_idx", "band_key"],
+            )
+            .select(
+                F.least("id_n", "id_o").alias("id_a"),
+                F.greatest("id_n", "id_o").alias("id_b"),
+            )
+            .distinct()
+        )
+        arrs_all = arrs_old.unionByName(arr_new)
+        pairs = pairs.unionByName(_verify(cand_cross, arrs_all, arrs_all, threshold))
+
+    pairs.write.mode("append").parquet(pairs_path)
+    bands_new.write.mode("append").parquet(bands_path)
+    arr_new.write.mode("append").parquet(arrs_path)
+    arr_new.unpersist()
+    bands_new.unpersist()
+
+
+def stream_dedup_corpus(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Stream a directory of document parquet files (one micro-batch per
+    file via maxFilesPerTrigger) through ``ingest_batch``; returns the
+    cumulative verified near-dup pairs after the drain."""
+    from consumer_loans_analysis_spark.streaming.events import _await_drained
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: ingest_batch(bdf, state_dir, threshold)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q, timeout_sec)
+    return spark.read.parquet(os.path.join(state_dir, "pairs"))
