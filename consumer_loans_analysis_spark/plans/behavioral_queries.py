@@ -204,3 +204,37 @@ def e12_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_filled"),
         )
     )
+
+
+@query(
+    "p18_variant_extract",
+    oracle="""
+    SELECT event_type,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def p18_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` once into a
+    variant column, then typed ``variant_get`` extraction — the
+    shred-on-read lakehouse pattern that replaces repeated
+    ``get_json_object`` string re-parsing (p16) with a binary-encoded
+    document that parses once and serves many typed extractions. The
+    predicate and aggregation both run on the typed projection, so the
+    filter prunes before the shuffle."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
