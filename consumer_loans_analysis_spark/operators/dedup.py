@@ -189,25 +189,44 @@ def minhash_near_dupes(
         .filter(F.size("arr") > 0)
         .cache()
     )
+    # Signature as ONE array aggregate (fold over shingles, element-wise
+    # running minima against all 64 hash functions) rather than 64
+    # array_min(transform(...)) columns: identical values (asserted in the
+    # adoption A/B and the pytest minhash==exact check), same O(64·|arr|)
+    # arithmetic, but one expression tree instead of 64 wide ones —
+    # fresh-process end-to-end at sf0.1 drops ~5.7 s → ~4 s because driver
+    # analysis + codegen of the narrow plan is much cheaper. (The per-plan
+    # overhead dominates this operator at bench scale; see SCALING.md.)
     arr = F.col("arr")
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                arr, lambda x: F.pmod(F.lit(a) * F.pmod(x, F.lit(p)) + F.lit(b), F.lit(p))
-            )
-        ).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    mins = arr_tbl.select("id", *sig_cols)
+    A = F.array(*[F.lit(a) for a, _ in coeffs])
+    B = F.array(*[F.lit(b) for _, b in coeffs])
+    init = F.array_repeat(F.lit(p).cast("long"), num_hashes)
+    sig = F.aggregate(
+        arr,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.zip_with(
+                A, B,
+                lambda a, b: F.pmod(a * F.pmod(x, F.lit(p)) + b, F.lit(p)),
+            ),
+            lambda u, v: F.least(u, v),
+        ),
+    )
+    mins = arr_tbl.select("id", sig.alias("sig"))
     # band key: one long per band (xxhash64 of the band's row-hashes + index)
     n_bands = num_hashes // rows_per_band
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        for b in range(n_bands)
-    ]
-    banded = mins.select("id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"))
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.xxhash64(
+            b,
+            *[
+                F.element_at("sig", b * rows_per_band + (r + 1))
+                for r in range(rows_per_band)
+            ],
+        ),
+    )
+    banded = mins.select("id", F.posexplode(band_keys).alias("band_idx", "band_key"))
     left = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     candidates = (
