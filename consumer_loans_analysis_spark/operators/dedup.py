@@ -144,6 +144,50 @@ def shingle_hash_arrays(
     )
 
 
+def band_keys_table(
+    arr_tbl: DataFrame, num_hashes: int = 64, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band_idx, band_key) LSH index rows for a shingle-array table
+    (columns ``id``, ``arr``). Shared by the batch operator below and the
+    streaming ingest path (streaming/corpus.py) so their indexes are
+    interchangeable: same seeded coefficients, same fold-style signature
+    (see minhash_near_dupes for the plan rationale)."""
+    import random as _random
+
+    rng = _random.Random(42)
+    p = (1 << 31) - 1
+    coeffs = [(rng.randint(1, p - 1), rng.randint(0, p - 1)) for _ in range(num_hashes)]
+    A = F.array(*[F.lit(a) for a, _ in coeffs])
+    B = F.array(*[F.lit(b) for _, b in coeffs])
+    init = F.array_repeat(F.lit(p).cast("long"), num_hashes)
+    sig = F.aggregate(
+        F.col("arr"),
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.zip_with(
+                A, B,
+                lambda a, b: F.pmod(a * F.pmod(x, F.lit(p)) + b, F.lit(p)),
+            ),
+            lambda u, v: F.least(u, v),
+        ),
+    )
+    n_bands = num_hashes // rows_per_band
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.xxhash64(
+            b,
+            *[
+                F.element_at("sig", b * rows_per_band + (r + 1))
+                for r in range(rows_per_band)
+            ],
+        ),
+    )
+    return arr_tbl.select("id", sig.alias("sig")).select(
+        "id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+
+
 def minhash_near_dupes(
     df: DataFrame, threshold: float = 0.8, text_col: str = "text",
     id_col: str = "doc_id", n: int = 3, num_hashes: int = 64, rows_per_band: int = 2,
@@ -176,11 +220,6 @@ def minhash_near_dupes(
     cluster's parallelism (a no-op at scale where the scan already yields
     enough splits).
     """
-    import random as _random
-
-    rng = _random.Random(42)
-    p = (1 << 31) - 1
-    coeffs = [(rng.randint(1, p - 1), rng.randint(0, p - 1)) for _ in range(num_hashes)]
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
@@ -197,36 +236,7 @@ def minhash_near_dupes(
     # fresh-process end-to-end at sf0.1 drops ~5.7 s → ~4 s because driver
     # analysis + codegen of the narrow plan is much cheaper. (The per-plan
     # overhead dominates this operator at bench scale; see SCALING.md.)
-    arr = F.col("arr")
-    A = F.array(*[F.lit(a) for a, _ in coeffs])
-    B = F.array(*[F.lit(b) for _, b in coeffs])
-    init = F.array_repeat(F.lit(p).cast("long"), num_hashes)
-    sig = F.aggregate(
-        arr,
-        init,
-        lambda acc, x: F.zip_with(
-            acc,
-            F.zip_with(
-                A, B,
-                lambda a, b: F.pmod(a * F.pmod(x, F.lit(p)) + b, F.lit(p)),
-            ),
-            lambda u, v: F.least(u, v),
-        ),
-    )
-    mins = arr_tbl.select("id", sig.alias("sig"))
-    # band key: one long per band (xxhash64 of the band's row-hashes + index)
-    n_bands = num_hashes // rows_per_band
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.xxhash64(
-            b,
-            *[
-                F.element_at("sig", b * rows_per_band + (r + 1))
-                for r in range(rows_per_band)
-            ],
-        ),
-    )
-    banded = mins.select("id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    banded = band_keys_table(arr_tbl, num_hashes, rows_per_band)
     left = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     candidates = (

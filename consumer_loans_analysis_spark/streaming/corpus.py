@@ -30,35 +30,11 @@ from pyspark.sql import functions as F
 from consumer_loans_analysis_spark.operators import dedup
 
 
-def _band_keys(arr_tbl: DataFrame, num_hashes: int = 64, rows_per_band: int = 2) -> DataFrame:
-    """(id, band_idx, band_key) for each doc's minhash signature — same
-    coefficients as the batch operator (seed 42) so streamed and batch
-    indexes are interchangeable."""
-    import random as _random
-
-    rng = _random.Random(42)
-    p = (1 << 31) - 1
-    coeffs = [(rng.randint(1, p - 1), rng.randint(0, p - 1)) for _ in range(num_hashes)]
-    def g(a: int, b: int):
-        # one-arg lambda factory: PySpark introspects the lambda's arity,
-        # so coefficients must be closure-captured, not default args
-        return lambda x: F.pmod(F.lit(a) * F.pmod(x, F.lit(p)) + F.lit(b), F.lit(p))
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("arr"), g(a, b))).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    mins = arr_tbl.select("id", *sig_cols)
-    n_bands = num_hashes // rows_per_band
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        for b in range(n_bands)
-    ]
-    return mins.select(
-        "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
-    )
+# (id, band_idx, band_key) index rows come from the SAME function as the
+# batch operator (dedup.band_keys_table -- seeded coefficients, fold-style
+# signature), so streamed and batch indexes are interchangeable by
+# construction.
+_band_keys = dedup.band_keys_table
 
 
 def _verify(candidates: DataFrame, arrs_a: DataFrame, arrs_b: DataFrame, threshold: float) -> DataFrame:
