@@ -99,8 +99,12 @@ def audit(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         out.append((r.name, n_rows, v, v == 0))
     for r in rules:
         if r.kind == "unique":
+            # SQL UNIQUE-constraint convention: NULL keys are exempt from
+            # uniqueness (pair them with a not_null rule to forbid them);
+            # violations = rows beyond the first in each non-null key group
             row = (
-                df.groupBy(*r.cols)
+                df.dropna(subset=list(r.cols))
+                .groupBy(*r.cols)
                 .agg(F.count(F.lit(1)).alias("c"))
                 .agg(
                     F.sum(F.col("c") - 1).cast("long").alias("extra"),

@@ -128,9 +128,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 # deployment would pass. Both Java regex and DuckDB/RE2 support \b and the
 # classes used here, so the oracle stays engine-portable.
 PII_PATTERNS: dict[str, str] = {
+    # order matters: patterns apply sequentially and counts are taken on
+    # the already-scrubbed text (see redact), so the more-specific ipv4
+    # runs before the broad phone pattern (which also matches dotted IPs)
     "email": r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",
-    "phone": r"\b\+?[0-9][0-9()\-. ]{7,}[0-9]\b",
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\b\+?[0-9][0-9()\-. ]{7,}[0-9]\b",
 }
 
 
@@ -144,6 +147,12 @@ def redact(
     every match of each named pattern with ``replacement`` and count the
     replacements per pattern (audit columns ``n_<name>``) plus a total.
 
+    Patterns apply sequentially, and each pattern's count is taken on the
+    text AS ALREADY SCRUBBED by the preceding patterns — so with
+    overlapping patterns (e.g. the phone regex also matching an IP) the
+    per-pattern counts sum to the number of replacements actually made,
+    not to double-counted spans.
+
     Map-only pure Column expressions — ``regexp_replace``/``regexp_count``
     run JVM-side inside whole-stage codegen; at 100 TB this is a scan-rate
     pass with zero shuffle, and the audit counts aggregate with a partial
@@ -153,7 +162,7 @@ def redact(
     total = F.lit(0).cast("long")
     scrubbed = F.col(text_col)
     for name, pat in patterns.items():
-        n = F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        n = F.regexp_count(scrubbed, F.lit(pat)).cast("long")
         out = out.withColumn(f"n_{name}", n)
         total = total + n
         scrubbed = F.regexp_replace(scrubbed, pat, replacement)
@@ -183,7 +192,10 @@ def bm25_top_terms(
     (verified via explain). So tf is cached: at ~16 bytes + term per row it
     is roughly the size of the deduplicated corpus vocabulary per doc, far
     smaller than re-reading the text 4×; on a cluster this would be a
-    checkpoint/persist to local disk. dl/df/scalars are then
+    checkpoint/persist to local disk. (The cache is deliberately left to
+    Spark's storage-memory LRU rather than unpersisted — the returned
+    DataFrame is lazy, so the operator cannot know when the caller's last
+    action has run.) dl/df/scalars are then
     broadcast-joined back; top-k is a per-doc window with a
     WindowGroupLimit pre-rank. Term ties break lexicographically so
     results are deterministic.

@@ -176,7 +176,9 @@ def e12_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one partition, serializing the downstream window. The explicit
     # fixed-width repartition on the window's own key spreads the
     # generation AND is reused by the forward-fill window (no extra
-    # exchange); 10× scale-up ratio drops from 27.8× to ~7× (SCALING.md).
+    # exchange); harness-level 10× ratio 27.8× → 16.7× — the residual is
+    # driver-side collect of the 10.5M-row result, compute is flat
+    # (SCALING.md e12 decomposition).
     bounds = bounds.repartition(
         spark.sparkContext.defaultParallelism, "user_id"
     )

@@ -1263,9 +1263,10 @@ def t10_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t11_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing (Schleimer,
     Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): hash every char
-    4-gram, then keep the minimum of each 4-hash sliding window; the
-    distinct minima are the document's fingerprints (guaranteed to share
-    fingerprints with any document overlapping ≥ 7 chars of content).
+    4-gram (k=4), then keep the minimum of each 3-hash sliding window
+    (w=3); the distinct minima are the document's fingerprints
+    (winnowing guarantee: any two documents sharing a substring of
+    ≥ w+k-1 = 6 chars share at least one fingerprint).
     Output pins the full fingerprint SET via an md5 digest, so the oracle
     checks the algorithm, not just counts.
 

@@ -1234,22 +1234,27 @@ def sk1_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e_i"),
         "x_v", "x_c", "x_u", "x_i",
     )
-    rows = []
-    for metric, ex, es in [
-        ("view", "x_v", "e_v"), ("click", "x_c", "e_c"),
-        ("union", "x_u", "e_u"), ("intersection", "x_i", "e_i"),
-    ]:
-        rows.append(
-            est.select(
+    # one explode over an array of (metric, exact, ok) structs — a union of
+    # four selects would copy the aggregate into four branches (Catalyst
+    # does not guarantee exchange reuse across union branches; see merge1)
+    metrics = F.array(
+        *[
+            F.struct(
                 F.lit(metric).alias("metric"),
                 F.col(ex).cast("long").alias("n_exact"),
                 (F.abs(F.col(es) - F.col(ex)) / F.col(ex) < 0.05).alias("_ok"),
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.filter(F.col("_ok")).select("metric", "n_exact")
+            for metric, ex, es in [
+                ("view", "x_v", "e_v"), ("click", "x_c", "e_c"),
+                ("union", "x_u", "e_u"), ("intersection", "x_i", "e_i"),
+            ]
+        ]
+    )
+    return (
+        est.select(F.explode(metrics).alias("m"))
+        .filter(F.col("m._ok"))
+        .select(F.col("m.metric").alias("metric"), F.col("m.n_exact").alias("n_exact"))
+    )
 
 
 @query(

@@ -91,6 +91,7 @@ def ingest_batch(
                 bands_old.select(F.col("id").alias("id_o"), "band_idx", "band_key"),
                 ["band_idx", "band_key"],
             )
+            .filter(F.col("id_n") != F.col("id_o"))  # redelivered ids: no self-pairs
             .select(
                 F.least("id_n", "id_o").alias("id_a"),
                 F.greatest("id_n", "id_o").alias("id_b"),

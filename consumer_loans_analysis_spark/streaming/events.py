@@ -169,8 +169,6 @@ def run_to_memory(
     the drained condition instead — all input consumed AND two consecutive
     completed zero-row triggers — and stop the query explicitly (update-mode
     output for the data batches is already in the sink at that point)."""
-    import time as _time
-
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -204,12 +202,12 @@ def _await_drained(q, timeout_sec: int) -> None:
                 zero_row_batches = 0
             else:
                 zero_row_batches += 1
-        if (
-            seen_data
-            and zero_row_batches >= 2
-            and not q.status["isDataAvailable"]
-        ):
-            break
+        # drained = input consumed + 2 consecutive empty triggers; an
+        # entirely EMPTY source never sets seen_data, so accept a longer
+        # all-empty streak too instead of burning the whole timeout
+        if (seen_data and zero_row_batches >= 2) or zero_row_batches >= 5:
+            if not q.status["isDataAvailable"]:
+                break
         _time.sleep(0.2)
     q.stop()
     q.awaitTermination(30)

@@ -334,6 +334,9 @@ def test_redact_counts_and_output(spark):
     assert "bob@example.com" not in out[0]["text_redacted"]
     assert "[REDACTED]" in out[0]["text_redacted"]
     assert out[1]["n_ipv4"] == 2 and "10.0.0.1" not in out[1]["text_redacted"]
+    # sequential counting: ipv4 already scrubbed both dotted quads, so the
+    # broader phone pattern (which matches long dotted IPs too) finds none
+    assert out[1]["n_phone"] == 0 and out[1]["n_redactions"] == 2
     # word boundaries: "monkey"/"keys" must survive a \bkey\b-style denylist
     den = {r["doc_id"]: r for r in text.redact(df, {"kw": r"\bkey\b"}).collect()}
     assert den[2]["n_kw"] == 0 and den[2]["text_redacted"] == den[2]["text"]
@@ -365,11 +368,23 @@ def test_bm25_known_values(spark):
 
 def test_group_reservoir_is_pure_function_of_data(spark, sf_dir):
     import consumer_loans_analysis_spark.plans.datapipe_queries  # noqa: F401  (registers)
+    from pyspark.sql import Window
+
     from consumer_loans_analysis_spark.plans.registry import QUERIES
+
     a = QUERIES["o11_group_reservoir"](spark, sf_dir)
-    # repartitioning the input must not change the kept set (hash-determinism)
     got = sorted((r["source"], r["doc_id"]) for r in a.collect())
-    again = sorted((r["source"], r["doc_id"]) for r in a.collect())
+
+    # the kept set must be a pure function of the DATA: rebuild the same
+    # selection over a differently-partitioned input and compare
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(7)
+    h = text.portable_hash(F.concat(F.lit("o11:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    b = (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("pick"))
+        .filter(F.col("pick") <= 5)
+    )
+    again = sorted((r["source"], r["doc_id"]) for r in b.collect())
     assert got == again
     per_group = {}
     for s, d in got:
