@@ -122,3 +122,52 @@ def test_sessionize_conservation(spark, offsets):
     ids = sorted(r["session_id"] for r in out)
     assert ids == list(range(1, len(ids) + 1))
     assert all(r["duration_sec"] >= 0 for r in out)
+
+
+@given(
+    pre_a=st.text(alphabet="xyz ", max_size=20),
+    post_a=st.text(alphabet="xyz ", max_size=20),
+    pre_b=st.text(alphabet="uvw ", max_size=20),
+    post_b=st.text(alphabet="uvw ", max_size=20),
+    # min 7 keeps both docs past t11's length(text) >= 7 scan filter even
+    # with empty pre/post; the >= 6 guarantee is subsumed
+    shared=st.text(alphabet="abcdefg", min_size=7, max_size=15),
+)
+@settings(**_SETTINGS)
+def test_winnowing_guarantee(spark, pre_a, post_a, pre_b, post_b, shared):
+    """The winnowing theorem (Schleimer et al. '03): with gram size k=4 and
+    window w=3, any two documents sharing a substring of length >=
+    w + k - 1 = 6 chars share at least one selected fingerprint. Two
+    otherwise-unrelated documents (disjoint alphabets) around a common
+    chunk must therefore intersect in fingerprint space."""
+    from consumer_loans_analysis_spark.plans import datapipe_queries  # noqa: F401
+    from consumer_loans_analysis_spark.plans.registry import QUERIES
+    import tempfile
+
+    doc_a = pre_a + shared + post_a
+    doc_b = pre_b + shared + post_b
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, doc_a, "en", "s", len(doc_a)), (1, doc_b, "en", "s", len(doc_b))],
+            schema="doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = {
+            r["doc_id"]: r
+            for r in QUERIES["t11_winnow_fingerprints"](spark, d).collect()
+        }
+    # recompute the fingerprint SETS locally to check intersection (the
+    # query exposes a set digest; equal digests would only catch identity)
+    import hashlib
+
+    def fps(text):
+        k, w = 4, 3
+        hs = [
+            int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(text) - k + 1)
+        ]
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    assert fps(doc_a) & fps(doc_b), (doc_a, doc_b)
+    # and the Spark-side counts agree with the local reference
+    assert rows[0]["n_fingerprints"] == len(fps(doc_a))
+    assert rows[1]["n_fingerprints"] == len(fps(doc_b))
