@@ -310,3 +310,64 @@ def repetition_stats(
             ).alias("is_repetitive"),
         )
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Full-corpus BM25 retrieval for a bag-of-terms query: rank documents
+    by the sum of their BM25 weights over the query terms (same formula
+    as ``bm25_top_terms``), returning the top ``k`` with deterministic
+    id tie-break.
+
+    Scale shape: the (doc, term) tf table is filtered to the query terms
+    FIRST (isin on a literal list — pushed into the aggregate's input),
+    so df/dl/scalars and the scoring join all run on a candidate set
+    bounded by documents-containing-a-query-term, not the corpus. At
+    100 TB this is the query-time path over a precomputed tf index; the
+    global doc count and avgdl still come from the full corpus (one
+    1-row aggregate)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf_all = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # corpus stats need ALL terms (document length), so compute dl before
+    # restricting to the query vocabulary
+    dl = tf_all.groupBy("id").agg(F.sum("tf").alias("dl"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf_q = tf_all.filter(F.col("term").isin(query_terms))
+    dfreq = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf_q.join(dl, "id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "w",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "rank", "score", "n_matched")
+    )

@@ -1408,3 +1408,48 @@ def d10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_T13_TERMS = ["spark", "hash", "window"]
+
+
+@query(
+    "t13_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), tf_all AS (
+      SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf_all GROUP BY id
+    ), scalars AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf_q AS (
+      SELECT * FROM tf_all WHERE term IN ({", ".join(f"'{t}'" for t in _T13_TERMS)})
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf_q GROUP BY term
+    ), scored AS (
+      SELECT tf_q.id,
+        ROUND(SUM(
+          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        ), 6) AS score,
+        COUNT(*) AS n_matched
+      FROM tf_q JOIN dl USING (id) JOIN dfreq USING (term), scalars
+      GROUP BY tf_q.id
+    )
+    SELECT id AS doc_id, rank, score, n_matched
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def t13_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: rank the corpus for a 3-term query, top-20. See
+    ``operators/text.py::bm25_search`` — the tf table restricts to the
+    query vocabulary before df/scoring, so query-time work is bounded by
+    documents containing a query term, not corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.bm25_search(docs, _T13_TERMS, k=20)
