@@ -92,18 +92,26 @@ def categorical_profile(df: DataFrame, col: str) -> DataFrame:
     """A2: count / distinct / mode for one categorical column.
 
     Mode via a single groupBy + deterministic tie-break on the value itself
-    (pandas ``describe`` picks first-sorted on ties too).
+    (pandas ``describe`` picks first-sorted on ties too). The (max count,
+    min value) argmax is ``min(struct(-cnt, value))`` — one ordinary
+    aggregate with a map-side partial, NOT a global ``row_number`` window
+    (which would funnel the whole distinct-value table through one
+    partition).
     """
     counted = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
-    ranked = counted.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("value")))
-    )
-    return ranked.agg(
+    return counted.agg(
         F.lit(col).alias("column"),
         F.sum("cnt").alias("count"),
         F.count(F.lit(1)).alias("unique"),
-        F.max(F.when(F.col("rk") == 1, F.col("value"))).alias("top"),
-        F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("freq"),
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("value").alias("value"))
+        ).alias("_m"),
+    ).select(
+        "column",
+        "count",
+        "unique",
+        F.col("_m.value").alias("top"),
+        (-F.col("_m.neg_cnt")).alias("freq"),
     )
 
 
@@ -137,6 +145,8 @@ def value_counts(df: DataFrame, col: str, normalize: bool = False) -> DataFrame:
     """
     out = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("count"))
     if normalize:
+        # global window, but over the GROUPED result — bounded by the
+        # column's distinct-value cardinality, not the table size
         total = Window.partitionBy()
         out = out.withColumn(
             "share", (F.col("count") / F.sum("count").over(total)).cast("double")
@@ -176,6 +186,8 @@ def joint_bool_dist(df: DataFrame, a: str, b: str) -> DataFrame:
     cells = df.groupBy(F.col(a).alias("a"), F.col(b).alias("b")).agg(
         F.count(F.lit(1)).alias("count")
     )
+    # global window over the 2×2 (|a|·|b|-cell) grouped table — bounded by
+    # the product of the two bool/categorical cardinalities, never by rows
     total = Window.partitionBy()
     return cells.withColumn(
         "share", (F.col("count") / F.sum("count").over(total)).cast("double")
@@ -251,7 +263,8 @@ def mutual_information(df: DataFrame, x: str, y: str) -> DataFrame:
     """A14: mutual information I(X;Y) between two discrete columns, in nats.
 
     Single groupBy over (x, y); marginals via windows over the aggregated
-    (tiny) contingency table — no second pass over the data.
+    contingency table — no second pass over the data. The global-total
+    window is bounded by |X|·|Y| cells (discrete columns), never by rows.
     """
     joint = df.groupBy(F.col(x).alias("x"), F.col(y).alias("y")).agg(
         F.count(F.lit(1)).alias("nxy")

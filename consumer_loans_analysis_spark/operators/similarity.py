@@ -315,15 +315,24 @@ def embedding_near_dupes_blocked(
 
     - pack each hash-block of vectors into ONE row holding the
       L2-normalized block matrix (``applyInPandas``);
-    - join block pairs with ``block_a <= block_b`` — B(B+1)/2 rows moving
-      B² matrices, NOT n² vector pairs;
+    - explode BOTH sides to (block_a, block_b) pair keys (a-side: block i
+      → keys (i, j≥i); b-side: block j → keys (i≤j, j)) and equi-join on
+      the composite key — each side ships each block ~B/2 times through a
+      SHUFFLE, so a task holds exactly the two blocks of its pairs. No
+      broadcast: a broadcast of the packed table would ship the ENTIRE
+      normalized corpus to every executor, which no broadcast budget
+      survives at scale (AQE may still pick broadcast at tiny SF, where
+      it genuinely fits — that is a size-based runtime decision, not a
+      plan requirement);
     - one numpy GEMM per block pair (``mapInPandas``), emit only
       qualifying pairs.
 
-    Cluster shape: parallelism = block pairs; per-task memory = two
-    (n/B × dim) float64 matrices — size ``n_blocks`` so a block fits
-    executor memory. Zero vectors get NaN rows (cos undefined) and can
-    never qualify, matching the Column path's try_divide → NULL.
+    Cluster shape: parallelism = B(B+1)/2 block pairs spread by composite
+    -key hash; per-task memory = two (n/B × dim) float64 matrices — size
+    ``n_blocks`` so a block fits executor memory; shuffle volume = ~B ×
+    corpus, the price of exact Θ(n²). Zero vectors get NaN rows (cos
+    undefined) and can never qualify, matching the Column path's
+    try_divide → NULL.
     """
     import numpy as np
 
@@ -353,18 +362,25 @@ def embedding_near_dupes_blocked(
             }
         )
 
-    packed = e.groupBy("block").applyInPandas(pack, pack_schema)
+    # materialize the packed table once — a and b below are two consumers
+    # and Catalyst does not reuse the applyInPandas exchange across join
+    # branches (cluster equivalent: persist to executor-local disk)
+    packed = e.groupBy("block").applyInPandas(pack, pack_schema).localCheckpoint()
     a = packed.select(
-        F.col("block").alias("block_a"), F.col("ids").alias("ids_a"),
+        F.col("block").alias("block_a"),
+        F.explode(F.sequence(F.col("block"), F.lit(n_blocks - 1))).alias("block_b"),
+        F.col("ids").alias("ids_a"),
         F.col("mat").alias("mat_a"), F.col("n").alias("n_a"),
         F.col("dim").alias("dim_a"),
     )
     b = packed.select(
-        F.col("block").alias("block_b"), F.col("ids").alias("ids_b"),
+        F.explode(F.sequence(F.lit(0), F.col("block"))).alias("block_a"),
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
         F.col("mat").alias("mat_b"), F.col("n").alias("n_b"),
         F.col("dim").alias("dim_b"),
     )
-    blk = a.join(F.broadcast(b), F.col("block_a") <= F.col("block_b"))
+    blk = a.join(b, ["block_a", "block_b"])
 
     def gemm(batches):
         for pdf in batches:

@@ -151,7 +151,12 @@ def redact(
     text AS ALREADY SCRUBBED by the preceding patterns — so with
     overlapping patterns (e.g. the phone regex also matching an IP) the
     per-pattern counts sum to the number of replacements actually made,
-    not to double-counted spans.
+    not to double-counted spans. ORACLE WARNING: any correctness oracle
+    must replicate this sequential-scrub counting (count pattern i on the
+    text with patterns 0..i-1 already replaced); counting every pattern
+    on the ORIGINAL text only agrees when the patterns are pairwise
+    disjoint on the data — true for the t7 denylist tokens, NOT true for
+    PII_PATTERNS (phone overlaps ipv4).
 
     Map-only pure Column expressions — ``regexp_replace``/``regexp_count``
     run JVM-side inside whole-stage codegen; at 100 TB this is a scan-rate
@@ -192,10 +197,12 @@ def bm25_top_terms(
     (verified via explain). So tf is cached: at ~16 bytes + term per row it
     is roughly the size of the deduplicated corpus vocabulary per doc, far
     smaller than re-reading the text 4×; on a cluster this would be a
-    checkpoint/persist to local disk. (The cache is deliberately left to
-    Spark's storage-memory LRU rather than unpersisted — the returned
-    DataFrame is lazy, so the operator cannot know when the caller's last
-    action has run.) dl/df/scalars are then
+    checkpoint/persist to local disk. Materialized via an eager
+    ``localCheckpoint`` rather than ``.cache()``: the operator cannot know
+    when the caller's last action runs, and cached plans pile up in the
+    CacheManager for the life of the session, while checkpoint blocks are
+    reclaimed by the ContextCleaner as soon as the returned frame is
+    garbage-collected. dl/df/scalars are then
     broadcast-joined back; top-k is a per-doc window with a
     WindowGroupLimit pre-rank. Term ties break lexicographically so
     results are deterministic.
@@ -203,7 +210,7 @@ def bm25_top_terms(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scalars = dl.agg(
@@ -332,7 +339,14 @@ def bm25_search(
     bounded by documents-containing-a-query-term, not the corpus. At
     100 TB this is the query-time path over a precomputed tf index; the
     global doc count and avgdl still come from the full corpus (one
-    1-row aggregate)."""
+    1-row aggregate).
+
+    Top-k is ``orderBy(...).limit(k)`` — TakeOrderedAndProject (a
+    per-partition k-row heap merged on the driver), NOT an unpartitioned
+    ``row_number`` window: for a common query term the matching set is
+    corpus-sized, and a global window would funnel all of it through one
+    partition. Rank is then derived on the ≤k surviving rows by collapsing
+    them into a single sorted array (bounded by k, no window)."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
     )
@@ -363,11 +377,22 @@ def bm25_search(
             F.count(F.lit(1)).alias("n_matched"),
         )
     )
-    from pyspark.sql import Window
-
-    rk = Window.orderBy(F.desc("score"), F.asc("id"))
+    topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    # rank over ≤k rows without a WindowExec: negated-score-first struct
+    # sorts (score desc, id asc) under default struct ordering
+    key = F.struct(
+        (-F.col("score")).alias("neg_score"),
+        F.col("id").alias("id"),
+        F.col("score").alias("score"),
+        F.col("n_matched").alias("n_matched"),
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(rk))
-        .filter(F.col("rank") <= k)
-        .select(F.col("id").alias(id_col), "rank", "score", "n_matched")
+        topk.agg(F.array_sort(F.collect_list(key)).alias("xs"))
+        .select(F.posexplode("xs").alias("pos", "x"))
+        .select(
+            F.col("x.id").alias(id_col),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("x.score").alias("score"),
+            F.col("x.n_matched").alias("n_matched"),
+        )
     )

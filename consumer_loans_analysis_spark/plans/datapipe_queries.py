@@ -916,20 +916,32 @@ def o8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def drift1_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mix drift monitor: KL(P_source || P_global) over word
     unigram distributions, per source shard. One explode + one
-    (source, word) count shuffle; the three marginals are windows over the
-    TINY aggregated (source × vocab) table, so the heavy token table is
-    aggregated exactly once. Every source word exists globally by
-    construction, so no zero-support terms."""
+    (source, word) count shuffle; the heavy token table is aggregated
+    exactly once (the counted table is localCheckpoint'ed so its two
+    consumers don't re-explode the corpus — on a cluster this is a
+    persist-to-local-disk; blocks are GC'd with the DataFrame). The
+    marginals avoid serial windows entirely: ``c_s`` is a
+    #sources-row aggregate broadcast-joined back, ``c_tot`` a 1-row
+    aggregate cross-joined broadcast (the t8/t13 n_docs/avgdl idiom) —
+    a ``Window.partitionBy()`` here would funnel the whole
+    (source × vocab) table through ONE partition. ``c_w`` stays a
+    per-word window (groups bounded by #sources). Every source word
+    exists globally by construction, so no zero-support terms."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(text.words(F.col("text"))).alias("w"))
-    c = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
-    t = c.select(
-        "source", "w", "c_sw",
-        F.sum("c_sw").over(Window.partitionBy("source")).alias("c_s"),
-        F.sum("c_sw").over(Window.partitionBy("w")).alias("c_w"),
-        F.sum("c_sw").over(Window.partitionBy()).alias("c_tot"),
+    c = (
+        tok.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .localCheckpoint()
+    )
+    cs = c.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
+    tot = cs.agg(F.sum("c_s").alias("c_tot"))
+    t = (
+        c.withColumn("c_w", F.sum("c_sw").over(Window.partitionBy("w")))
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(tot))
     )
     p = F.col("c_sw").cast("double") / F.col("c_s")
     q = F.col("c_w").cast("double") / F.col("c_tot")
@@ -942,7 +954,11 @@ def drift1_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token denylist for the oracle-gated redaction query: the synthetic corpus
 # has no digits/emails, so PII_PATTERNS would be a zero-match (trivial) test;
 # these word-boundary patterns hit real tokens and exercise the identical
-# regexp_count/regexp_replace path.
+# regexp_count/regexp_replace path. The oracle below counts both patterns on
+# the ORIGINAL text — valid ONLY because these two tokens are pairwise
+# disjoint; redact() counts sequentially on already-scrubbed text, so an
+# oracle for overlapping patterns (e.g. PII_PATTERNS, where phone overlaps
+# ipv4) must replicate the sequential scrub (see operators/text.py::redact).
 _T7_PATTERNS = {
     "keyword": r"\bkey\b",
     "hashword": r"\bhash\b",
@@ -1182,7 +1198,13 @@ def t9_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_big = docs.select(
         "doc_id", F.explode(bigrams).alias("b")
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    bc = doc_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    # eager localCheckpoint, not .cache(): blocks are GC'd with the frame
+    # instead of accumulating in the CacheManager across a 132-query session
+    bc = (
+        doc_big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
+    )
     uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     model = bc.join(uc, "w1").withColumn(
         "logp", F.log(F.col("c12").cast("double") / F.col("c1"))
@@ -1398,14 +1420,14 @@ def d10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = stream_dedup_corpus(
             spark, src, f"{work}/state", f"{work}/ckpt", threshold=0.8
         )
-        # materialize before the tmp dir disappears
-        out = spark.createDataFrame(
-            pairs.select(
-                "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
-            ).collect(),
-            schema="id_a long, id_b long, jaccard double",
-        )
-        return out
+        # materialize before the tmp dir disappears — eager localCheckpoint
+        # keeps the (bounded) pair set in executor storage without ever
+        # pulling rows through the driver; blocks are GC'd with the frame
+        return pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("jaccard", 9).cast("double").alias("jaccard"),
+        ).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

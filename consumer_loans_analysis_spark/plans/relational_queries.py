@@ -872,8 +872,11 @@ def merge1_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n
     UNION ALL
     SELECT 'unique_o_orderkey', n.n_rows,
-      (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
-      (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0
+      -- COUNT(col), not COUNT(*): the unique rule is NULL-exempt (NULL keys
+      -- are dropped before grouping in operators/quality.py), so the oracle
+      -- must not count NULL-keyed rows as violations either
+      (SELECT CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+      (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders) = 0
     FROM n
     UNION ALL
     SELECT 'set_o_orderstatus', n.n_rows,

@@ -33,12 +33,15 @@ def _spread_bits(v: Column, bits: int) -> Column:
 
 def morton_code(x: Column, y: Column, bits: int = 16) -> Column:
     """Interleave the lowest ``bits`` bits of two non-negative int columns
-    into a single Z-order key (x in even positions, y in odd). Values are
-    clamped into range, so callers should first quantile-bucket or scale
-    each dimension to [0, 2^bits)."""
-    mask = F.lit((1 << bits) - 1)
-    xs = _spread_bits(x.cast("long").bitwiseAND(mask), bits)
-    ys = _spread_bits(y.cast("long").bitwiseAND(mask), bits)
+    into a single Z-order key (x in even positions, y in odd). Out-of-range
+    values SATURATE to [0, 2^bits): a wrap (plain bit-masking) would map an
+    overflowing coordinate to a small code and destroy Z-curve locality.
+    Callers should still quantile-bucket or scale each dimension to
+    [0, 2^bits) — clamping is a safety net, not a normalizer."""
+    hi = F.lit((1 << bits) - 1).cast("long")
+    zero = F.lit(0).cast("long")
+    xs = _spread_bits(F.least(F.greatest(x.cast("long"), zero), hi), bits)
+    ys = _spread_bits(F.least(F.greatest(y.cast("long"), zero), hi), bits)
     return (xs + F.shiftleft(ys, 1)).alias("zorder")
 
 

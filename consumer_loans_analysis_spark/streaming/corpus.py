@@ -10,9 +10,14 @@ O(batch + matched candidates), the property that makes dedup-on-ingest
 viable at 100 TB (batch d8 is the exact-dup analogue; d3 documents the
 signature scheme).
 
-State layout (parquet, append-only — foreachBatch writes both tables
-transactionally enough for the availableNow test drain; production would
-use a lakehouse table with MERGE):
+State layout (parquet, PARTITIONED BY the foreachBatch ``batch_id`` with
+dynamic partition overwrite, which makes every write IDEMPOTENT: a
+foreachBatch retry after a partial failure re-overwrites exactly its own
+batch partition instead of appending a duplicate copy, and the batch's
+own half-written state is excluded from the probe reads by a
+``batch_id != current`` partition-pruned filter. Production would use a
+lakehouse table with MERGE; partition-overwrite is the plain-parquet
+equivalent):
 - ``bands/``: (id, band_idx, band_key) — the LSH index the next batches
   probe with an equi-join.
 - ``arrs/``:  (id, arr) — hashed-shingle arrays for exact-Jaccard
@@ -54,10 +59,14 @@ def _verify(candidates: DataFrame, arrs_a: DataFrame, arrs_b: DataFrame, thresho
 
 
 def ingest_batch(
-    batch_docs: DataFrame, state_dir: str, threshold: float = 0.8
+    batch_docs: DataFrame, state_dir: str, threshold: float = 0.8,
+    batch_id: int = 0,
 ) -> None:
     """Process one micro-batch: detect near-dups (batch-internal + vs the
-    persistent index), append verified pairs, then index the batch."""
+    persistent index), write verified pairs, then index the batch. All
+    three state writes are keyed by ``batch_id`` (dynamic partition
+    overwrite), so a retried batch replaces its own partition — no
+    duplicated index rows or emitted pairs."""
     spark = batch_docs.sparkSession
     arr_new = (
         dedup.shingle_hash_arrays(batch_docs)
@@ -81,8 +90,14 @@ def ingest_batch(
     arrs_path = os.path.join(state_dir, "arrs")
     pairs_path = os.path.join(state_dir, "pairs")
     if os.path.isdir(bands_path):
-        bands_old = spark.read.parquet(bands_path)
-        arrs_old = spark.read.parquet(arrs_path)
+        # exclude this batch's own (possibly half-written, pre-retry)
+        # partition from the probe — partition-pruned, reads no data files
+        bands_old = spark.read.parquet(bands_path).filter(
+            F.col("batch_id") != batch_id
+        ).drop("batch_id")
+        arrs_old = spark.read.parquet(arrs_path).filter(
+            F.col("batch_id") != batch_id
+        ).drop("batch_id")
         # cross-batch candidates: new bands probe the persistent index.
         # Normalize pair order on ids so each pair appears exactly once.
         cand_cross = (
@@ -101,9 +116,18 @@ def ingest_batch(
         arrs_all = arrs_old.unionByName(arr_new)
         pairs = pairs.unionByName(_verify(cand_cross, arrs_all, arrs_all, threshold))
 
-    pairs.write.mode("append").parquet(pairs_path)
-    bands_new.write.mode("append").parquet(bands_path)
-    arr_new.write.mode("append").parquet(arrs_path)
+    def _write(df: DataFrame, path: str) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    _write(pairs, pairs_path)
+    _write(bands_new, bands_path)
+    _write(arr_new, arrs_path)
     arr_new.unpersist()
     bands_new.unpersist()
 
@@ -129,11 +153,13 @@ def stream_dedup_corpus(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda bdf, bid: ingest_batch(bdf, state_dir, threshold)
+            lambda bdf, bid: ingest_batch(bdf, state_dir, threshold, batch_id=bid)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     _await_drained(q, timeout_sec)
-    return spark.read.parquet(os.path.join(state_dir, "pairs"))
+    return spark.read.parquet(os.path.join(state_dir, "pairs")).select(
+        "id_a", "id_b", "jaccard"
+    )

@@ -28,6 +28,20 @@ def test_morton_code_matches_reference(spark):
     assert _morton_ref(3, 5, 16) ^ _morton_ref(3, 4, 16) < 16
 
 
+def test_morton_code_saturates_out_of_range(spark):
+    """Out-of-range coordinates must CLAMP to the edge of the grid, not
+    wrap modulo 2^bits — a wrap maps an overflowing value to a small code
+    and destroys Z-curve locality."""
+    df = spark.createDataFrame(
+        [(1 << 20, 5), (-3, 5), (7, (1 << 20) + 123)], schema="x long, y long"
+    )
+    got = [r["zorder"] for r in df.select(morton_code(F.col("x"), F.col("y"), 16)).collect()]
+    hi = (1 << 16) - 1
+    assert got[0] == _morton_ref(hi, 5, 16)   # x saturates high
+    assert got[1] == _morton_ref(0, 5, 16)    # x saturates low
+    assert got[2] == _morton_ref(7, hi, 16)   # y saturates high
+
+
 def test_zorder_write_tightens_file_stats(spark, sf_dir, tmp_path):
     """The point of the layout: per-file (min,max) ranges on BOTH
     dimensions must cover far less of the value space than an arbitrary

@@ -249,6 +249,40 @@ def test_stream_dedup_across_microbatches(spark, sf_dir, tmp_path, batch_events)
     assert got.select("event_id").distinct().count() == n
 
 
+def test_corpus_ingest_batch_retry_idempotent(spark, sf_dir, tmp_path):
+    """A foreachBatch retry (same batch_id) must be a no-op on the corpus
+    dedup state: writes are keyed by batch_id with dynamic partition
+    overwrite, so the retried batch replaces its own partition instead of
+    appending duplicate index rows / pairs."""
+    from consumer_loans_analysis_spark.streaming.corpus import ingest_batch
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    state = str(tmp_path / "corpus_state")
+
+    ingest_batch(b0, state, threshold=0.8, batch_id=0)
+    once = {
+        t: spark.read.parquet(os.path.join(state, t)).count()
+        for t in ("pairs", "bands", "arrs")
+    }
+    ingest_batch(b0, state, threshold=0.8, batch_id=0)  # simulated retry
+    ingest_batch(b1, state, threshold=0.8, batch_id=1)
+    ingest_batch(b1, state, threshold=0.8, batch_id=1)  # retry of batch 2
+    after = {
+        t: spark.read.parquet(os.path.join(state, t))
+        for t in ("pairs", "bands", "arrs")
+    }
+    # batch-0 partitions unchanged by the retry
+    assert after["arrs"].filter(F.col("batch_id") == 0).count() == once["arrs"]
+    assert after["bands"].filter(F.col("batch_id") == 0).count() == once["bands"]
+    # one arr/doc and one pair/(a,b) globally — no duplicates anywhere
+    arrs = after["arrs"]
+    assert arrs.count() == arrs.select("id").distinct().count()
+    pairs = after["pairs"].select("id_a", "id_b")
+    assert pairs.count() == pairs.distinct().count()
+
+
 def test_transform_with_state_recent_mean(spark, sf_dir, batch_events):
     """Spark 4 transformWithStateInPandas operator: per-user mean of the 3
     most recent values. Skips where the TWS python protocol (protobuf)
