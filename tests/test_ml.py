@@ -135,6 +135,57 @@ def test_successive_halving_beats_random_at_equal_budget():
     assert [r["n"] for r in sha["rungs"]] == [16, 4, 1]
 
 
+def test_sha_min_fraction_floors_rungs():
+    """min_fraction clamps the early-rung resource (the high-variance-
+    estimator guard) without changing survivor bookkeeping."""
+    from consumer_loans_analysis_spark.ml.tuning import successive_halving
+
+    space = {"x": ("uniform", 0.0, 1.0)}
+    sha = successive_halving(
+        lambda p, f: -((p["x"] - 0.5) ** 2), space,
+        n_configs=16, eta=4, seed=7, min_fraction=0.25,
+    )
+    assert [r["fraction"] for r in sha["rungs"]] == [0.25, 0.25, 1.0]
+    assert [r["n"] for r in sha["rungs"]] == [16, 4, 1]
+
+
+def test_tpe_beats_random_at_equal_budget():
+    """TPE-lite must land at least as close to the optimum as seeded
+    random search with the SAME number of objective evaluations, on a
+    smooth fixed synthetic objective (the reference tunes with optuna
+    TPE — modeling.py:213-233; this is the substitution's quality gate)."""
+    import numpy as np
+
+    from consumer_loans_analysis_spark.ml.tuning import sample_params, tpe_search
+
+    space = {
+        "x": ("uniform", 0.0, 1.0),
+        "y": ("loguniform", 0.01, 10.0),
+        "k": ("int", 1, 20),
+        "c": ("choice", ["a", "b", "c"]),
+    }
+
+    def true_value(p):
+        return (
+            -((p["x"] - 0.7) ** 2)
+            - (math.log(p["y"]) - math.log(0.5)) ** 2 / 10.0
+            - (p["k"] - 13) ** 2 / 400.0
+            + (0.1 if p["c"] == "b" else 0.0)
+        )
+
+    n_trials = 40
+    tpe = tpe_search(true_value, space, n_trials=n_trials, n_startup=10, seed=11)
+    rng = np.random.default_rng(11)
+    rand_best = max(true_value(sample_params(space, rng)) for _ in range(n_trials))
+    assert tpe["best_value"] >= rand_best
+    # every proposed config stays inside the declared space
+    for t in tpe["trials"]:
+        p = t["params"]
+        assert 0.0 <= p["x"] <= 1.0 and 0.01 <= p["y"] <= 10.0
+        assert 1 <= p["k"] <= 20 and isinstance(p["k"], int)
+        assert p["c"] in ("a", "b", "c")
+
+
 def test_optimize_improves_over_worst_trial(toy):
     result = optimize(
         lambda **kw: LogisticRegression(**kw),
