@@ -1,0 +1,80 @@
+"""Structural plan assertions for the round-3 scale fixes: the three
+plans the r02 audit flagged must never regress back to their
+single-partition / corpus-broadcast shapes.
+
+These assert on the PHYSICAL plan string, not timings — cheap, and they
+catch the regression even at test SF where the bad shapes are fast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.operators import similarity, text
+from consumer_loans_analysis_spark.sources.readers import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_search_has_no_window(spark, sf_dir):
+    """t13: global top-k must compile to TakeOrderedAndProject (per-
+    partition heap + driver merge), with NO WindowExec — an unpartitioned
+    row_number window funnels every matching document through one
+    partition."""
+    docs = read_table(spark, sf_dir, "documents")
+    plan = _plan(text.bm25_search(docs, ["spark", "hash"], k=20))
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_drift_marginals_avoid_global_window(spark, sf_dir):
+    """drift1: the global and per-source marginals must be broadcast
+    aggregates, not empty-partition windows. The surviving window is the
+    per-word one (groups bounded by #sources)."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    plan = _plan(registry.QUERIES["drift1_token_kl"](spark, sf_dir))
+    # windowspecdefinition(...) with no partition keys renders as
+    # "windowspecdefinition(x ASC..." — every window here must carry the
+    # word partition key
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "w#" in line or "w " in line, line
+    assert plan.count("Window") <= 1, plan
+
+
+def test_blocked_gemm_join_is_not_forced_broadcast(spark, sf_dir):
+    """d5: the block-pair join must be a (block_a, block_b) equi-join with
+    no plan-mandated corpus broadcast. AQE may still CHOOSE broadcast at
+    this tiny SF (size-based), so assert the logical shape instead: both
+    sides explode to pair keys and the join condition is the composite
+    equi-key, not a <= theta-join over a broadcast hint."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dupes_blocked(emb, threshold=0.45, n_blocks=8)
+    logical = pairs._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, logical
+    assert logical.lower().count("explode") >= 2, logical
+    # and the result still matches the plain-column exact path on a sample
+    got = {
+        (r["id_a"], r["id_b"]) for r in pairs.collect()
+    }
+    e = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.try_divide(dot, norm("va") * norm("vb")))
+        .filter(F.col("cos") >= 0.45)
+        .collect()
+    }
+    assert got == want
