@@ -128,21 +128,31 @@ def successive_halving(
     owns all Spark work, which keeps this testable against synthetic
     objectives.
     """
+    import json as _json
+
     rng = np.random.default_rng(seed)
     survivors = [sample_params(space, rng) for _ in range(n_configs)]
     s = max(1, math.ceil(math.log(n_configs, eta)))
     trials, rungs = [], []
+    memo: dict[tuple[str, float], float] = {}
     for r in range(s + 1):
         fraction = float(eta ** (r - s))
         if min_fraction is not None:
             fraction = max(fraction, float(min_fraction))
         scored = []
         for params in survivors:
-            value = float(evaluate(params, fraction))
+            # floored schedules give consecutive rungs the SAME fraction;
+            # evaluate is deterministic per (config, fraction), so memoize
+            # instead of burning budget re-scoring survivors (observed: a
+            # 64-config floored run re-evaluated rungs 1-4 verbatim)
+            key = (_json.dumps(params, sort_keys=True), fraction)
+            if key not in memo:
+                memo[key] = float(evaluate(params, fraction))
+                trials.append(
+                    {"rung": r, "fraction": fraction, "params": params, "value": memo[key]}
+                )
+            value = memo[key]
             scored.append((value, params))
-            trials.append(
-                {"rung": r, "fraction": fraction, "params": params, "value": value}
-            )
         scored.sort(key=lambda t: t[0], reverse=True)
         keep = max(1, math.ceil(len(scored) / eta)) if r < s else 1
         survivors = [p for _, p in scored[:keep]]
