@@ -658,6 +658,87 @@ def pipe1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mix1_temperature_mixture",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ), per_source AS (
+      SELECT source, CAST(SUM(n_words) AS BIGINT) AS t_s FROM d GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(t_s) AS BIGINT) AS t_all,
+        CAST(SUM(CAST(sqrt(CAST(t_s AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS z
+      FROM per_source
+    ), rates AS (
+      SELECT source,
+        least(1.0, ((0.5 * CAST(t_all AS DOUBLE))
+                    * (sqrt(CAST(t_s AS DOUBLE)) / z))
+                   / CAST(t_s AS DOUBLE)) AS p_s
+      FROM per_source, tot
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_words AS BIGINT) AS n_words,
+      ROUND(rates.p_s, 6) AS p_keep
+    FROM d JOIN rates USING (source)
+    WHERE CAST(concat('0x', substr(md5(concat('mix1:', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+          / 4294967296.0 < rates.p_s
+    """,
+)
+def mix1_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (the PaLM/DoReMi corpus-mixture op):
+    per-source keep-rates are COMPUTED from the data — source weights
+    w_s ∝ T_s^τ (τ = 0.5: up-weights small domains, flattens big ones),
+    normalized so the kept corpus targets half the total tokens:
+    p_s = min(1, B·(w_s/Σw)/T_s) with B = 0.5·ΣT_s. Docs are then kept by
+    the deterministic content-hash Bernoulli (the o4b/o7 property: the
+    kept SET is a pure function of the data — reproducible across engines,
+    partitionings, retries, and incremental appends).
+
+    Plan shape: one per-source token aggregate (#sources rows) →
+    1-row global aggregate → rates broadcast-joined back → map-only hash
+    filter. At 100 TB the per-source token totals are table metadata; the
+    sampling pass itself is scan-rate with zero shuffle. Engine-parity
+    note: Σ sqrt(T_s) accumulates in DECIMAL(38,18) on both sides (sqrt is
+    IEEE-correctly-rounded, decimal addition is exact and order-free), so
+    the boundary comparison cannot flip between Spark and the oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_words")
+    )
+    per_source = d.groupBy("source").agg(F.sum("n_words").alias("t_s"))
+    glob = per_source.agg(
+        F.sum("t_s").alias("t_all"),
+        F.sum(F.sqrt(F.col("t_s").cast("double")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("z"),
+    )
+    rates = per_source.crossJoin(F.broadcast(glob)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (
+                (F.lit(0.5) * F.col("t_all").cast("double"))
+                * (F.sqrt(F.col("t_s").cast("double")) / F.col("z"))
+            )
+            / F.col("t_s").cast("double"),
+        ).alias("p_s"),
+    )
+    unit = (
+        text.portable_hash(F.concat(F.lit("mix1:"), F.col("doc_id").cast("string")))
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(unit < F.col("p_s"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round("p_s", 6).alias("p_keep"),
+        )
+    )
+
+
+@query(
     "d7_duplicate_spans",
     oracle="""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
