@@ -5,12 +5,21 @@ optuna is not in this container, so the harness offers:
 
 - ``optimize``: SEEDED RANDOM SEARCH over the same declared spaces
   (documented substitution; random search is the standard strong baseline
-  for TPE), and
+  for TPE),
 - ``optimize_sha``: SUCCESSIVE HALVING (Jamieson & Talwalkar, AISTATS'16 —
   the algorithm under Hyperband/ASHA and the pruner role in the reference's
   MedianPruner): many configs at a small data fraction, promote the top
   1/eta each rung, full data only for the finalists. At the same total
-  budget it evaluates ~eta× more configurations than random search.
+  budget it evaluates ~eta× more configurations than random search. Pass
+  ``min_fraction`` for high-variance estimators (RF) — unfloored rungs
+  mis-rank them (measured, TUNING.json), and
+- ``optimize_tpe``: TPE-LITE (Bergstra et al., NeurIPS 2011 — the same
+  estimator family optuna's TPESampler implements): factored Parzen
+  densities over the top-γ vs rest trials, candidates drawn from the
+  good-trial kernels, argmax l(x)/g(x). Beats seeded random search at
+  equal budget on the fixed synthetic objective (tests/test_ml.py) and
+  on the live GBT task (TUNING.json r3: guided trials 14-20 all above
+  the random-startup band).
 
 The structure matches the reference: ``optimize(space, objective,
 n_trials)`` where each objective evaluation is a Spark-evaluated CV mean;
