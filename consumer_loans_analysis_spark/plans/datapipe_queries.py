@@ -973,6 +973,66 @@ def o8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq2_robust_outliers",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ), med AS (
+      SELECT source, median(n_words) AS med FROM d GROUP BY source
+    ), dev AS (
+      SELECT d.doc_id, d.source, d.n_words, abs(d.n_words - med.med) AS absdev
+      FROM d JOIN med USING (source)
+    ), mad AS (
+      SELECT source, median(absdev) AS mad FROM dev GROUP BY source
+    )
+    SELECT dev.doc_id, dev.source, CAST(dev.n_words AS BIGINT) AS n_words,
+      ROUND(0.6745 * dev.absdev / mad.mad, 4) AS robust_z
+    FROM dev JOIN mad USING (source)
+    WHERE mad.mad > 0 AND 0.6745 * dev.absdev / mad.mad > 1.5
+    """,
+)
+def dq2_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain robust length-outlier detection (Iglewicz-Hoaglin
+    modified z-score): flag documents whose word count deviates from
+    their source's MEDIAN by more than 1.5 robust sigmas
+    (0.6745·|n − median| / MAD; production cut is typically 3.5 — this
+    corpus's synthetic lengths are tight, so the test threshold sits
+    where the rule actually fires) — the outlier rule that survives
+    heavy-tailed length distributions where mean/std flag half the
+    corpus. A standard curation pass before length-based packing.
+
+    Plan shape: two per-source exact-percentile aggregates (#sources
+    groups) + two broadcast joins back; the doc table never shuffles.
+    Exact ``percentile`` buffers each group's values — the CORRECTNESS
+    path here; at 100 TB swap in ``approx_percentile`` (t-digest sketch,
+    bounded memory, one pass) — the flag threshold dwarfs the sketch
+    error. MAD = 0 sources (half-plus docs identical length) are
+    excluded rather than dividing by zero — both engines would disagree
+    on inf handling, and 'every doc an outlier' is statistically wrong."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_words")
+    )
+    med = d.groupBy("source").agg(F.expr("percentile(n_words, 0.5)").alias("med"))
+    dev = d.join(F.broadcast(med), "source").withColumn(
+        "absdev", F.abs(F.col("n_words") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    z = F.lit(0.6745) * F.col("absdev") / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .filter((F.col("mad") > 0) & (z > 1.5))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(z, 4).alias("robust_z"),
+        )
+    )
+
+
+@query(
     "drift1_token_kl",
     oracle="""
     WITH tok AS (
