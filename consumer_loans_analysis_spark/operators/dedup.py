@@ -236,7 +236,12 @@ def minhash_near_dupes(
     # fresh-process end-to-end at sf0.1 drops ~5.7 s → ~4 s because driver
     # analysis + codegen of the narrow plan is much cheaper. (The per-plan
     # overhead dominates this operator at bench scale; see SCALING.md.)
-    banded = band_keys_table(arr_tbl, num_hashes, rows_per_band)
+    # banded feeds BOTH sides of the candidate join; without
+    # materialization the 64-hash signature fold runs twice (AQE
+    # broadcasts one side at small SF, so ReusedExchange can't kick in).
+    # Eager localCheckpoint = materialize the LSH index once — exactly
+    # what a production pipeline does with its band index table.
+    banded = band_keys_table(arr_tbl, num_hashes, rows_per_band).localCheckpoint()
     left = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     candidates = (
