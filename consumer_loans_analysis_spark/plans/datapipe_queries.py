@@ -973,6 +973,59 @@ def o8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk1_context_windows",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), starts AS (
+      SELECT doc_id, w, UNNEST(range(1, GREATEST(len(w) - 8, 1) + 1, 24)) AS s
+      FROM d
+    )
+    SELECT doc_id,
+      CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+      CAST(LEAST(32, len(w) - s + 1) AS BIGINT) AS n_words,
+      md5(array_to_string(w[s:LEAST(s + 31, len(w))], ' ')) AS chunk_md5
+    FROM starts
+    """,
+)
+def chunk1_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (the pretraining tokenize-and-pack
+    precursor): split each document into 32-word chunks with an 8-word
+    overlap (stride 24 — window/overlap sized to this corpus's 10-99-word
+    synthetic docs; a production 128/16 is the same plan), emitting the
+    chunk id, its length, and an md5
+    over the exact chunk text so the oracle hash-checks the SPLIT ITSELF,
+    not just counts. Chunk starts that would yield only overlap-tail
+    words are not emitted (start positions run to len−8, so every chunk
+    adds ≥1 new word and short docs produce exactly one chunk; division
+    by the stride floors exactly because kept starts are 1 + k·stride).
+
+    Plan shape: map-only — a per-row start-position ``sequence`` explode
+    and pure slice/hash arithmetic; no shuffle anywhere, scan-rate at any
+    scale (the explode multiplies rows by ~len/112, the same factor the
+    chunked OUTPUT inherently has)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(w) - 8, F.lit(1)), F.lit(24)
+    )
+    d = docs.select("doc_id", w.alias("w"), F.explode(starts).alias("s"))
+    return d.select(
+        "doc_id",
+        ((F.col("s") - 1) / 24).cast("long").alias("chunk_idx"),
+        F.least(F.lit(32), F.size("w") - F.col("s") + 1)
+        .cast("long")
+        .alias("n_words"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("w"), F.col("s"), F.least(F.lit(32), F.size("w") - F.col("s") + 1)),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+@query(
     "dq2_robust_outliers",
     oracle="""
     WITH d AS (
