@@ -46,6 +46,16 @@ def test_drift_marginals_avoid_global_window(spark, sf_dir):
     assert plan.count("Window") <= 1, plan
 
 
+def test_chunking_is_map_only(spark, sf_dir):
+    """chunk1: context-window chunking must stay a pure scan-rate plan —
+    no Exchange of any kind (the explode multiplies rows map-side)."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    plan = _plan(registry.QUERIES["chunk1_context_windows"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
 def test_blocked_gemm_join_is_not_forced_broadcast(spark, sf_dir):
     """d5: the block-pair join must be a (block_a, block_b) equi-join with
     no plan-mandated corpus broadcast. AQE may still CHOOSE broadcast at
