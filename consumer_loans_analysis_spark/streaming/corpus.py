@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 
 from consumer_loans_analysis_spark.operators import dedup
 
+# Explicit state-table schemas. Partitioned dynamic-overwrite writes of an
+# EMPTY DataFrame create the partition directory with no data files, so a
+# later schema-inferring read would raise "Unable to infer schema" — e.g.
+# pairs/ on a corpus with no near-dups at all, or bands/arrs after a batch
+# whose documents were all shorter than the shingle width. Every state read
+# therefore declares its schema instead of inferring it.
+_BANDS_SCHEMA = "id bigint, band_idx int, band_key bigint, batch_id int"
+_ARRS_SCHEMA = "id bigint, arr array<bigint>, batch_id int"
+_PAIRS_SCHEMA = "id_a bigint, id_b bigint, jaccard double, batch_id int"
+
 
 # (id, band_idx, band_key) index rows come from the SAME function as the
 # batch operator (dedup.band_keys_table -- seeded coefficients, fold-style
@@ -90,13 +100,20 @@ def ingest_batch(
     arrs_path = os.path.join(state_dir, "arrs")
     pairs_path = os.path.join(state_dir, "pairs")
     if os.path.isdir(bands_path):
-        # exclude this batch's own (possibly half-written, pre-retry)
-        # partition from the probe — partition-pruned, reads no data files
-        bands_old = spark.read.parquet(bands_path).filter(
-            F.col("batch_id") != batch_id
+        # Probe STRICTLY EARLIER batches only (partition-pruned, reads no
+        # data files from pruned partitions). ``< batch_id`` rather than
+        # ``!=``: both exclude this batch's own possibly half-written
+        # pre-retry partition (structured streaming only ever replays the
+        # LATEST uncommitted batch), but ``<`` additionally makes manual
+        # out-of-order reprocessing of an OLD batch (backfill, checkpoint
+        # surgery) safe — a replayed batch can never see state written by
+        # later batches, so it cannot re-emit cross-batch pairs that the
+        # later batch's partition already stores.
+        bands_old = spark.read.schema(_BANDS_SCHEMA).parquet(bands_path).filter(
+            F.col("batch_id") < batch_id
         ).drop("batch_id")
-        arrs_old = spark.read.parquet(arrs_path).filter(
-            F.col("batch_id") != batch_id
+        arrs_old = spark.read.schema(_ARRS_SCHEMA).parquet(arrs_path).filter(
+            F.col("batch_id") < batch_id
         ).drop("batch_id")
         # cross-batch candidates: new bands probe the persistent index.
         # Normalize pair order on ids so each pair appears exactly once.
@@ -160,6 +177,9 @@ def stream_dedup_corpus(
         .start()
     )
     _await_drained(q, timeout_sec)
-    return spark.read.parquet(os.path.join(state_dir, "pairs")).select(
-        "id_a", "id_b", "jaccard"
-    )
+    # Explicit schema: on a corpus with zero near-dup pairs every pairs/
+    # partition is an empty directory and inference would fail (see
+    # _PAIRS_SCHEMA comment).
+    return spark.read.schema(_PAIRS_SCHEMA).parquet(
+        os.path.join(state_dir, "pairs")
+    ).select("id_a", "id_b", "jaccard")
