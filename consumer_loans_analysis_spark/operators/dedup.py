@@ -240,7 +240,10 @@ def minhash_near_dupes(
     # materialization the 64-hash signature fold runs twice (AQE
     # broadcasts one side at small SF, so ReusedExchange can't kick in).
     # Eager localCheckpoint = materialize the LSH index once — exactly
-    # what a production pipeline does with its band index table.
+    # what a production pipeline does with its band index table. Note:
+    # constructing the returned DataFrame therefore runs the signature job
+    # up front, and checkpoint blocks are not recomputed on executor loss
+    # (a production band index lives in reliable storage instead).
     banded = band_keys_table(arr_tbl, num_hashes, rows_per_band).localCheckpoint()
     left = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     right = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")

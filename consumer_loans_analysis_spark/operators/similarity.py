@@ -167,6 +167,7 @@ def embedding_near_dupes(
     embeddings: DataFrame, threshold: float = 0.45,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_bands: int = 64, rows_per_band: int = 2, seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ threshold via banded
     random-hyperplane sign-LSH candidates + exact cosine verification
@@ -193,7 +194,11 @@ def embedding_near_dupes(
     ``embedding_near_dupes_blocked`` is the right exact path there.
     """
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    dim = len(e.select("v").first()["v"])
+    if dim is None:
+        # dimension probe — ONE first() action. Pass ``dim`` explicitly to
+        # make query construction action-free (tested in
+        # test_plan_shapes.py::test_similarity_build_action_free).
+        dim = len(e.select("v").first()["v"])
     if rows_per_band == 0:
         n_bands = 1
     keys = _rh_band_keys_udf(dim, n_bands, rows_per_band, seed)
@@ -251,8 +256,11 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n = corpus.count()
-    n_lists = n_lists or max(2, int(math.sqrt(n)))
+    if n_lists is None:
+        # √n default needs one count() action; pass n_lists explicitly to
+        # skip it (the KMeans fit below is a training action either way —
+        # this function is a fit+query, not a pure plan builder).
+        n_lists = max(2, int(math.sqrt(corpus.count())))
 
     def unit(vec: Column) -> Column:
         return F.transform(vec, lambda x: F.try_divide(x.cast("double"), _norm(vec)))
@@ -364,7 +372,11 @@ def embedding_near_dupes_blocked(
 
     # materialize the packed table once — a and b below are two consumers
     # and Catalyst does not reuse the applyInPandas exchange across join
-    # branches (cluster equivalent: persist to executor-local disk)
+    # branches. Note the EAGER localCheckpoint tradeoffs: (1) constructing
+    # this DataFrame runs the pack job immediately, before any collect;
+    # (2) unlike persist(), checkpoint blocks are NOT recomputed on
+    # executor loss — on a real cluster prefer persist(DISK_ONLY) or a
+    # checkpoint to reliable storage if executors may die mid-query.
     packed = e.groupBy("block").applyInPandas(pack, pack_schema).localCheckpoint()
     a = packed.select(
         F.col("block").alias("block_a"),

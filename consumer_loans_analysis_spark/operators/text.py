@@ -202,8 +202,11 @@ def bm25_top_terms(
     when the caller's last action runs, and cached plans pile up in the
     CacheManager for the life of the session, while checkpoint blocks are
     reclaimed by the ContextCleaner as soon as the returned frame is
-    garbage-collected. dl/df/scalars are then
-    broadcast-joined back; top-k is a per-doc window with a
+    garbage-collected. Eager-materialization tradeoffs: building the
+    returned DataFrame runs the tf job immediately, and checkpoint blocks
+    are not recomputed on executor loss (persist would be) — on a real
+    cluster with flaky executors prefer persist(DISK_ONLY). dl/df/scalars
+    are then broadcast-joined back; top-k is a per-doc window with a
     WindowGroupLimit pre-rank. Term ties break lexicographically so
     results are deterministic.
     """

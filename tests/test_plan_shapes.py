@@ -88,3 +88,23 @@ def test_blocked_gemm_join_is_not_forced_broadcast(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_similarity_build_action_free(spark, sf_dir):
+    """Constructing the LSH near-dup plan with an explicit ``dim`` must run
+    ZERO Spark jobs (no first()/count() probes at plan-build time). Jobs
+    triggered on this thread during construction would inherit the job
+    group set here."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sc = spark.sparkContext
+    group = "action_free_probe"
+    sc.setJobGroup(group, "plan construction must not run jobs")
+    try:
+        df = similarity.embedding_near_dupes(emb, threshold=0.99, dim=64)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == [], f"plan construction ran jobs: {jobs}"
+    # the plan still executes correctly (dim matches the data)
+    assert df.columns == ["id_a", "id_b", "cos"]
+    df.limit(1).collect()
