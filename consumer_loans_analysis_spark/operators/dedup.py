@@ -273,11 +273,23 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """SimHash signature per document: each bit is the sign of the
-    frequency-weighted vote of that bit over all word occurrences."""
+    frequency-weighted vote of that bit over all word occurrences.
+
+    ``bits=64`` uses the full-width ``portable_hash64`` (two md5 halves
+    bit-combined) — the default 32-bit md5-prefix hash would leave bits
+    32-63 constant-zero, which silently degrades 64-bit signatures to
+    32-bit AND makes every Manku block over the constant half match every
+    pair (candidate explosion). Bit j is set via ``shiftleft(1L, j)``: a
+    ``2**63`` literal overflows the signed long, the shift is the defined
+    bit-pattern form (j=63 lands on the sign bit)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    from consumer_loans_analysis_spark.operators.text import portable_hash64
+
     tokens = df.select(
         F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("word")
     )
-    h = portable_hash(F.col("word"))
+    h = portable_hash64(F.col("word")) if bits > 32 else portable_hash(F.col("word"))
     votes = tokens.groupBy("id").agg(
         *[
             F.sum(
@@ -286,9 +298,11 @@ def simhash_signatures(
             for j in range(bits)
         ]
     )
+    one = F.lit(1).cast("long")
     sig = reduce(
-        lambda acc, j: acc
-        + F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")),
+        lambda acc, j: acc.bitwiseOR(
+            F.when(F.col(f"v{j}") > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
+        ),
         range(bits),
         F.lit(0).cast("long"),
     )
@@ -311,7 +325,8 @@ def simhash_near_dupes(
     Scale shape: candidate volume per block bucket is ~n²/2^w for block
     width w (w = bits/k). The 32-bit oracle-portable default gives 8-bit
     blocks — fine to ~10⁶ docs; for corpus-scale runs use ``bits=64``
-    (16-bit blocks) which the signature/blocking code handles unchanged.
+    (16-bit blocks, full-width hash — oracled end-to-end as
+    ``d4b_simhash64_pairs`` and pytest-checked against brute force).
     The old all-pairs theta join compared every pair regardless of bits.
     """
     k = max_hamming + 1

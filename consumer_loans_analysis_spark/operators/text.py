@@ -20,6 +20,24 @@ def portable_hash(col: Column, seed: int | None = None, hex_chars: int = 8) -> C
     return F.conv(F.substring(F.md5(x), 1, hex_chars), 16, 10).cast("long")
 
 
+def portable_hash64(col: Column, seed: int | None = None) -> Column:
+    """Full-width 64-bit engine-portable hash: the first 16 md5 hex digits
+    as a SIGNED long bit pattern. A single ``conv(..., 16, 10)`` cast can't
+    express this (values ≥ 2⁶³ overflow the long cast), so combine two
+    32-bit halves with a bit shift — shifts are defined on the bit pattern
+    and never overflow-check. DuckDB equivalent:
+    ``CAST(concat('0x', substr(md5(x), 1, 16)) AS UBIGINT)::BIGINT``.
+
+    Use over ``portable_hash`` wherever all 64 bits must be informative
+    (e.g. 64-bit SimHash signatures: with a 32-bit hash the top bits are
+    constant-zero, and any Manku block covering them matches EVERY pair)."""
+    x = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
+    h = F.md5(x)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def words(col: Column) -> Column:
     """Whitespace tokenization (array<string>)."""
     return F.split(col, " ")

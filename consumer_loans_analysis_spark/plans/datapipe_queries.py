@@ -44,13 +44,29 @@ def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
         f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(bits)
     )
+    # bit 63 is the sign bit: its set-value is long-min, every other bit j
+    # is +2^j; summing disjoint bit values yields the signed bit pattern
     sig = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN v{j} > 0 THEN CAST("
+        + ("-9223372036854775808" if j == 63 else str(2**j))
+        + " AS BIGINT) ELSE 0 END)"
         for j in range(bits)
     )
+    if bits > 32:
+        # full-width 64-bit hash (portable_hash64 twin): 16 md5 hex digits
+        # as UBIGINT, wrapped to the signed bit pattern through HUGEINT
+        # (a direct ::BIGINT cast range-errors on values ≥ 2⁶³)
+        hv = """CASE WHEN u >= 9223372036854775808::HUGEINT
+                THEN (u - 18446744073709551616::HUGEINT)::BIGINT
+                ELSE u::BIGINT END"""
+        h_cte = f"""h AS (SELECT id, {hv} AS hv FROM (
+          SELECT id, CAST(concat('0x', substr(md5(word), 1, 16)) AS UBIGINT)::HUGEINT AS u
+          FROM tok))"""
+    else:
+        h_cte = "h AS (SELECT id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hv FROM tok)"
     return f"""
     WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word FROM documents),
-    h AS (SELECT id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hv FROM tok),
+    {h_cte},
     votes AS (SELECT id, {votes} FROM h GROUP BY id),
     sig AS (SELECT id, {sig} AS simhash FROM votes)
     SELECT a.id AS id_a, b.id AS id_b,
@@ -106,6 +122,17 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) signatures; pairs within Hamming distance 3."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dupes(docs, max_hamming=3)
+
+
+@query("d4b_simhash64_pairs", oracle=_simhash_sql(bits=64))
+def d4b_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash at CORPUS-scale width: 64-bit signatures (full-width
+    ``portable_hash64`` — 16-bit Manku blocks keep per-bucket candidate
+    volume ~n²/2¹⁶ where the 32-bit default's 8-bit blocks stop helping
+    past ~10⁶ docs), pairs within Hamming distance 3. Oracle recomputes
+    the full 64-bit signature pipeline in DuckDB, signed-wrap included."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dupes(docs, max_hamming=3, bits=64)
 
 
 @query(

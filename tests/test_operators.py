@@ -427,3 +427,28 @@ def test_quality_audit_detects_seeded_violations(spark):
     assert res["fk_k"]["n_violations"] == 0         # nulls skipped; 1 and 3 exist
     assert all(r["n_rows"] == 4 for r in res.values())
     assert not res["unique_k"]["passed"] and res["fk_k"]["passed"]
+
+
+def test_simhash64_blocking_equals_allpairs(docs):
+    """bits=64: full-width signatures must (a) carry information in the top
+    32 bits — a 32-bit hash would leave them constant and blow up blocking
+    — and (b) reproduce the brute-force Hamming answer exactly."""
+    sig = dedup.simhash_signatures(docs, bits=64)
+    rows = sig.collect()
+    top_halves = {r["simhash"] >> 32 for r in rows}
+    assert len(top_halves) > 1, "top 32 signature bits are degenerate"
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= 5)
+        .select("id_a", "id_b", "hamming")
+        .collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dupes(docs, max_hamming=5, bits=64).collect()
+    }
+    assert blocked == brute
