@@ -109,12 +109,42 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
     )
 
 
+def drop_hot_shingles(sh: DataFrame, max_df: int, key: str = "sh") -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` — the
+    standard skew guard for inverted-index joins: a shingle in d documents
+    contributes d² candidate rows, so boilerplate shingles (license
+    headers, navigation chrome) dominate Σdf² while carrying no near-dup
+    signal. The hot set is tiny BY CONSTRUCTION (only keys above the cap),
+    so the exclusion is a broadcast anti-join — map-only on the big side;
+    the df aggregation is one groupBy of the same (id, sh) rows the pair
+    join would shuffle anyway.
+
+    Semantics: Jaccard is then computed over the FILTERED shingle universe
+    (hot shingles leave both numerator and denominator) — results change
+    only for pairs containing above-cap shingles, and the capped variant
+    has its own oracle (d2b)."""
+    hot = (
+        sh.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select(key)
+    )
+    return sh.join(F.broadcast(hot), key, "left_anti")
+
+
 def jaccard_near_dupes(
     df: DataFrame, threshold: float = 0.8, text_col: str = "text",
-    id_col: str = "doc_id", n: int = 3,
+    id_col: str = "doc_id", n: int = 3, max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs ≥ threshold (inverted index)."""
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold (inverted index).
+
+    ``max_shingle_df`` bounds the worst-case join skew: with a cap c the
+    per-shingle candidate volume is ≤ c² regardless of how pathological
+    the corpus boilerplate is (see ``drop_hot_shingles``). None = exact
+    over the full shingle universe (d2's oracle semantics)."""
     sh = shingle_hashes(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        sh = drop_hot_shingles(sh, max_shingle_df)
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
@@ -444,6 +474,7 @@ def duplicate_spans(
     span_words: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_span_df: int | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring signal (the span-level complement of
     document-level near-dedup, after Lee et al. 2022 "Deduplicating
@@ -455,7 +486,10 @@ def duplicate_spans(
     never shuffles), one groupBy for global span document-frequency, join
     back, one groupBy per doc. Σ|spans| shuffle rows — the inverted-index
     shape (like d2), linear in corpus size; hot boilerplate spans are the
-    skew risk → cap span document-frequency or AQE skew-join at scale.
+    skew risk → ``max_span_df`` excludes spans above the cap from the
+    span universe (they count in neither n_spans nor n_dup_spans — the
+    filtered-universe semantics of ``drop_hot_shingles``, applied as a
+    post-join predicate so zero-span documents keep their output row).
     Docs shorter than ``span_words`` have zero spans and report 0/NULL.
     """
     w = words(F.col(text_col))
@@ -474,19 +508,20 @@ def duplicate_spans(
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("span_df"))
     )
+    kept = (
+        F.col("sh").isNotNull()
+        if max_span_df is None
+        else F.col("sh").isNotNull() & (F.col("span_df") <= max_span_df)
+    )
+    n_kept = F.count(F.when(kept, F.lit(1)))
+    n_dup = F.count(F.when(kept & (F.col("span_df") >= 2), F.lit(1)))
     return (
         sp.join(df_counts, "sh", "left")
         .groupBy("id")
         .agg(
-            F.count("sh").alias("n_spans"),
-            F.count(F.when(F.col("span_df") >= 2, F.lit(1))).alias("n_dup_spans"),
-            F.round(
-                F.try_divide(
-                    F.count(F.when(F.col("span_df") >= 2, F.lit(1))),
-                    F.count("sh"),
-                ),
-                6,
-            ).alias("dup_span_ratio"),
+            n_kept.alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+            F.round(F.try_divide(n_dup, n_kept), 6).alias("dup_span_ratio"),
         )
         .select(F.col("id").alias(id_col), "n_spans", "n_dup_spans", "dup_span_ratio")
     )

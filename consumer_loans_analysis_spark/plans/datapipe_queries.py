@@ -109,6 +109,41 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_near_dupes(docs, threshold=0.8)
 
 
+_JACCARD_CAPPED_SQL = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM d, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+    sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN dfreq USING (s) WHERE df <= 3),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+@query("d2b_ngram_jaccard_capped", oracle=_JACCARD_CAPPED_SQL)
+def d2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d2 with the hot-shingle document-frequency cap (df ≤ 3): Jaccard
+    over the capped shingle universe. The cap bounds worst-case inverted-
+    index join skew at c² candidates per shingle — the guard that keeps d2
+    viable when real corpora contain boilerplate (license headers, nav
+    chrome) with df in the millions. Cap 3 bites on this corpus (~1% of
+    shingles dropped, every pair's jaccard shifts — the oracle checks the
+    capped values, not d2's)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.jaccard_near_dupes(docs, threshold=0.8, max_shingle_df=3)
+
+
 @query("d3_minhash_lsh_pairs", oracle=_JACCARD_SQL)
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 32-band LSH candidates, exact-verify ≥ 0.8. Oracle is

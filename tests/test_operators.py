@@ -452,3 +452,56 @@ def test_simhash64_blocking_equals_allpairs(docs):
         for r in dedup.simhash_near_dupes(docs, max_hamming=5, bits=64).collect()
     }
     assert blocked == brute
+
+
+def test_jaccard_df_cap_drops_boilerplate(spark):
+    """Hot-shingle cap: docs sharing a boilerplate prefix must not pair up
+    on boilerplate alone, and capped Jaccard is computed over the filtered
+    shingle universe (hot shingles leave numerator AND denominator)."""
+    boiler = "all rights reserved by the example corporation"
+    rows = [(i, f"{boiler} unique tail {i} alpha beta") for i in range(20)]
+    # plus one genuine near-dup pair whose similarity survives the cap
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_near_dupes(
+            df, threshold=0.5, max_shingle_df=3
+        ).collect()
+    }
+    # boilerplate-only docs share ONLY above-cap shingles -> no pairs
+    assert all(a == 100 and b == 101 for a, b in capped), capped
+    # the surviving pair's jaccard uses the filtered universe: both docs
+    # have 8 shingles, sharing 7 (all below cap; "lazy dog X" differs)
+    assert capped[(100, 101)] == pytest.approx(7 / 9)
+    # uncapped, the boilerplate docs DO pair up (sanity: the cap is what
+    # removed them, not the threshold)
+    uncapped = dedup.jaccard_near_dupes(df, threshold=0.5).collect()
+    assert any(r["id_a"] < 100 for r in uncapped)
+
+
+def test_duplicate_spans_df_cap(spark):
+    """Span-df cap: spans above the cap leave the span universe entirely,
+    and zero-span docs keep their output row."""
+    boiler = " ".join(f"b{i}" for i in range(6))
+    rows = [(i, f"{boiler} u{i} v{i}") for i in range(5)]  # hot 6-word span
+    rows.append((10, f"{boiler} u0 v0"))  # exact dup of doc 0's text
+    rows.append((11, "short"))  # zero spans
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in dedup.duplicate_spans(
+            df, span_words=6, max_span_df=4
+        ).collect()
+    }
+    assert len(out) == 7  # every doc, including the zero-span one
+    assert out[11] == (0, 0)
+    # the boilerplate span (df=6 > cap) is excluded everywhere; docs 0 and
+    # 10 still share their full 3-span tail (df=2 each)
+    assert out[0] == (2, 2) and out[10] == (2, 2)
+    # a doc whose only above-cap span was the boilerplate keeps its unique
+    # tail spans (df=1, kept, not dup)
+    assert out[1] == (2, 0)
