@@ -417,3 +417,138 @@ def bm25_search(
             F.col("x.n_matched").alias("n_matched"),
         )
     )
+
+
+# --- BPE merge-table application -------------------------------------------
+
+# Default merge table for the synthetic corpus (31 lowercase words): ranks
+# chosen so common words tokenize through MULTI-LEVEL merge chains
+# (t-a → ta-b → tab-l → tabl-e → "table") and so global-min-rank selection
+# is exercised (in "join", rank-18 j-o fires before rank-19 i-n even though
+# i-n appears later in the table's build chain for jo-in).
+DEFAULT_BPE_MERGES: list[tuple[str, str]] = [
+    ("a", "n"), ("e", "r"), ("t", "a"), ("ta", "b"), ("tab", "l"),
+    ("tabl", "e"), ("q", "u"), ("qu", "er"), ("quer", "y"), ("g", "g"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("o", "w"), ("r", "ow"),
+    ("s", "t"), ("c", "an"), ("s", "can"), ("j", "o"), ("i", "n"),
+    ("jo", "in"),
+]
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Token-id vocabulary induced by a merge table: ids 0-25 for a-z,
+    then one id per merge output in rank order. Unknown symbols map to -1
+    at encode time."""
+    vocab = {chr(ord("a") + i): i for i in range(26)}
+    for left, right in merges:
+        sym = left + right
+        if sym not in vocab:
+            vocab[sym] = len(vocab)
+    return vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pretoken_pattern: str = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+",
+    n_rounds: int | None = None,
+) -> DataFrame:
+    """Greedy BPE merge-table application (GPT-2 ``bpe()`` semantics): per
+    pretoken, repeatedly merge ALL left-to-right non-overlapping
+    occurrences of the lowest-ranked adjacent symbol pair present, until
+    no table pair remains; emit the doc's token-id sequence.
+
+    Output: (doc_id, n_tokens, token_str) — token_str is the
+    space-joined id sequence, so the oracle hash-checks the exact
+    tokenization (see reference notebooks' sklearn-transformer analogue:
+    this engine's tokenize-for-training step has no reference counterpart
+    and follows t10's pretokenizer).
+
+    Plan shape — MAP-ONLY, zero shuffles, zero UDFs:
+    - each pretoken's symbol state is ONE string: symbols wrapped as
+      ``\\x01sym\\x01`` and concatenated, so "merge all non-overlapping
+      occurrences of (l, r)" is a single literal
+      ``replace(state, \\x01l\\x01\\x01r\\x01 → \\x01lr\\x01)`` — the
+      wrappers make boundary corruption impossible (a pattern can never
+      match a symbol suffix) and left-to-right literal replacement is
+      exactly the BPE non-overlap rule, with identical semantics in the
+      JVM and DuckDB (prototyped: ``\\x01a\\x01×3 → [aa, a]``);
+    - one merge ROUND = one ``transform`` over the doc's pretoken array
+      with a rank-ordered when-chain: the FIRST pattern contained in the
+      state is the min-rank pair present, and its branch replaces all its
+      occurrences;
+    - rounds are staged through successive ``select``s (lambda-built
+      arrays are not CSE'd — see t11's lesson), ``len(merges)`` rounds
+      total: a round eliminates its fired rank permanently (merging never
+      creates new adjacencies between pre-existing symbols, and the
+      merged symbol is strictly longer than either side), so after M
+      rounds NO table pair can remain — convergence is structural, not
+      heuristic (pytest re-applies an extra round and asserts a fixpoint).
+
+    At 100 TB this is scan-rate work: the merge table is a few hundred
+    plan literals (a real 50k-merge GPT-2 table would move to an
+    Arrow-batched ``mapInPandas`` with the table broadcast once — the
+    when-chain's compile cost grows with M, the right tool flips around
+    M ≈ 10³).
+    """
+    if merges is None:
+        merges = DEFAULT_BPE_MERGES
+    sep = "\x01"
+    vocab = bpe_vocab(merges)
+
+    pretoks = F.regexp_extract_all(F.col(text_col), F.lit(pretoken_pattern), F.lit(0))
+    wrap = lambda w: F.concat(  # noqa: E731
+        F.lit(sep), F.array_join(F.split(w, ""), sep + sep), F.lit(sep)
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(pretoks, wrap).alias("state"),
+    )
+    pats = [
+        (f"{sep}{left}{sep}{sep}{right}{sep}", f"{sep}{left}{right}{sep}")
+        for left, right in merges
+    ]
+
+    def one_round(x):
+        # rank-ordered when-chain: the first contained pattern IS the
+        # min-rank pair present; its replace merges all its occurrences
+        chain = None
+        for pat, rep in pats:
+            branch_cond = F.contains(x, F.lit(pat))
+            branch_val = F.replace(x, F.lit(pat), F.lit(rep))
+            chain = (
+                F.when(branch_cond, branch_val)
+                if chain is None
+                else chain.when(branch_cond, branch_val)
+            )
+        return chain.otherwise(x)
+
+    # len(merges) rounds always suffice (each round permanently retires
+    # one rank — see docstring); n_rounds exists for the fixpoint test
+    for _ in range(len(merges) if n_rounds is None else n_rounds):
+        out = out.select("doc_id", F.transform("state", one_round).alias("state"))
+
+    id_map = F.create_map(
+        *[F.lit(x) for kv in vocab.items() for x in kv]
+    )
+    ids = F.flatten(
+        F.transform(
+            "state",
+            lambda s: F.transform(
+                F.split(F.btrim(s, F.lit(sep)), sep + sep),
+                lambda t: F.coalesce(F.element_at(id_map, t), F.lit(-1)),
+            ),
+        )
+    )
+    # stage the lambda-built ids array before its two consumers (lambda
+    # expressions are not CSE'd — t11's lesson)
+    staged = out.select("doc_id", ids.alias("ids"))
+    return staged.select(
+        "doc_id",
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform("ids", lambda i: i.cast("string")), " "
+        ).alias("token_str"),
+    )

@@ -1481,6 +1481,53 @@ def t9_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T10_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
 
 
+def _bpe_sql() -> str:
+    """DuckDB twin of ``text.bpe_encode``: same wrapped-string state, same
+    rank-ordered CASE per round, same left-to-right literal ``replace``
+    (prototyped identical in both engines), one chained CTE per round."""
+    from consumer_loans_analysis_spark.operators.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_vocab,
+    )
+
+    sep = "\x01"
+    rounds = len(DEFAULT_BPE_MERGES)
+    branches = " ".join(
+        f"WHEN contains(state, '{sep}{l}{sep}{sep}{r}{sep}') "
+        f"THEN replace(state, '{sep}{l}{sep}{sep}{r}{sep}', '{sep}{l}{r}{sep}')"
+        for l, r in DEFAULT_BPE_MERGES
+    )
+    round_ctes = ",\n    ".join(
+        f"s{i + 1} AS (SELECT doc_id, widx, CASE {branches} ELSE state END AS state FROM s{i})"
+        for i in range(rounds)
+    )
+    id_cases = " ".join(
+        f"WHEN '{sym}' THEN {tid}" for sym, tid in bpe_vocab(DEFAULT_BPE_MERGES).items()
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(text, '{_T10_PATTERN}') AS w FROM documents
+    ),
+    s0 AS (
+      SELECT doc_id, i AS widx,
+        '{sep}' || array_to_string(string_split(w[i], ''), '{sep}{sep}') || '{sep}' AS state
+      FROM d, UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    {round_ctes},
+    toks AS (
+      SELECT doc_id, widx,
+        list_transform(
+          string_split(trim(state, '{sep}'), '{sep}{sep}'),
+          s -> CASE s {id_cases} ELSE -1 END) AS ids
+      FROM s{rounds}
+    )
+    SELECT doc_id,
+      CAST(SUM(len(ids)) AS BIGINT) AS n_tokens,
+      string_agg(array_to_string(ids, ' '), ' ' ORDER BY widx) AS token_str
+    FROM toks GROUP BY doc_id
+    """
+
+
 @query(
     "t10_regex_tokens",
     oracle=rf"""
@@ -1512,6 +1559,20 @@ def t10_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
         F.md5(F.array_join(toks, "\x1e")).alias("token_fp"),
     )
+
+
+@query("t14_bpe_encode", oracle=_bpe_sql())
+def t14_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE merge-table application over t10's pretokens — the step
+    t10's docstring promised ("a real BPE merge table would follow"):
+    per-doc exact token-id sequence under a 21-rank merge table with
+    multi-level chains (t-a→ta-b→…→"table"). Map-only, zero UDFs: each
+    merge round is one literal replace on a wrapped-symbol string (see
+    ``text.bpe_encode`` for the convergence proof and 100 TB story);
+    oracle recomputes the full greedy tokenization round-by-round in
+    DuckDB and hash-checks the id sequence itself."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.bpe_encode(docs)
 
 
 @query(

@@ -505,3 +505,72 @@ def test_duplicate_spans_df_cap(spark):
     # a doc whose only above-cap span was the boilerplate keeps its unique
     # tail spans (df=1, kept, not dup)
     assert out[1] == (2, 0)
+
+
+def test_bpe_encode_matches_reference_greedy(spark):
+    """bpe_encode == the textbook GPT-2 greedy loop (min-rank pair, merge
+    all left-to-right non-overlapping occurrences, repeat) on words that
+    exercise multi-level chains, cross-rank interleaving and repeats."""
+    from consumer_loans_analysis_spark.operators.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_encode,
+        bpe_vocab,
+    )
+
+    def ref_bpe(word, merges):
+        ranks = {m: i for i, m in enumerate(merges)}
+        syms = list(word)
+        while True:
+            present = [
+                ranks[(syms[i], syms[i + 1])]
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not present:
+                return syms
+            l, r = merges[min(present)]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    texts = [
+        (0, "table query hash scan join row"),
+        (1, "aggg errrr tttaaa"),          # repeat runs (non-overlap parity)
+        (2, "scanner stable jointable"),   # merges inside longer words
+        (3, "zzz qqq"),                    # no merges fire
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_str"])
+        for r in bpe_encode(df).collect()
+    }
+    vocab = bpe_vocab(DEFAULT_BPE_MERGES)
+    for doc_id, line in texts:
+        ids = []
+        for w in line.split():
+            ids += [vocab.get(s, -1) for s in ref_bpe(w, DEFAULT_BPE_MERGES)]
+        assert got[doc_id] == (len(ids), " ".join(map(str, ids))), doc_id
+
+
+def test_bpe_encode_converges_in_m_rounds(spark):
+    """Structural convergence: len(merges) rounds reach a fixpoint — an
+    extra round changes nothing (each round permanently retires a rank)."""
+    from consumer_loans_analysis_spark.operators.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "table tabletable stable query scanner hashhash jointable aggg")],
+        "doc_id long, text string",
+    )
+    m = len(DEFAULT_BPE_MERGES)
+    base = bpe_encode(df, n_rounds=m).collect()
+    extra = bpe_encode(df, n_rounds=m + 1).collect()
+    assert base == extra
