@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 
 class SoftVotingEnsemble(Transformer):
-    """Average member probabilities, threshold at 0.5."""
+    """Average member probabilities, threshold at 0.5.
+
+    Members may emit either an MLlib ``probability`` vector or a scalar
+    ``probability_pos`` (e.g. ``CalibratedClassifierModel`` — voting over
+    calibrated probabilities is the reference's effective behavior, since
+    sklearn members are reasonably calibrated out of the box)."""
 
     def __init__(self, models: list, threshold: float = 0.5):
         super().__init__()
@@ -32,8 +37,13 @@ class SoftVotingEnsemble(Transformer):
         for i, m in enumerate(self.models):
             pred = m.transform(out)
             col = f"_p1_{i}"
-            pred = pred.withColumn(col, vector_to_array(F.col("probability"))[1])
-            out = pred.drop("rawPrediction", "probability", "prediction")
+            if "probability_pos" in pred.columns:
+                pred = pred.withColumnRenamed("probability_pos", col)
+            else:
+                pred = pred.withColumn(col, vector_to_array(F.col("probability"))[1])
+            out = pred.drop(
+                "rawPrediction", "probability", "prediction", "probability_pos"
+            )
             prob_cols.append(col)
         avg = sum((F.col(c) for c in prob_cols), F.lit(0.0)) / len(prob_cols)
         return (

@@ -45,9 +45,11 @@ def feature_importances(
 def _extract_tree(jnode, target_class: int, is_classifier: bool) -> dict:
     """Flatten one MLlib tree (java Node) into plain-Python arrays via a
     single driver-side traversal. Node value = P(target_class) from the
-    node's impurity stats for classifiers, the node mean for regressors."""
+    node's impurity stats for classifiers, the node mean for regressors.
+    ``cover`` records each node's training row count (impurity-stats
+    count) — the path-dependent expectation weights TreeSHAP needs."""
 
-    feats, thresholds, lefts, rights, values, cats = [], [], [], [], [], []
+    feats, thresholds, lefts, rights, values, cats, covers = [], [], [], [], [], [], []
 
     def value(node) -> float:
         if is_classifier:
@@ -65,6 +67,7 @@ def _extract_tree(jnode, target_class: int, is_classifier: bool) -> dict:
         rights.append(-1)
         cats.append(None)
         values.append(value(node))
+        covers.append(float(node.impurityStats().count()))
         if node.getClass().getSimpleName() == "InternalNode":
             split = node.split()
             feats[idx] = int(split.featureIndex())
@@ -79,7 +82,7 @@ def _extract_tree(jnode, target_class: int, is_classifier: bool) -> dict:
     walk(jnode)
     return {
         "feat": feats, "thr": thresholds, "left": lefts, "right": rights,
-        "value": values, "cats": cats,
+        "value": values, "cats": cats, "cover": covers,
     }
 
 
@@ -143,6 +146,162 @@ def tree_contributions(
         )
 
     return saabas(F.col(features) if isinstance(features, str) else features)
+
+
+def _tree_shap_single(tr: dict, x, n_features: int):
+    """Exact path-dependent TreeSHAP for ONE tree (Lundberg et al. 2018,
+    Algorithm 2): returns (phi array, expected_value).
+
+    phi satisfies ``E[f] + Σ phi == f(x)`` exactly, where E[f] is the
+    cover-weighted leaf expectation and the conditional expectations v(S)
+    descend the tree following x on S-features and splitting by cover
+    proportion on the rest. O(leaves · depth²) per row — polynomial where
+    naive Shapley is exponential. Pure Python on the extracted struct;
+    used inside the Arrow-batched UDF below and unit-testable standalone.
+
+    Path elements are [d, z, o, w]: feature index, zero fraction (cover
+    proportion if d is NOT in S), one fraction (1 if x follows this split,
+    else 0), and the permutation-weight accumulator.
+    """
+    phi = [0.0] * n_features
+
+    def extend(m, pz, po, pi):
+        l = len(m)
+        m = [e[:] for e in m]
+        m.append([pi, pz, po, 1.0 if l == 0 else 0.0])
+        for i in range(l - 1, -1, -1):
+            m[i + 1][3] += po * m[i][3] * (i + 1) / (l + 1)
+            m[i][3] = pz * m[i][3] * (l - i) / (l + 1)
+        return m
+
+    def unwind(m, i):
+        l = len(m) - 1
+        m = [e[:] for e in m]
+        n = m[l][3]
+        o, z = m[i][2], m[i][1]
+        for j in range(l - 1, -1, -1):
+            if o != 0:
+                t = m[j][3]
+                m[j][3] = n * (l + 1) / ((j + 1) * o)
+                n = t - m[j][3] * z * (l - j) / (l + 1)
+            else:
+                m[j][3] = m[j][3] * (l + 1) / (z * (l - j))
+        for j in range(i, l):
+            m[j][0], m[j][1], m[j][2] = m[j + 1][0], m[j + 1][1], m[j + 1][2]
+        m.pop()
+        return m
+
+    def unwound_sum(m, i):
+        l = len(m) - 1
+        n = m[l][3]
+        o, z = m[i][2], m[i][1]
+        total = 0.0
+        for j in range(l - 1, -1, -1):
+            if o != 0:
+                t = n * (l + 1) / ((j + 1) * o)
+                total += t
+                n = m[j][3] - t * z * (l - j) / (l + 1)
+            else:
+                total += m[j][3] * (l + 1) / (z * (l - j))
+        return total
+
+    def go_left(node) -> bool:
+        f = tr["feat"][node]
+        cat = tr["cats"][node]
+        return (x[f] in cat) if cat else (x[f] <= tr["thr"][node])
+
+    def recurse(node, m, pz, po, pi):
+        m = extend(m, pz, po, pi)
+        if tr["left"][node] == -1:
+            v = tr["value"][node]
+            for i in range(1, len(m)):
+                w = unwound_sum(m, i)
+                phi[m[i][0]] += w * (m[i][2] - m[i][1]) * v
+            return
+        f = tr["feat"][node]
+        hot, cold = (
+            (tr["left"][node], tr["right"][node])
+            if go_left(node)
+            else (tr["right"][node], tr["left"][node])
+        )
+        iz = io = 1.0
+        k = next((i for i in range(1, len(m)) if m[i][0] == f), None)
+        if k is not None:
+            iz, io = m[k][1], m[k][2]
+            m = unwind(m, k)
+        rj = tr["cover"][node]
+        recurse(hot, m, iz * tr["cover"][hot] / rj, io, f)
+        recurse(cold, m, iz * tr["cover"][cold] / rj, 0.0, f)
+
+    recurse(0, [], 1.0, 1.0, -1)
+    root_cover = tr["cover"][0]
+    expected = sum(
+        tr["value"][i] * tr["cover"][i] / root_cover
+        for i in range(len(tr["value"]))
+        if tr["left"][i] == -1
+    )
+    return phi, expected
+
+
+def tree_shap_contributions(
+    model,
+    features: Column | str,
+    feature_names: list[str],
+    target_class: int = 1,
+) -> Column:
+    """Per-row EXACT path-dependent TreeSHAP for an MLlib tree model or
+    ensemble — the reference's TreeExplainer surface
+    (modeling_validation.ipynb:2553-2722) without the shap library.
+
+    Same contract as ``tree_contributions`` (struct of bias, contrib
+    array, pred with ``pred == bias + Σ contrib`` exactly; ensembles
+    average per-tree attributions, matching MLlib RF's probability
+    combination) but the attributions are true Shapley values of the
+    cover-weighted conditional expectation — unlike Saabas, which biases
+    credit toward shallow splits under feature interactions (the fixture
+    test pins a tree where the two provably differ and TreeSHAP matches
+    hand-computed Shapley values).
+
+    Cost: O(leaves · depth²) per row per tree, Python-looped inside the
+    Arrow batch — exact per-row explanations for moderate ensembles
+    (boosted stumps/shallow GBTs, the reference's XGB shape). For
+    deep-forest global rankings at corpus scale, ``tree_contributions``
+    (Saabas, same code shape, ~depth× cheaper) or ``featureImportances``
+    remain the fast paths.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    trees = model.trees if hasattr(model, "trees") else [model]
+    is_classifier = hasattr(model, "numClasses")
+    structs = [
+        _extract_tree(t._call_java("rootNode"), target_class, is_classifier)
+        for t in trees
+    ]
+    n_features = len(feature_names)
+
+    @pandas_udf("struct<bias double, contrib array<double>, pred double>")
+    def shap_udf(vecs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(vecs)
+        contrib = np.zeros((n, n_features))
+        bias = 0.0
+        for tr in structs:
+            root_cover = tr["cover"][0]
+            bias += sum(
+                tr["value"][i] * tr["cover"][i] / root_cover
+                for i in range(len(tr["value"]))
+                if tr["left"][i] == -1
+            ) / len(structs)
+            for i, x in enumerate(vecs):
+                phi, _ = _tree_shap_single(tr, x, n_features)
+                contrib[i] += np.asarray(phi) / len(structs)
+        pred = bias + contrib.sum(axis=1)
+        return pd.DataFrame(
+            {"bias": np.full(n, bias), "contrib": list(contrib), "pred": pred}
+        )
+
+    return shap_udf(F.col(features) if isinstance(features, str) else features)
 
 
 def contributions_table(

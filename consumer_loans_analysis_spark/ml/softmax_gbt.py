@@ -1,0 +1,315 @@
+"""Softmax (K-class) gradient-boosted trees on MLlib regression trees.
+
+The one boosted-tree family MLlib lacks: ``GBTClassifier`` is binary-only,
+and one-vs-rest boosting was rejected at K× full-model cost (VERDICT r02).
+Softmax boosting is NOT that design: all K classes share ONE cached
+residual/probability frame per round, and each round fits K small
+regression trees against that shared frame (multinomial deviance, the
+multiclass algorithm of sklearn's GradientBoostingClassifier and XGBoost's
+``multi:softmax``). Reference surface: the tuned-XGB categorical imputer,
+``/root/reference/notebooks/eda_processing.ipynb:2423-2480``.
+
+Algorithm (per boosting round m):
+1. ``p_ik = softmax(F_i)`` and residuals ``r_ik = y_ik − p_ik`` — pure
+   array-Column expressions over the shared frame (one staged select; no
+   shuffle, no UDF).
+2. For every class k fit a ``DecisionTreeRegressor`` on (features, r_k)
+   against the SAME localCheckpoint'ed frame — fits run thread-parallel,
+   and the frame is materialized once so K fits pay zero recompute.
+3. Newton leaf values (multinomial deviance):
+   ``γ_leaf = (K−1)/K · Σ r_i / Σ |r_i|(1−|r_i|)`` — computed
+   DISTRIBUTED in one aggregation: a single Arrow-batched UDF walks the
+   K freshly-extracted tree structs to leaf ids, posexplode → groupBy
+   (class, leaf) → collect the ≤ K·2^depth tiny gamma table.
+4. ``F_ik += η · γ`` via one scoring UDF over the baked-gamma structs.
+
+Scale shape: the frame carries (features, y, F, r) arrays only — state is
+O(rows × K) doubles, map-partitioned; every round is fits + one narrow
+aggregation; nothing driver-side ever holds row data, only tree structs
+(O(K · 2^depth) per round). The same design runs at 100 TB with the tree
+fits as the dominant (distributed) cost.
+
+Serving: trees are extracted to plain-Python arrays at fit time
+(reusing ``ml.importance._extract_tree``) with Newton gammas baked into
+the leaf values, so the fitted model is library-free: one Arrow-batched
+pandas UDF accumulates ``F_k = log π_k + η Σ_m γ_mk(x)`` and argmaxes.
+Persistence is a JSON Param (DefaultParamsWritable) — no MLlib model
+objects to round-trip.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+
+from pyspark import keyword_only
+from pyspark.ml import Estimator, Model
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.regression import DecisionTreeRegressor
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.ml.importance import _extract_tree
+
+
+def _walk(tr: dict, x) -> int:
+    """Terminal node index of row x in an extracted tree struct."""
+    node = 0
+    while tr["left"][node] != -1:
+        f = tr["feat"][node]
+        cat = tr["cats"][node]
+        go_left = (x[f] in cat) if cat else (x[f] <= tr["thr"][node])
+        node = tr["left"][node] if go_left else tr["right"][node]
+    return node
+
+
+def _leaves_udf(structs: list[dict]):
+    """Arrow-batched: features array → per-class terminal node ids."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def leaves(vecs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                np.array([_walk(tr, x) for tr in structs], dtype=np.int32)
+                for x in vecs
+            ]
+        )
+
+    return leaves
+
+
+def _scores_udf(rounds: list[list[dict]], priors: list[float], lr: float):
+    """Arrow-batched: features array → F_k = log prior_k + lr·Σ γ."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    base = np.asarray(priors)
+
+    @pandas_udf("array<double>")
+    def scores(vecs: pd.Series) -> pd.Series:
+        out = []
+        for x in vecs:
+            f = base.copy()
+            for trees in rounds:
+                for k, tr in enumerate(trees):
+                    f[k] += lr * tr["value"][_walk(tr, x)]
+            out.append(f)
+        return pd.Series(out)
+
+    return scores
+
+
+class SoftmaxGBTModel(Model, DefaultParamsReadable, DefaultParamsWritable):
+    """Fitted softmax GBT: baked-gamma tree structs + log priors, scored by
+    one pandas UDF. ``modelJson`` is the full serialized state."""
+
+    modelJson = Param(Params._dummy(), "modelJson", "serialized trees/priors/lr", TypeConverters.toString)
+    featuresCol = Param(Params._dummy(), "featuresCol", "features column", TypeConverters.toString)
+    predictionCol = Param(Params._dummy(), "predictionCol", "prediction column", TypeConverters.toString)
+    scoresCol = Param(Params._dummy(), "scoresCol", "optional softmax-probability array column; empty = off", TypeConverters.toString)
+
+    @keyword_only
+    def __init__(self, modelJson: str = "{}", featuresCol: str = "features",
+                 predictionCol: str = "prediction", scoresCol: str = ""):
+        super().__init__()
+        self._set(modelJson=modelJson, featuresCol=featuresCol,
+                  predictionCol=predictionCol, scoresCol=scoresCol)
+
+    def _state(self) -> dict:
+        state = json.loads(self.getOrDefault(self.modelJson))
+        # JSON turns the cats sets into lists; restore set membership tests
+        for trees in state["rounds"]:
+            for tr in trees:
+                tr["cats"] = [set(c) if c else None for c in tr["cats"]]
+        return state
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        state = self._state()
+        fcol = self.getOrDefault(self.featuresCol)
+        farr = (
+            vector_to_array(F.col(fcol))
+            if dict(df.dtypes).get(fcol) == "vector"
+            else F.col(fcol)
+        )
+        scores = _scores_udf(state["rounds"], state["priors"], state["lr"])
+        staged = df.withColumn("_sgbt_F", scores(farr))
+        pred = (
+            F.array_position(
+                F.col("_sgbt_F"), F.array_max(F.col("_sgbt_F"))
+            ).cast("double")
+            - 1.0
+        )
+        out = staged.withColumn(self.getOrDefault(self.predictionCol), pred)
+        scol = self.getOrDefault(self.scoresCol)
+        if scol:
+            mx = F.array_max(F.col("_sgbt_F"))
+            exps = F.transform(F.col("_sgbt_F"), lambda v: F.exp(v - mx))
+            out = out.withColumn("_sgbt_e", exps)
+            z = F.aggregate(F.col("_sgbt_e"), F.lit(0.0), lambda a, x: a + x)
+            out = out.withColumn(
+                scol, F.transform(F.col("_sgbt_e"), lambda e: e / z)
+            ).drop("_sgbt_e")
+        return out.drop("_sgbt_F")
+
+
+class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritable):
+    """Estimator for K-class softmax boosting (see module docstring).
+
+    ``labelCol`` must hold doubles 0..K−1 (StringIndexer output)."""
+
+    featuresCol = Param(Params._dummy(), "featuresCol", "features column", TypeConverters.toString)
+    labelCol = Param(Params._dummy(), "labelCol", "label column (0..K-1 doubles)", TypeConverters.toString)
+    predictionCol = Param(Params._dummy(), "predictionCol", "prediction column", TypeConverters.toString)
+    scoresCol = Param(Params._dummy(), "scoresCol", "optional probability array column", TypeConverters.toString)
+    maxIter = Param(Params._dummy(), "maxIter", "boosting rounds", TypeConverters.toInt)
+    maxDepth = Param(Params._dummy(), "maxDepth", "tree depth", TypeConverters.toInt)
+    maxBins = Param(Params._dummy(), "maxBins", "continuous-split bins", TypeConverters.toInt)
+    minInstancesPerNode = Param(Params._dummy(), "minInstancesPerNode", "leaf floor", TypeConverters.toInt)
+    stepSize = Param(Params._dummy(), "stepSize", "learning rate", TypeConverters.toFloat)
+    subsamplingRate = Param(Params._dummy(), "subsamplingRate", "per-round row sample for tree fits", TypeConverters.toFloat)
+    seed = Param(Params._dummy(), "seed", "seed", TypeConverters.toInt)
+    parallelism = Param(Params._dummy(), "parallelism", "concurrent per-class tree fits", TypeConverters.toInt)
+
+    @keyword_only
+    def __init__(self, featuresCol: str = "features", labelCol: str = "label",
+                 predictionCol: str = "prediction", scoresCol: str = "",
+                 maxIter: int = 40, maxDepth: int = 5, maxBins: int = 32,
+                 minInstancesPerNode: int = 1, stepSize: float = 0.1,
+                 subsamplingRate: float = 1.0, seed: int = 42,
+                 parallelism: int = 8):
+        super().__init__()
+        self._set(featuresCol=featuresCol, labelCol=labelCol,
+                  predictionCol=predictionCol, scoresCol=scoresCol,
+                  maxIter=maxIter, maxDepth=maxDepth, maxBins=maxBins,
+                  minInstancesPerNode=minInstancesPerNode, stepSize=stepSize,
+                  subsamplingRate=subsamplingRate, seed=seed,
+                  parallelism=parallelism)
+
+    def _fit(self, df: DataFrame) -> SoftmaxGBTModel:
+        from pyspark.ml.functions import vector_to_array
+
+        g = self.getOrDefault
+        fcol, lcol = g(self.featuresCol), g(self.labelCol)
+        lr = g(self.stepSize)
+        depth, bins = g(self.maxDepth), g(self.maxBins)
+        min_leaf, sub = g(self.minInstancesPerNode), g(self.subsamplingRate)
+        seed = g(self.seed)
+
+        counts = {
+            int(r[lcol]): r["n"]
+            for r in df.groupBy(lcol).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        K = max(counts) + 1
+        total = sum(counts.values())
+        priors = [math.log(max(counts.get(k, 0), 1) / total) for k in range(K)]
+
+        y = F.transform(
+            F.sequence(F.lit(0), F.lit(K - 1)),
+            lambda i: F.when(F.col(lcol) == i.cast("double"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        frame = df.select(
+            F.col(fcol).alias("_feat"),
+            vector_to_array(F.col(fcol)).alias("_farr"),
+            y.alias("_y"),
+            F.array(*[F.lit(p) for p in priors]).alias("_F"),
+        )
+
+        rounds: list[list[dict]] = []
+        n_fit_threads = min(K, g(self.parallelism))
+        for m in range(g(self.maxIter)):
+            # 1. softmax + residuals, staged (lambda arrays are not CSE'd)
+            mx = F.array_max(F.col("_F"))
+            exps = F.transform(F.col("_F"), lambda v: F.exp(v - mx))
+            frame = frame.select("_feat", "_farr", "_y", "_F", exps.alias("_e"))
+            z = F.aggregate(F.col("_e"), F.lit(0.0), lambda a, x: a + x)
+            frame = frame.select(
+                "_feat", "_farr", "_y", "_F",
+                F.zip_with("_y", "_e", lambda yy, e: yy - e / z).alias("_r"),
+            )
+            frame = frame.select(
+                "*", *[F.element_at("_r", k + 1).alias(f"_r_{k}") for k in range(K)]
+            ).localCheckpoint(eager=True)
+
+            # 2. K residual trees against the one materialized frame
+            fit_df = (
+                frame if sub >= 1.0 else frame.sample(sub, seed=seed + 1000 * m)
+            )
+
+            def fit_one(k: int):
+                return DecisionTreeRegressor(
+                    featuresCol="_feat", labelCol=f"_r_{k}",
+                    predictionCol=f"_p_{k}",
+                    maxDepth=depth, maxBins=bins,
+                    minInstancesPerNode=min_leaf, seed=seed + k,
+                ).fit(fit_df)
+
+            with ThreadPoolExecutor(n_fit_threads) as pool:
+                models = list(pool.map(fit_one, range(K)))
+            structs = [
+                _extract_tree(mod._call_java("rootNode"), 0, False)
+                for mod in models
+            ]
+
+            # 3. Newton gammas, one distributed aggregation
+            leaves = _leaves_udf(structs)
+            exploded = frame.select(
+                F.col("_r"), F.posexplode(leaves(F.col("_farr"))).alias("k", "leaf")
+            ).select(
+                "k", "leaf", F.element_at("_r", F.col("k") + 1).alias("r")
+            )
+            gtab = (
+                exploded.groupBy("k", "leaf")
+                .agg(
+                    F.sum("r").alias("num"),
+                    F.sum(F.abs(F.col("r")) * (1 - F.abs(F.col("r")))).alias("den"),
+                )
+                .collect()
+            )
+            scale = (K - 1) / K
+            gamma: dict[tuple[int, int], float] = {}
+            for row in gtab:
+                den = row["den"]
+                gamma[(row["k"], row["leaf"])] = (
+                    scale * row["num"] / den if den and den > 1e-12 else 0.0
+                )
+            for k, tr in enumerate(structs):
+                tr["value"] = [
+                    gamma.get((k, i), 0.0) if tr["left"][i] == -1 else 0.0
+                    for i in range(len(tr["value"]))
+                ]
+            rounds.append(structs)
+
+            # 4. F += lr·γ via one scoring pass over just this round's trees
+            step = _scores_udf([structs], [0.0] * K, lr)
+            frame = frame.select(
+                "_feat", "_farr", "_y",
+                F.zip_with("_F", step(F.col("_farr")), lambda a, b: a + b).alias("_F"),
+            )
+
+        state = {
+            "rounds": [
+                [
+                    {**tr, "cats": [sorted(c) if c else None for c in tr["cats"]]}
+                    for tr in trees
+                ]
+                for trees in rounds
+            ],
+            "priors": priors,
+            "lr": lr,
+        }
+        model = SoftmaxGBTModel(
+            modelJson=json.dumps(state),
+            featuresCol=fcol,
+            predictionCol=g(self.predictionCol),
+            scoresCol=g(self.scoresCol),
+        )
+        model._resetUid(self.uid)
+        return model

@@ -131,7 +131,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
     subsamplingRate = Param(Params._dummy(), "subsamplingRate", "bagging fraction", TypeConverters.toFloat)
     featureSubsetStrategy = Param(Params._dummy(), "featureSubsetStrategy", "per-split feature sample", TypeConverters.toString)
     seed = Param(Params._dummy(), "seed", "seed", TypeConverters.toInt)
-    classifierFamily = Param(Params._dummy(), "classifierFamily", "rf | lr | mlp | gbt_ovr", TypeConverters.toString)
+    classifierFamily = Param(Params._dummy(), "classifierFamily", "rf | lr | mlp | gbt_ovr | gbt_softmax", TypeConverters.toString)
     regParam = Param(Params._dummy(), "regParam", "lr L2/L1 strength", TypeConverters.toFloat)
     elasticNetParam = Param(Params._dummy(), "elasticNetParam", "lr L1 mixing", TypeConverters.toFloat)
     maxIter = Param(Params._dummy(), "maxIter", "lr/mlp iterations; gbt boosting rounds", TypeConverters.toInt)
@@ -234,9 +234,31 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                 # is dropped in ModelImputerModel._transform instead
                 parallelism=8,
             )
+        elif family == "gbt_softmax":
+            # TRUE multiclass boosting (the reference's XGB shape): K
+            # residual regression trees per round over ONE shared cached
+            # frame — not the rejected K×-cost one-vs-rest design. See
+            # ml/softmax_gbt.py for the algorithm and 100 TB shape.
+            from consumer_loans_analysis_spark.ml.softmax_gbt import (
+                SoftmaxGBTClassifier,
+            )
+
+            clf = SoftmaxGBTClassifier(
+                featuresCol="_mi_features",
+                labelCol="_mi_label",
+                predictionCol="_mi_prediction",
+                maxIter=self.getOrDefault(self.maxIter),
+                maxDepth=self.getOrDefault(self.maxDepth),
+                maxBins=self.getOrDefault(self.maxBins),
+                minInstancesPerNode=self.getOrDefault(self.minInstancesPerNode),
+                stepSize=self.getOrDefault(self.stepSize),
+                subsamplingRate=self.getOrDefault(self.subsamplingRate),
+                seed=self.getOrDefault(self.seed),
+            )
         else:
             raise ValueError(
-                f"unknown classifierFamily {family!r} (rf | lr | mlp | gbt_ovr)"
+                f"unknown classifierFamily {family!r} "
+                "(rf | lr | mlp | gbt_ovr | gbt_softmax)"
             )
         stages = [
             StringIndexer(

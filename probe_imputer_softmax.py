@@ -1,0 +1,74 @@
+"""Softmax-multiclass-GBT imputer probe (VERDICT r03 task 1).
+
+The measured residual gap (RF plateau 0.4503 vs reference tuned-XGB 0.500,
+eda_processing.ipynb:2418) was attributed to the booster family; OvR
+boosting was rejected at K x cost. This probes the NEW shared-frame softmax
+GBT (ml/softmax_gbt.py) through the same evaluate_imputer protocol.
+
+Usage: python probe_imputer_softmax.py [config ...]  (appends IMPUTER_TUNING.json)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.ml import Pipeline
+
+from consumer_loans_analysis_spark.ml.imputer_eval import evaluate_imputer
+from consumer_loans_analysis_spark.pipeline.loans import build_processing_pipeline
+from consumer_loans_analysis_spark.pipeline.model_imputer import ModelImputer
+from consumer_loans_analysis_spark.session import get_spark
+from consumer_loans_analysis_spark.sources.readers import read_loans_csv
+
+CONFIGS = {
+    "sgbt_d5_i40_lr01": {"maxDepth": 5, "maxIter": 40, "stepSize": 0.1},
+    "sgbt_d5_i60_lr02": {"maxDepth": 5, "maxIter": 60, "stepSize": 0.2},
+    "sgbt_d6_i40_lr01_s08": {"maxDepth": 6, "maxIter": 40, "stepSize": 0.1, "subsamplingRate": 0.8},
+    "sgbt_d4_i80_lr01": {"maxDepth": 4, "maxIter": 80, "stepSize": 0.1},
+    "sgbt_d3_i20_lr02": {"maxDepth": 3, "maxIter": 20, "stepSize": 0.2},
+}
+
+
+def main() -> None:
+    spark = get_spark(
+        "probe_imputer_sgbt", extra_configs={"spark.sql.shuffle.partitions": "8"}
+    )
+    names = sys.argv[1:] or list(CONFIGS)
+    train = read_loans_csv(spark, "/root/reference/data/orig_train.csv")
+    valid = read_loans_csv(spark, "/root/reference/data/orig_valid.csv")
+    base = build_processing_pipeline(with_model_imputers=False)
+    prep = Pipeline(stages=base.getStages()[:-1]).fit(train)
+    ptrain = prep.transform(train).cache()
+    ptrain.count()
+    pvalid = prep.transform(valid).cache()
+    pvalid.count()
+
+    scores = {}
+    for name in names:
+        params = CONFIGS[name]
+        imp = ModelImputer(
+            targetCol="ECONOMIC_SECTOR", sentinel="Missing",
+            classifierFamily="gbt_softmax", **params,
+        )
+        t0 = time.perf_counter()
+        f1 = evaluate_imputer(imp.fit(ptrain), pvalid, "ECONOMIC_SECTOR")
+        dt = time.perf_counter() - t0
+        scores[name] = {"f1": round(f1, 4), "sec": round(dt)}
+        print(f"{name:24s} f1={f1:.4f} ({dt:.0f}s)", flush=True)
+
+    record = {
+        "probe": "gbt_softmax",
+        "target": "ECONOMIC_SECTOR",
+        "scores": scores,
+        "reference_tuned_xgb": 0.500,
+        "rf_tpe_best": 0.4503,
+    }
+    print(json.dumps(record), flush=True)
+    with open("IMPUTER_TUNING.json", "a") as fh:
+        fh.write(json.dumps(record) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -321,3 +321,116 @@ def test_imputer_classifier_families(spark):
         assert f1 > floor, (family, f1, floor)
     with _pytest.raises(ValueError, match="classifierFamily"):
         ModelImputer(targetCol="EDUCATION", classifierFamily="nope").fit(train)
+
+
+def test_tree_shap_matches_hand_computed_shapley():
+    """Fixture tree where Saabas and TreeSHAP provably differ, with the
+    exact Shapley values computed by hand.
+
+    Tree (AND function): root splits x0<=0.5 (cover 4) -> leaf 0 (cover 2)
+    | node x1<=0.5 (cover 2) -> leaf 0 (cover 1) | leaf 1 (cover 1).
+    For x=(1,1): v({})=1/4, v({0})=1/2, v({1})=1/2, v({0,1})=1 ->
+    phi = (0.375, 0.375). Saabas walks the path and gives (0.25, 0.5) —
+    the shallow-split bias TreeSHAP corrects."""
+    from consumer_loans_analysis_spark.ml.importance import _tree_shap_single
+
+    tr = {
+        "feat": [0, -1, 1, -1, -1],
+        "thr": [0.5, 0.0, 0.5, 0.0, 0.0],
+        "left": [1, -1, 3, -1, -1],
+        "right": [2, -1, 4, -1, -1],
+        "value": [0.25, 0.0, 0.5, 0.0, 1.0],
+        "cats": [None] * 5,
+        "cover": [4.0, 2.0, 2.0, 1.0, 1.0],
+    }
+    phi, ev = _tree_shap_single(tr, [1.0, 1.0], 2)
+    assert ev == pytest.approx(0.25)
+    assert phi[0] == pytest.approx(0.375)
+    assert phi[1] == pytest.approx(0.375)
+    # saabas on the same tree: (0.5-0.25, 1.0-0.5) = (0.25, 0.5) — differs
+    assert ev + sum(phi) == pytest.approx(1.0)  # efficiency: == f(x)
+
+    phi2, _ = _tree_shap_single(tr, [0.0, 1.0], 2)
+    # v({0}) = 0, v({1}) = 1/2, v({0,1}) = 0 -> phi = (-0.375, 0.125)
+    assert phi2[0] == pytest.approx(-0.375)
+    assert phi2[1] == pytest.approx(0.125)
+    assert 0.25 + sum(phi2) == pytest.approx(0.0)
+
+
+def test_tree_shap_sums_to_model_probability(spark, toy):
+    """TreeSHAP over a real MLlib forest: bias + Σ phi must equal the
+    model's own P(class 1) INDEPENDENTLY computed by model.transform —
+    per row, exactly (the efficiency axiom, end to end)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.ml.importance import (
+        tree_contributions,
+        tree_shap_contributions,
+    )
+
+    model = RandomForestClassifier(numTrees=5, maxDepth=3, seed=3).fit(toy)
+    feats = vector_to_array(F.col("features"))
+    out = toy.select(
+        tree_shap_contributions(model, feats, ["x0", "x1"]).alias("s"),
+        tree_contributions(model, feats, ["x0", "x1"]).alias("sb"),
+        vector_to_array(F.col("features")).alias("x"),
+    )
+    scored = model.transform(toy.select("features")).select(
+        vector_to_array(F.col("probability"))[1].alias("p1")
+    )
+    rows = out.collect()
+    p1s = [r["p1"] for r in scored.collect()]
+    diff_seen = False
+    for r, p1 in zip(rows, p1s):
+        s = r["s"]
+        assert s["bias"] + sum(s["contrib"]) == pytest.approx(s["pred"], abs=1e-12)
+        assert s["pred"] == pytest.approx(p1, abs=1e-9)
+        # Saabas predicts the same total but attributes it differently
+        assert r["sb"]["pred"] == pytest.approx(p1, abs=1e-9)
+        if any(
+            abs(a - b) > 1e-6 for a, b in zip(s["contrib"], r["sb"]["contrib"])
+        ):
+            diff_seen = True
+    assert diff_seen, "expected Saabas and TreeSHAP to differ on some row"
+
+
+def test_calibrated_classifier_improves_nb_calibration(spark, toy):
+    """Isotonic OOF calibration: (a) monotone map preserves ranking, so
+    ROC is unchanged; (b) calibrated probabilities have lower Brier score
+    than raw NB's overconfident outputs on held-out data; (c) plugs into
+    SoftVotingEnsemble via probability_pos."""
+    from pyspark.ml.classification import NaiveBayes, RandomForestClassifier
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.ml.calibration import CalibratedClassifier
+    from consumer_loans_analysis_spark.ml.ensemble import SoftVotingEnsemble
+
+    train, valid = toy.randomSplit([0.7, 0.3], seed=5)
+    nb = NaiveBayes(modelType="gaussian")
+    cal = CalibratedClassifier(nb, n_folds=4, seed=11).fit(train)
+    out = cal.transform(valid)
+    assert {"probability_pos", "prediction"} <= set(out.columns)
+    raw_p = nb.fit(train).transform(valid).withColumn(
+        "p_raw", vector_to_array(F.col("probability"))[1]
+    )
+    brier_raw = raw_p.agg(
+        F.avg(F.pow(F.col("p_raw") - F.col("label"), 2))
+    ).head()[0]
+    brier_cal = out.agg(
+        F.avg(F.pow(F.col("probability_pos") - F.col("label"), 2))
+    ).head()[0]
+    assert brier_cal <= brier_raw + 1e-9
+    # calibrated probabilities stay in [0, 1]
+    mm = out.agg(
+        F.min("probability_pos").alias("lo"), F.max("probability_pos").alias("hi")
+    ).head()
+    assert 0.0 <= mm["lo"] and mm["hi"] <= 1.0
+    # mixed ensemble: calibrated NB + raw RF
+    rf = RandomForestClassifier(numTrees=5, maxDepth=3, seed=1).fit(train)
+    ens = SoftVotingEnsemble([cal, rf])
+    eout = ens.transform(valid)
+    assert {"probability_pos", "prediction"} <= set(eout.columns)
+    assert eout.count() == valid.count()
