@@ -28,6 +28,10 @@ CONFIGS = {
     "sgbt_d6_i40_lr01_s08": {"maxDepth": 6, "maxIter": 40, "stepSize": 0.1, "subsamplingRate": 0.8},
     "sgbt_d4_i80_lr01": {"maxDepth": 4, "maxIter": 80, "stepSize": 0.1},
     "sgbt_d3_i20_lr02": {"maxDepth": 3, "maxIter": 20, "stepSize": 0.2},
+    "sgbt_d5_i100_lr02": {"maxDepth": 5, "maxIter": 100, "stepSize": 0.2},
+    "sgbt_d5_i60_lr03": {"maxDepth": 5, "maxIter": 60, "stepSize": 0.3},
+    "sgbt_d5_i60_lr02_s08": {"maxDepth": 5, "maxIter": 60, "stepSize": 0.2, "subsamplingRate": 0.8},
+    "sgbt_d6_i60_lr02": {"maxDepth": 6, "maxIter": 60, "stepSize": 0.2},
 }
 
 

@@ -434,3 +434,61 @@ def test_calibrated_classifier_improves_nb_calibration(spark, toy):
     eout = ens.transform(valid)
     assert {"probability_pos", "prediction"} <= set(eout.columns)
     assert eout.count() == valid.count()
+
+
+def test_softmax_gbt_learns_and_roundtrips(spark, tmp_path):
+    """SoftmaxGBTClassifier: (a) beats the majority baseline on a
+    nonlinear 3-class problem; (b) scoresCol probabilities are a valid
+    softmax; (c) save/load round-trip preserves predictions exactly
+    (JSON-Param state, no MLlib objects)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.ml.softmax_gbt import (
+        SoftmaxGBTClassifier,
+        SoftmaxGBTModel,
+    )
+
+    df = (
+        spark.range(2000)
+        .select(
+            (F.rand(1) * 4 - 2).alias("x0"),
+            (F.rand(2) * 4 - 2).alias("x1"),
+        )
+        .withColumn(
+            "label",
+            F.when(F.col("x0") * F.col("x1") > 0.5, 2.0)
+            .when(F.col("x0") + F.col("x1") < -1, 1.0)
+            .otherwise(0.0),
+        )
+    )
+    data = VectorAssembler(inputCols=["x0", "x1"], outputCol="features").transform(df)
+    train, valid = data.randomSplit([0.8, 0.2], seed=7)
+    model = SoftmaxGBTClassifier(
+        maxIter=8, maxDepth=4, stepSize=0.3, scoresCol="probs"
+    ).fit(train)
+    pred = model.transform(valid).cache()
+    acc = pred.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double"))
+    ).head()[0]
+    majority = (
+        valid.groupBy("label").count().agg(F.max("count")).head()[0] / valid.count()
+    )
+    assert acc > majority + 0.15, (acc, majority)
+    # probabilities: valid simplex, argmax consistent with prediction
+    row = pred.select(
+        F.aggregate("probs", F.lit(0.0), lambda a, x: a + x).alias("z"),
+        F.array_max("probs").alias("mx"),
+        (F.array_position("probs", F.array_max("probs")) - 1).cast("double").alias("am"),
+        "prediction",
+    ).head()
+    assert row["z"] == pytest.approx(1.0, abs=1e-9)
+    assert row["am"] == row["prediction"]
+    # round-trip
+    path = str(tmp_path / "sgbt")
+    model.write().overwrite().save(path)
+    loaded = SoftmaxGBTModel.load(path)
+    a = pred.select("prediction").collect()
+    b = loaded.transform(valid).select("prediction").collect()
+    assert a == b
+    pred.unpersist()
