@@ -552,3 +552,65 @@ def bpe_encode(
             F.transform("ids", lambda i: i.cast("string")), " "
         ).alias("token_str"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    pretoken_pattern: str = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+",
+) -> list[tuple[str, str, int]]:
+    """Learn a BPE merge table from a corpus (the training counterpart of
+    ``bpe_encode``): repeat ``n_merges`` times — count all adjacent symbol
+    pairs across every pretoken OCCURRENCE (frequency-weighted, the
+    Sennrich et al. 2016 objective), take the most frequent (ties broken
+    by (left, right) lexicographically, so the table is deterministic in
+    any engine), merge it corpus-wide, recurse. Returns
+    ``[(left, right, pair_count), ...]`` in rank order.
+
+    Plan shape per round: symbols stay in the same wrapped-string state as
+    ``bpe_encode`` (one row per pretoken occurrence); pair counting is one
+    explode + groupBy over (8+8)-byte-ish symbol pairs — the ONLY shuffle —
+    and the argmax is a 1-row TakeOrdered action; the merge apply is one
+    map-side literal replace. Driver holds the merge table only, never
+    rows. At 100 TB each round is one scan-rate aggregation — the same
+    cost class as a word-count — and rounds chain on a localCheckpoint'ed
+    state so lineage stays flat.
+    """
+    sep = "\x01"
+    pretoks = F.regexp_extract_all(F.col(text_col), F.lit(pretoken_pattern), F.lit(0))
+    state = df.select(F.explode(pretoks).alias("w")).select(
+        F.concat(
+            F.lit(sep), F.array_join(F.split("w", ""), sep + sep), F.lit(sep)
+        ).alias("state")
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.split(F.btrim(F.col("state"), F.lit(sep)), sep + sep)
+        staged = state.select("state", syms.alias("_syms"))
+        pairs = staged.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("_syms", 1, F.size("_syms") - 1),
+                    F.slice("_syms", 2, F.size("_syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p")
+        ).select("p.l", "p.r")
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((l, r, int(n)))
+        pat, rep = f"{sep}{l}{sep}{sep}{r}{sep}", f"{sep}{l}{r}{sep}"
+        state = state.select(
+            F.replace("state", F.lit(pat), F.lit(rep)).alias("state")
+        ).localCheckpoint()
+    return merges

@@ -1575,6 +1575,61 @@ def t14_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_encode(docs)
 
 
+_T15_ROUNDS = 8
+
+
+def _bpe_train_sql(n_merges: int = _T15_ROUNDS) -> str:
+    """DuckDB twin of ``text.bpe_train``: chained CTEs, one (pair-count →
+    deterministic top-1 → corpus-wide replace) block per round."""
+    sep = "\x01"
+    blocks, unions = [], []
+    for i in range(n_merges):
+        blocks.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT syms[j] AS lhs, syms[j + 1] AS rhs, COUNT(*) AS pair_count
+      FROM (SELECT string_split(trim(state, '{sep}'), '{sep}{sep}') AS syms FROM s{i}),
+           UNNEST(range(1, len(syms))) AS t(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{i}
+             ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    s{i + 1} AS MATERIALIZED (
+      SELECT replace(state,
+        (SELECT '{sep}' || lhs || '{sep}{sep}' || rhs || '{sep}' FROM b{i}),
+        (SELECT '{sep}' || lhs || rhs || '{sep}' FROM b{i})) AS state
+      FROM s{i})""")
+        unions.append(
+            f"SELECT {i} AS merge_rank, lhs, rhs, pair_count FROM b{i}"
+        )
+    return f"""
+    WITH d AS (
+      SELECT regexp_extract_all(text, '{_T10_PATTERN}') AS ws FROM documents
+    ),
+    s0 AS MATERIALIZED (
+      SELECT '{sep}' || array_to_string(string_split(w, ''), '{sep}{sep}') || '{sep}' AS state
+      FROM d, UNNEST(ws) AS t(w)
+    ),{",".join(blocks)}
+    {" UNION ALL ".join(unions)}
+    """
+
+
+@query("t15_bpe_train", oracle=_bpe_train_sql())
+def t15_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table TRAINING (Sennrich et al. 2016): learn the top-8
+    merges from the corpus — per round, one explode+groupBy pair count
+    (the only shuffle, word-count cost class), a deterministic top-1
+    (count desc, then lexicographic), one map-side literal replace.
+    Returns the learned table (merge_rank, lhs, rhs, pair_count); the
+    oracle replays the identical training loop in DuckDB. Together with
+    t14 (application) this completes tokenizer construction in-engine."""
+    docs = read_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=_T15_ROUNDS)
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )
+
+
 @query(
     "t11_winnow_fingerprints",
     oracle="""

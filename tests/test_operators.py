@@ -574,3 +574,24 @@ def test_bpe_encode_converges_in_m_rounds(spark):
     base = bpe_encode(df, n_rounds=m).collect()
     extra = bpe_encode(df, n_rounds=m + 1).collect()
     assert base == extra
+
+
+def test_bpe_train_then_encode_roundtrip(spark):
+    """Learned merges feed bpe_encode: training on a corpus whose dominant
+    pair structure is known must learn those merges first, and encoding
+    with the learned table must compress tokens accordingly."""
+    from consumer_loans_analysis_spark.operators.text import bpe_encode, bpe_train
+
+    rows = [(i, "abab abab cdcd") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=3)
+    learned = [(l, r) for l, r, _ in merges]
+    # 'ab' dominates (4 occurrences/doc vs 2 for cd; 'ba' overlaps down to
+    # 2 after non-overlap); then ab+ab; counts are deterministic
+    assert learned[0] == ("a", "b"), merges
+    assert ("ab", "ab") in learned, merges
+    out = bpe_encode(
+        df.limit(1), merges=[(l, r) for l, r, _ in merges]
+    ).collect()[0]
+    # "abab"->1 token ("abab"), "cdcd" depends on rank 3; at most 4+ tokens
+    assert out["n_tokens"] < 14  # raw chars would be 14
