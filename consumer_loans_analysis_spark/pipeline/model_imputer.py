@@ -7,10 +7,15 @@ target for the missing rows, and write the predictions back by row position.
 Spark reformulation (P14 — no positional writes): the fitted classifier
 transforms the FULL frame and the imputed column is
 ``when(target is missing, predicted).otherwise(target)`` — declarative, one
-map-side pass, no row identity needed. The classifier is MLlib
-RandomForestClassifier (xgboost is not in the container; the reference's
-model choice is a hyperparameter, not a semantic — BASELINE.md's acceptance
-bar is beating the mode-imputation micro-F1, not matching XGB bit-for-bit).
+map-side pass, no row identity needed. The DEFAULT classifier is MLlib
+RandomForestClassifier (fast to fit; the reference's model choice is a
+hyperparameter, not a semantic — BASELINE.md's acceptance bar is beating
+the mode-imputation micro-F1, not matching XGB bit-for-bit). The
+measured-BEST family is ``classifierFamily='gbt_softmax'`` (true K-class
+boosting, ml/softmax_gbt.py): maxDepth=5, maxIter=100, stepSize=0.2
+scores 0.4616 valid micro-F1 on ECONOMIC_SECTOR vs the 104-config RF
+plateau 0.4503 and the reference's tuned XGB 0.500 (IMPUTER_TUNING.json)
+— at ~3× the RF fit cost, which is why it is opt-in rather than default.
 
 Missingness is either a string sentinel (ECONOMIC_SECTOR: "Missing") or SQL
 NULL (EMPLOYEE_NO_NUM after BucketOrdinalEncoder maps "Missing" → null).

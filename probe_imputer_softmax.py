@@ -32,6 +32,9 @@ CONFIGS = {
     "sgbt_d5_i60_lr03": {"maxDepth": 5, "maxIter": 60, "stepSize": 0.3},
     "sgbt_d5_i60_lr02_s08": {"maxDepth": 5, "maxIter": 60, "stepSize": 0.2, "subsamplingRate": 0.8},
     "sgbt_d6_i60_lr02": {"maxDepth": 6, "maxIter": 60, "stepSize": 0.2},
+    "sgbt_d7_i60_lr02": {"maxDepth": 7, "maxIter": 60, "stepSize": 0.2},
+    "sgbt_d6_i100_lr02": {"maxDepth": 6, "maxIter": 100, "stepSize": 0.2},
+    "sgbt_d6_i60_lr02_emp": {"maxDepth": 6, "maxIter": 60, "stepSize": 0.2, "_target": "EMPLOYEE_NO_NUM"},
 }
 
 
@@ -51,13 +54,16 @@ def main() -> None:
 
     scores = {}
     for name in names:
-        params = CONFIGS[name]
+        params = dict(CONFIGS[name])
+        target = params.pop("_target", "ECONOMIC_SECTOR")
+        sentinel = "Missing" if target == "ECONOMIC_SECTOR" else None
+        excl = [] if target == "ECONOMIC_SECTOR" else ["ECONOMIC_SECTOR_"]
         imp = ModelImputer(
-            targetCol="ECONOMIC_SECTOR", sentinel="Missing",
+            targetCol=target, sentinel=sentinel, excludePrefixes=excl,
             classifierFamily="gbt_softmax", **params,
         )
         t0 = time.perf_counter()
-        f1 = evaluate_imputer(imp.fit(ptrain), pvalid, "ECONOMIC_SECTOR")
+        f1 = evaluate_imputer(imp.fit(ptrain), pvalid, target, sentinel=sentinel)
         dt = time.perf_counter() - t0
         scores[name] = {"f1": round(f1, 4), "sec": round(dt)}
         print(f"{name:24s} f1={f1:.4f} ({dt:.0f}s)", flush=True)
