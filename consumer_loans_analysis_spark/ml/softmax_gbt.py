@@ -184,7 +184,7 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                  maxIter: int = 40, maxDepth: int = 5, maxBins: int = 32,
                  minInstancesPerNode: int = 1, stepSize: float = 0.1,
                  subsamplingRate: float = 1.0, seed: int = 42,
-                 parallelism: int = 8):
+                 parallelism: int = 16):
         super().__init__()
         self._set(featuresCol=featuresCol, labelCol=labelCol,
                   predictionCol=predictionCol, scoresCol=scoresCol,

@@ -35,6 +35,8 @@ CONFIGS = {
     "sgbt_d7_i60_lr02": {"maxDepth": 7, "maxIter": 60, "stepSize": 0.2},
     "sgbt_d6_i100_lr02": {"maxDepth": 6, "maxIter": 100, "stepSize": 0.2},
     "sgbt_d6_i60_lr02_emp": {"maxDepth": 6, "maxIter": 60, "stepSize": 0.2, "_target": "EMPLOYEE_NO_NUM"},
+    "sgbt_d8_i60_lr02": {"maxDepth": 8, "maxIter": 60, "stepSize": 0.2},
+    "sgbt_d7_i100_lr02": {"maxDepth": 7, "maxIter": 100, "stepSize": 0.2},
 }
 
 
@@ -45,8 +47,16 @@ def main() -> None:
     names = sys.argv[1:] or list(CONFIGS)
     train = read_loans_csv(spark, "/root/reference/data/orig_train.csv")
     valid = read_loans_csv(spark, "/root/reference/data/orig_valid.csv")
+    from consumer_loans_analysis_spark.pipeline.loans import EMPLOYEE_NO_MAP
+    from consumer_loans_analysis_spark.pipeline.stages import BucketOrdinalEncoder
+
     base = build_processing_pipeline(with_model_imputers=False)
-    prep = Pipeline(stages=base.getStages()[:-1]).fit(train)
+    # the probe evaluates imputers standalone, so add the EMPLOYEE_NO ->
+    # EMPLOYEE_NO_NUM encoder the with_model_imputers pipeline would carry
+    prep = Pipeline(
+        stages=base.getStages()[:-1]
+        + [BucketOrdinalEncoder(inputCol="EMPLOYEE_NO", outputCol="EMPLOYEE_NO_NUM", mapping=EMPLOYEE_NO_MAP)]
+    ).fit(train)
     ptrain = prep.transform(train).cache()
     ptrain.count()
     pvalid = prep.transform(valid).cache()
