@@ -30,8 +30,14 @@ from pyspark.sql import functions as F
 
 
 def _p1(df: DataFrame) -> DataFrame:
-    return df.withColumn("_score", vector_to_array(F.col("probability"))[1]).drop(
-        "rawPrediction", "probability", "prediction"
+    """P(class 1) from either an MLlib ``probability`` vector or a plain
+    ``probs`` array column (SoftmaxGBTModel with scoresCol='probs')."""
+    if "probability" in df.columns:
+        score = vector_to_array(F.col("probability"))[1]
+    else:
+        score = F.col("probs")[1]
+    return df.withColumn("_score", score).drop(
+        "rawPrediction", "probability", "prediction", "probs"
     )
 
 

@@ -310,18 +310,24 @@ def contributions_table(
     feature_names: list[str],
     features_col: str = "features",
     target_class: int = 1,
+    method: str = "saabas",
 ) -> DataFrame:
-    """``tree_contributions`` widened to named ``contrib_<feature>`` columns
-    (the reference's per-row SHAP frame shape), plus bias and pred."""
+    """Per-row contributions widened to named ``contrib_<feature>`` columns
+    (the reference's per-row SHAP frame shape), plus bias and pred.
+    ``method``: 'saabas' (fast path attribution) or 'treeshap' (exact
+    Shapley, ~depth× costlier — see tree_shap_contributions)."""
     from pyspark.ml.functions import vector_to_array
 
+    if method not in ("saabas", "treeshap"):
+        raise ValueError(f"method must be saabas | treeshap, got {method!r}")
+    fn = tree_contributions if method == "saabas" else tree_shap_contributions
     dtype = dict(df.dtypes).get(features_col, "")
     feats = (
         vector_to_array(F.col(features_col)) if dtype == "vector"
         else F.col(features_col)
     )
     out = df.withColumn(
-        "_c", tree_contributions(model, feats, feature_names, target_class)
+        "_c", fn(model, feats, feature_names, target_class)
     )
     return out.select(
         *df.columns,
