@@ -21,15 +21,24 @@ from pyspark.sql import functions as F
 class SoftVotingEnsemble(Transformer):
     """Average member probabilities, threshold at 0.5.
 
-    Members may emit either an MLlib ``probability`` vector or a scalar
+    Members may emit an MLlib ``probability`` vector, a scalar
     ``probability_pos`` (e.g. ``CalibratedClassifierModel`` — voting over
     calibrated probabilities is the reference's effective behavior, since
-    sklearn members are reasonably calibrated out of the box)."""
+    sklearn members are reasonably calibrated out of the box), or a plain
+    ``probs`` array column (``SoftmaxGBTModel`` with scoresCol='probs').
 
-    def __init__(self, models: list, threshold: float = 0.5):
+    ``weights`` (optional, same length as ``models``) weight each member's
+    vote; sklearn's VotingClassifier exposes the same knob. None = uniform.
+    """
+
+    def __init__(self, models: list, threshold: float = 0.5,
+                 weights: list[float] | None = None):
         super().__init__()
+        if weights is not None and len(weights) != len(models):
+            raise ValueError("weights must match models length")
         self.models = models
         self.threshold = threshold
+        self.weights = weights
 
     def _transform(self, df: DataFrame) -> DataFrame:
         out = df
@@ -39,13 +48,19 @@ class SoftVotingEnsemble(Transformer):
             col = f"_p1_{i}"
             if "probability_pos" in pred.columns:
                 pred = pred.withColumnRenamed("probability_pos", col)
+            elif "probs" in pred.columns:
+                pred = pred.withColumn(col, F.col("probs")[1])
             else:
                 pred = pred.withColumn(col, vector_to_array(F.col("probability"))[1])
             out = pred.drop(
-                "rawPrediction", "probability", "prediction", "probability_pos"
+                "rawPrediction", "probability", "prediction", "probability_pos",
+                "probs",
             )
             prob_cols.append(col)
-        avg = sum((F.col(c) for c in prob_cols), F.lit(0.0)) / len(prob_cols)
+        w = self.weights or [1.0] * len(prob_cols)
+        avg = sum(
+            (F.col(c) * wi for c, wi in zip(prob_cols, w)), F.lit(0.0)
+        ) / sum(w)
         return (
             out.withColumn("probability_pos", avg)
             .withColumn(

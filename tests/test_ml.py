@@ -492,3 +492,47 @@ def test_softmax_gbt_learns_and_roundtrips(spark, tmp_path):
     b = loaded.transform(valid).select("prediction").collect()
     assert a == b
     pred.unpersist()
+
+
+def test_weighted_voting_and_probs_array_member(toy):
+    """SoftVotingEnsemble extensions: (a) a SoftmaxGBTModel member votes
+    through its plain `probs` array column; (b) `weights` blend member
+    probabilities as a convex combination — weight 1 on a member
+    reproduces that member alone, and a 50/50 weighting equals the
+    unweighted average."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.ml.softmax_gbt import SoftmaxGBTClassifier
+
+    lr = LogisticRegression().fit(toy)
+    sgbt = SoftmaxGBTClassifier(
+        maxIter=3, maxDepth=2, scoresCol="probs", seed=3
+    ).fit(toy)
+
+    out = SoftVotingEnsemble([lr, sgbt]).transform(toy)
+    assert {"probability_pos", "prediction"} <= set(out.columns)
+    assert "probs" not in out.columns  # member plumbing column is dropped
+
+    # weight 1/0 reproduces the lr member's own P(1) exactly
+    solo = SoftVotingEnsemble([lr, sgbt], weights=[1.0, 0.0]).transform(toy)
+    lr_p = lr.transform(toy).select(
+        vector_to_array(F.col("probability"))[1].alias("p")
+    )
+    diff = (
+        solo.select(F.col("probability_pos").alias("p"))
+        .join(lr_p, on="p", how="left_anti")
+        .count()
+    )
+    assert diff == 0
+
+    # equal weights == unweighted average
+    eq = SoftVotingEnsemble([lr, sgbt], weights=[2.0, 2.0]).transform(toy)
+    pair = list(zip(
+        [r["probability_pos"] for r in out.collect()],
+        [r["probability_pos"] for r in eq.collect()],
+    ))
+    assert all(abs(a - b) < 1e-12 for a, b in pair)
+
+    with pytest.raises(ValueError):
+        SoftVotingEnsemble([lr], weights=[1.0, 2.0])
