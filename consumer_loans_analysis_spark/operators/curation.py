@@ -1,0 +1,181 @@
+"""Pretraining data-selection operators: DSIR and CCNet perplexity buckets.
+
+Two published curation methods a 100 TB training-data pipeline runs between
+dedup and tokenization:
+
+- ``dsir_select`` — Data Selection via Importance Resampling (Xie et al.,
+  NeurIPS 2023): hashed-n-gram importance weights target/raw + Gumbel
+  top-k sampling.
+- ``ccnet_perplexity_buckets`` — CCNet's per-language perplexity
+  head/middle/tail split (Wenzek et al., LREC 2020), with the bigram LM of
+  ``t9`` standing in for KenLM (a pre-trained count table would swap in,
+  nothing else changes).
+
+Both are pure Column-expression plans (JVM-side, no UDFs); all randomness
+is the engine-portable md5 hash, so results reproduce across engines and
+runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from consumer_loans_analysis_spark.operators import text
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    *,
+    n_buckets: int = 8192,
+    k: int = 100,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Hashed-unigram importance resampling (DSIR; Xie et al. 2023).
+
+    Estimates the target and raw token distributions over ``n_buckets``
+    hashed feature buckets (``target`` is a boolean Column over ``docs``
+    marking the target-domain subset, e.g. ``F.col("lang") == "en"``),
+    scores every document with the add-α-smoothed importance log-weight
+
+        logw = Σ_tokens  ln p_target(bucket) − ln p_raw(bucket)
+
+    then applies the Gumbel-top-k trick — adding per-document Gumbel noise
+    and keeping the ``k`` largest is exactly sampling WITHOUT replacement
+    with probability ∝ exp(logw), the paper's resampling step. The noise
+    is derived from the portable md5 hash of ``doc_id``, so the sample is
+    deterministic (the published method's np.random.gumbel with the seed
+    pinned by construction).
+
+    Scale shape: ONE corpus explode feeds ONE bucket-count aggregation
+    (#buckets rows; both distributions come out of the same pass via a
+    conditional count); the model table broadcasts back onto the token
+    stream; per-doc scores are one doc_id-keyed aggregation (the only
+    corpus shuffle); selection is a TakeOrderedAndProject, not a global
+    sort. Nothing corpus-sized is ever broadcast or windowed.
+
+    Returns ``doc_id, lang, n_tokens, logw, score`` for the selected k.
+    """
+    base = docs.select("doc_id", "lang", target.alias("is_t"), "text")
+    tb = base.select(
+        "doc_id",
+        "lang",
+        "is_t",
+        F.explode(text.words(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        "is_t",
+        (text.portable_hash(F.col("w"), seed=seed) % n_buckets).alias("b"),
+    )
+    counts = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count_if(F.col("is_t")).alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_r").cast("double").alias("n_r"),
+        F.sum("c_t").cast("double").alias("n_t"),
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("c_t") + alpha) / (F.col("n_t") + alpha * n_buckets))
+            - F.log((F.col("c_r") + alpha) / (F.col("n_r") + alpha * n_buckets))
+        ).alias("llr"),
+    )
+    scored = (
+        tb.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("llr").alias("logw"))
+    )
+    # Gumbel(0,1) via inverse CDF of a portable uniform in (0,1)
+    u = (
+        text.portable_hash(F.col("doc_id").cast("string"), seed=f"{seed}-g")
+        % (1 << 30)
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 30))
+    sel = (
+        scored.withColumn("score", F.col("logw") - F.log(-F.log(u)))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+    return sel.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("logw", 6).alias("logw"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def ccnet_perplexity_buckets(docs: DataFrame, ref: Column) -> DataFrame:
+    """CCNet-style per-language perplexity split (Wenzek et al. 2020).
+
+    Trains a per-language bigram MLE language model on the reference
+    subset (``ref`` is a boolean Column over ``docs`` — CCNet's Wikipedia
+    stand-in), scores every document by cross-entropy over its own
+    bigrams (t9's scoring), and splits each language at the 1/3 and 2/3
+    cross-entropy terciles into ``head`` / ``middle`` / ``tail`` — head
+    being the most reference-like text, the slice pretraining pipelines
+    keep first.
+
+    Scale shape: the LM is one (lang, w1, w2) aggregation over the
+    REFERENCE subset only (vocab²-bounded, broadcast to the scoring
+    join); scoring is one doc_id-keyed corpus aggregation; thresholds
+    are a #languages-row aggregate broadcast back. No corpus-wide
+    window/sort — CCNet's own rank-by-perplexity is replaced by the
+    percentile thresholds, which is its documented batch formulation.
+    Exact ``percentile`` is the correctness path; at 100 TB swap
+    ``approx_percentile`` (t-digest, one pass) — same idiom as dq2/o9.
+    Documents whose bigrams never occur in their language's reference LM
+    (or with < 2 tokens) drop out, mirroring CCNet's unscorable bucket.
+    """
+    w = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_big = docs.select(
+        "doc_id", "lang", ref.alias("is_ref"), F.explode(bigrams).alias("bg")
+    ).select("doc_id", "lang", "is_ref", "bg.w1", "bg.w2")
+    # eager localCheckpoint (t9 idiom): bc feeds both uc and the model join
+    bc = (
+        doc_big.filter(F.col("is_ref"))
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
+    )
+    uc = bc.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    model = bc.join(uc, ["lang", "w1"]).withColumn(
+        "logp", F.log(F.col("c12").cast("double") / F.col("c1"))
+    )
+    scored = (
+        doc_big.join(F.broadcast(model), ["lang", "w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("logp"), 6).alias("cross_entropy"),
+        )
+    )
+    th = scored.groupBy("lang").agg(
+        F.expr("percentile(cross_entropy, 0.3333333333333333)").alias("t1"),
+        F.expr("percentile(cross_entropy, 0.6666666666666666)").alias("t2"),
+    )
+    return scored.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "cross_entropy",
+        F.when(F.col("cross_entropy") <= F.col("t1"), "head")
+        .when(F.col("cross_entropy") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -1847,3 +1847,104 @@ def t13_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents containing a query term, not corpus size."""
     docs = read_table(spark, sf_dir, "documents")
     return text.bm25_search(docs, _T13_TERMS, k=20)
+
+
+@query(
+    "dsir1_importance_resampling",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, lang = 'en' AS is_t,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, lang, is_t,
+             CAST(concat('0x', substr(md5('dsir:' || w), 1, 8)) AS BIGINT) % 8192 AS b
+      FROM tok
+    ), c AS (
+      SELECT b, COUNT(*) AS c_r,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+      FROM tb GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(c_r) AS DOUBLE) AS n_r, CAST(SUM(c_t) AS DOUBLE) AS n_t
+      FROM c
+    ), model AS (
+      SELECT b, ln((c_t + 1.0) / (n_t + 8192.0)) - ln((c_r + 1.0) / (n_r + 8192.0)) AS llr
+      FROM c, tot
+    ), scored AS (
+      SELECT tb.doc_id, tb.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(llr) AS logw
+      FROM tb JOIN model USING (b)
+      GROUP BY 1, 2
+    ), g AS (
+      SELECT *,
+        -ln(-ln(((CAST(concat('0x', substr(md5('dsir-g:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1073741824) + 0.5) / 1073741824.0)) AS gum
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(logw, 6) AS logw, ROUND(logw + gum, 6) AS score
+    FROM g
+    ORDER BY logw + gum DESC, doc_id
+    LIMIT 100
+    """,
+)
+def dsir1_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): importance-resample 100 docs
+    toward the lang='en' target distribution over 8192 hashed-unigram
+    buckets. See ``operators/curation.py::dsir_select`` for the full
+    semantics and the 100 TB plan shape (one explode, one #buckets agg,
+    broadcast model, TakeOrderedAndProject selection)."""
+    from consumer_loans_analysis_spark.operators import curation
+
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.dsir_select(docs, F.col("lang") == "en", k=100)
+
+
+@query(
+    "ccnet1_perplexity_buckets",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS is_ref,
+             string_split(text, ' ') AS w
+      FROM documents
+    ), big AS (
+      SELECT doc_id, lang, is_ref, w[i] AS w1, w[i+1] AS w2
+      FROM d, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ), bc AS (
+      SELECT lang, w1, w2, COUNT(*) AS c12 FROM big WHERE is_ref GROUP BY 1, 2, 3
+    ), uc AS (
+      SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1, 2
+    ), scored AS (
+      SELECT b.doc_id, b.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(-AVG(ln(CAST(bc.c12 AS DOUBLE) / uc.c1)), 6) AS cross_entropy
+      FROM big b
+      JOIN bc ON bc.lang = b.lang AND bc.w1 = b.w1 AND bc.w2 = b.w2
+      JOIN uc ON uc.lang = b.lang AND uc.w1 = b.w1
+      GROUP BY 1, 2
+    ), th AS (
+      SELECT lang,
+             quantile_cont(cross_entropy, 0.3333333333333333) AS t1,
+             quantile_cont(cross_entropy, 0.6666666666666666) AS t2
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.n_bigrams, s.cross_entropy,
+      CASE WHEN s.cross_entropy <= th.t1 THEN 'head'
+           WHEN s.cross_entropy <= th.t2 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM scored s JOIN th USING (lang)
+    """,
+)
+def ccnet1_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity split (Wenzek et al. 2020): per-language bigram LM
+    trained on the src0-src4 reference shard, every doc scored by
+    cross-entropy, languages split at the 1/3 and 2/3 terciles into
+    head/middle/tail. See ``operators/curation.py::ccnet_perplexity_buckets``."""
+    from consumer_loans_analysis_spark.operators import curation
+
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.ccnet_perplexity_buckets(
+        docs, F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )

@@ -595,3 +595,64 @@ def test_bpe_train_then_encode_roundtrip(spark):
     ).collect()[0]
     # "abab"->1 token ("abab"), "cdcd" depends on rank 3; at most 4+ tokens
     assert out["n_tokens"] < 14  # raw chars would be 14
+
+
+def test_dsir_selection_is_target_biased(spark, sf_dir):
+    """DSIR (curation.py): (a) returns exactly k docs; (b) the selected
+    sample is enriched in the target domain vs the corpus base rate —
+    the operator's entire point; (c) selection is a TakeOrderedAndProject
+    (top-k), not a global sort materialization."""
+    from consumer_loans_analysis_spark.operators import curation
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sel = curation.dsir_select(docs, F.col("lang") == "en", k=100)
+    assert "TakeOrderedAndProject" in sel._jdf.queryExecution().executedPlan().toString()
+    rows = sel.collect()
+    assert len(rows) == 100
+    share_sel = sum(r["lang"] == "en" for r in rows) / len(rows)
+    base = docs.filter(F.col("lang") == "en").count() / docs.count()
+    # the synthetic corpus shares most vocabulary across langs, so the
+    # importance signal is weak — require enrichment, not domination
+    assert share_sel > base + 0.03, (share_sel, base)
+    # selection prefers high-importance docs: mean logw of the sample
+    # beats the corpus mean
+    sel_mean = sum(r["logw"] for r in rows) / len(rows)
+    corpus_mean = curation.dsir_select(docs, F.col("lang") == "en", k=10**9).agg(
+        F.avg("logw")
+    ).head()[0]
+    assert sel_mean > corpus_mean, (sel_mean, corpus_mean)
+
+
+def test_ccnet_buckets_partition_each_language(spark, sf_dir):
+    """CCNet buckets (curation.py): per language, head/middle/tail are a
+    partition in tercile-balanced proportions (each bucket within
+    [1/6, 1/2] of that language's scored docs), and head has the lowest
+    mean cross-entropy."""
+    from consumer_loans_analysis_spark.operators import curation
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = curation.ccnet_perplexity_buckets(
+        docs, F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    ).cache()
+    stats = {
+        (r["lang"], r["bucket"]): (r["n"], r["ce"])
+        for r in out.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("cross_entropy").alias("ce"))
+        .collect()
+    }
+    langs = {k[0] for k in stats}
+    assert len(langs) >= 3
+    for lang in langs:
+        counts = {b: stats.get((lang, b), (0, 0.0))[0] for b in ("head", "middle", "tail")}
+        total = sum(counts.values())
+        assert total > 0
+        for b, n in counts.items():
+            assert total / 6 <= n <= total / 2, (lang, b, counts)
+        assert (
+            stats[(lang, "head")][1]
+            < stats[(lang, "middle")][1]
+            < stats[(lang, "tail")][1]
+        )
+    out.unpersist()
