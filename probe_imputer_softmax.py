@@ -67,7 +67,15 @@ def main() -> None:
         params = dict(CONFIGS[name])
         target = params.pop("_target", "ECONOMIC_SECTOR")
         sentinel = "Missing" if target == "ECONOMIC_SECTOR" else None
-        excl = [] if target == "ECONOMIC_SECTOR" else ["ECONOMIC_SECTOR_"]
+        # EMPLOYEE_NO_NUM is null where EMPLOYEE_NO is missing (the probe
+        # prep has no upstream imputer for it), so it must stay out of the
+        # ECONOMIC_SECTOR feature set — this also keeps scores comparable
+        # with the wave-1..3 runs, whose prep lacked the column entirely.
+        excl = (
+            ["EMPLOYEE_NO_NUM"]
+            if target == "ECONOMIC_SECTOR"
+            else ["ECONOMIC_SECTOR_"]
+        )
         imp = ModelImputer(
             targetCol=target, sentinel=sentinel, excludePrefixes=excl,
             classifierFamily="gbt_softmax", **params,
