@@ -179,3 +179,59 @@ def ccnet_perplexity_buckets(docs: DataFrame, ref: Column) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.8,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023) over an
+    embedding column, end to end: bucket → within-bucket cosine pairs →
+    connected components → one canonical survivor per component.
+
+    SemDeDup clusters embeddings (they use k-means) and deduplicates
+    WITHIN clusters only — the approximation that makes embedding dedup
+    sub-quadratic. Here the cluster assignment is the deterministic
+    axis-aligned sign-LSH bucket (``similarity.sign_bucket``) so the
+    whole operator is engine-portable and SQL-oracle-able; swapping in a
+    fitted k-means assignment (``similarity.ivf_topk``'s centroids)
+    changes one projection, nothing else. Cross-bucket near-dups are
+    missed by design — the same documented blind spot as cross-cluster
+    pairs in the paper; near-identical embeddings agree on leading-dim
+    signs unless a leading component sits at 0.
+
+    Composition of existing verified pieces: ``sign_bucket`` (sim2) for
+    blocking, ``similarity.cosine`` for the verify, and
+    ``dedup.duplicate_clusters`` (d6) for min-label components.
+
+    Scale shape: the pair join is an equi-join on the bucket key —
+    candidates are Σ_b n_b²/2, bounded by bucket granularity (2^n_bits
+    buckets; raise n_bits as the corpus grows, or swap the within-bucket
+    all-pairs for d5's blocked-GEMM when buckets are still large). The CC
+    loop shuffles (id, label) longs only; embeddings never enter it.
+    Returns ``(id_col, cluster_id, is_canonical)`` for every vector.
+    """
+    from consumer_loans_analysis_spark.operators import dedup, similarity
+
+    b = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        similarity.sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(similarity.cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    return dedup.duplicate_clusters(emb, pairs, id_col=id_col)

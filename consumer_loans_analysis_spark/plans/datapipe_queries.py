@@ -215,7 +215,7 @@ def d5_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id_a, id_b FROM pairs
       JOIN sizes sa ON sa.id = id_a
       JOIN sizes sb ON sb.id = id_b
-      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.45
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM dup
@@ -1948,3 +1948,50 @@ def ccnet1_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.ccnet_perplexity_buckets(
         docs, F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     )
+
+
+@query(
+    "d11_semantic_dedup",
+    oracle="""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+        (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM e
+    ),
+    dup AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE list_dot_product(a.v, c.v)
+            / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v)))
+            >= 0.45
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup
+      UNION SELECT id_b AS src, id_a AS dst FROM dup
+    ),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM embeddings
+      UNION
+      SELECT e2.dst AS id, reach.r FROM reach JOIN edges e2 ON e2.src = reach.id
+    )
+    SELECT id AS vec_id, MIN(r) AS cluster_id, (id = MIN(r)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: sign-LSH
+    bucket → within-bucket cosine pairs → min-label connected components →
+    one canonical vector per component. Threshold 0.45 / 4 bucket bits
+    because this corpus's planted near-dups live at cosine 0.45-0.51 (see
+    d5's margin note) — real text embeddings would use ~0.9 and more bits.
+    See ``operators/curation.py::semantic_dedup`` (composition of sim2's
+    bucketing, d5's cosine verify, and d6's CC loop)."""
+    from consumer_loans_analysis_spark.operators import curation
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return curation.semantic_dedup(emb, threshold=0.45, n_bits=4)

@@ -656,3 +656,53 @@ def test_ccnet_buckets_partition_each_language(spark, sf_dir):
             < stats[(lang, "tail")][1]
         )
     out.unpersist()
+
+
+def test_semantic_dedup_components(spark, sf_dir):
+    """semantic_dedup (curation.py): labels are valid min-label components
+    — every cluster_id is the min vec_id of its cluster, exactly one
+    canonical per cluster, and every ≥-threshold same-bucket cosine pair
+    lands in the same cluster."""
+    from consumer_loans_analysis_spark.operators import curation, similarity
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    out = curation.semantic_dedup(emb, threshold=0.45, n_bits=4).cache()
+    assert out.count() == emb.count()
+    agg = out.groupBy("cluster_id").agg(
+        F.min("vec_id").alias("mn"),
+        F.count_if(F.col("is_canonical")).alias("n_canon"),
+    )
+    bad = agg.filter(
+        (F.col("cluster_id") != F.col("mn")) | (F.col("n_canon") != 1)
+    ).count()
+    assert bad == 0
+    # every same-bucket near-dup pair is co-clustered
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.sign_bucket(F.col("embedding"), 4).alias("bucket"),
+    )
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .filter(
+            similarity.cosine(F.col("x.embedding"), F.col("y.embedding")) >= 0.45
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+    )
+    lab = out.select("vec_id", "cluster_id")
+    split = (
+        pairs.join(lab.withColumnRenamed("vec_id", "id_a"), "id_a")
+        .withColumnRenamed("cluster_id", "ca")
+        .join(lab.withColumnRenamed("vec_id", "id_b"), "id_b")
+        .filter(F.col("ca") != F.col("cluster_id"))
+        .count()
+    )
+    assert split == 0
+    assert pairs.count() > 0  # the corpus actually has near-dup structure
+    out.unpersist()
+    emb.unpersist()
