@@ -59,8 +59,19 @@ def model_zoo(seed: int = 42, mlp_layers: list[int] | None = None) -> dict[str, 
             layers=mlp_layers or [54, 16, 2], seed=seed
         ),
         "fm": lambda: FMClassifier(seed=seed),
+        # in-engine K-class boosting (ml/softmax_gbt.py) — the XGB-family
+        # stand-in; tuned config from TUNING.json sgbt_binary_wave2
+        "gbt_softmax": lambda: _softmax_gbt(seed),
         "dummy_uniform": lambda: UniformRandomClassifier(seed=seed),
     }
+
+
+def _softmax_gbt(seed: int):
+    from consumer_loans_analysis_spark.ml.softmax_gbt import SoftmaxGBTClassifier
+
+    return SoftmaxGBTClassifier(
+        scoresCol="probs", maxDepth=6, maxIter=150, stepSize=0.2, seed=seed
+    )
 
 
 class UniformRandomClassifierModel(Transformer, DefaultParamsReadable, DefaultParamsWritable):

@@ -212,7 +212,9 @@ def test_soft_voting_ensemble(toy):
     assert all(0.0 <= p <= 1.0 for p in probs)
 
 
-def test_model_zoo_instantiable():
+def test_model_zoo_instantiable(spark):
+    # MLlib estimator __init__ needs an active SparkContext — request the
+    # fixture so this test also passes when selected alone
     zoo = model_zoo(mlp_layers=[2, 4, 2])
     for name, factory in zoo.items():
         est = factory()
