@@ -99,16 +99,30 @@ def _warmup(spark, sf_dir: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     registry.load_all()
     spark = get_spark("bench")
     _warmup(spark, sf_dir)
+    # Median-of-N per query (default 3): single-shot timings drift ±10%
+    # with host load (the r04 lesson — a uniform +2-12% across untouched
+    # queries); the median pins that noise so round-over-round deltas are
+    # attributable to plan changes. Runs are interleaved per-query (all
+    # reps of one query back-to-back) so each query's reps see similar
+    # machine state; caches are cleared between reps' plans only via the
+    # path-keyed plan construction (nothing persists across reps).
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            samples.append(round(time.perf_counter() - t0, 3))
+            assert rows is not None
+        samples.sort()
+        timings[name] = samples[len(samples) // 2]
+        spreads[name] = samples
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -118,6 +132,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": reps,
+                "protocol": "median_of_reps_per_query",
+                "samples": spreads,
             }
         )
     )

@@ -34,8 +34,15 @@ def _p1(df: DataFrame) -> DataFrame:
     ``probs`` array column (SoftmaxGBTModel with scoresCol='probs')."""
     if "probability" in df.columns:
         score = vector_to_array(F.col("probability"))[1]
-    else:
+    elif "probs" in df.columns:
         score = F.col("probs")[1]
+    else:
+        # e.g. LinearSVC emits only rawPrediction — fail here with a clear
+        # message instead of an unresolved-column error deep inside fit
+        raise ValueError(
+            "calibration needs a 'probability' vector or 'probs' array "
+            f"column; got columns {df.columns}"
+        )
     return df.withColumn("_score", score).drop(
         "rawPrediction", "probability", "prediction", "probs"
     )

@@ -34,8 +34,15 @@ class SoftVotingEnsemble(Transformer):
     def __init__(self, models: list, threshold: float = 0.5,
                  weights: list[float] | None = None):
         super().__init__()
-        if weights is not None and len(weights) != len(models):
-            raise ValueError("weights must match models length")
+        if weights is not None:
+            if len(weights) != len(models):
+                raise ValueError("weights must match models length")
+            if any(w < 0 for w in weights) or sum(weights) <= 0:
+                # all-zero weights divide by zero (null probability_pos);
+                # negative weights push the vote outside [0, 1]
+                raise ValueError(
+                    "weights must be >= 0 with a positive sum"
+                )
         self.models = models
         self.threshold = threshold
         self.weights = weights

@@ -272,6 +272,17 @@ def tree_shap_contributions(
     from pyspark.sql.functions import pandas_udf
 
     trees = model.trees if hasattr(model, "trees") else [model]
+    if hasattr(model, "treeWeights"):
+        tw = list(model.treeWeights)
+        if tw and any(abs(w - tw[0]) > 1e-12 for w in tw):
+            # GBT-style weighted tree sums (plus a link function) break the
+            # advertised exact-efficiency contract bias + Σcontrib == output;
+            # this path averages trees uniformly — RF semantics only.
+            raise ValueError(
+                "tree_shap_contributions supports uniformly-weighted "
+                "ensembles (RF); non-uniform treeWeights found — per-tree "
+                "averaging would not reproduce the model output"
+            )
     is_classifier = hasattr(model, "numClasses")
     structs = [
         _extract_tree(t._call_java("rootNode"), target_class, is_classifier)

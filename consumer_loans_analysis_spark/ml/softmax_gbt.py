@@ -57,7 +57,9 @@ from consumer_loans_analysis_spark.ml.importance import _extract_tree
 
 
 def _walk(tr: dict, x) -> int:
-    """Terminal node index of row x in an extracted tree struct."""
+    """Terminal node index of row x in an extracted tree struct (scalar
+    reference implementation — the vectorized ``_walk_batch`` is pinned
+    bit-equal to this in tests)."""
     node = 0
     while tr["left"][node] != -1:
         f = tr["feat"][node]
@@ -67,40 +69,98 @@ def _walk(tr: dict, x) -> int:
     return node
 
 
+def _tree_arrays(tr: dict) -> tuple:
+    """Extracted tree struct → numpy arrays for the level-order vectorized
+    descent. Built ONCE on the driver per UDF construction and shipped in
+    the closure (arrays are O(2^depth) — tiny)."""
+    import numpy as np
+
+    left = np.asarray(tr["left"], dtype=np.int32)
+    right = np.asarray(tr["right"], dtype=np.int32)
+    # leaves carry feat == -1; clamp to 0 — masked out before use
+    feat = np.maximum(np.asarray(tr["feat"], dtype=np.int32), 0)
+    thr = np.asarray(tr["thr"], dtype=np.float64)
+    is_cat = np.asarray([c is not None for c in tr["cats"]], dtype=bool)
+    cat_vals = {
+        i: np.asarray(sorted(c), dtype=np.float64)
+        for i, c in enumerate(tr["cats"])
+        if c
+    }
+    value = np.asarray(tr["value"], dtype=np.float64)
+    return left, right, feat, thr, is_cat, cat_vals, value
+
+
+def _walk_batch(arrs: tuple, X):
+    """Vectorized descent: all rows advance one level per iteration (one
+    fancy-index gather + one comparison per depth, ≤ maxDepth iterations)
+    instead of a per-row Python loop. Semantics identical to ``_walk``:
+    float64 ``x <= thr`` for continuous splits, exact membership
+    (``np.isin`` on the same float values) for categorical splits."""
+    import numpy as np
+
+    left, right, feat, thr, is_cat, cat_vals, _ = arrs
+    node = np.zeros(X.shape[0], dtype=np.int32)
+    while True:
+        idx = np.nonzero(left[node] != -1)[0]
+        if idx.size == 0:
+            return node
+        nd = node[idx]
+        xv = X[idx, feat[nd]]
+        go_left = xv <= thr[nd]
+        if is_cat[nd].any():
+            for u in np.unique(nd[is_cat[nd]]):
+                m = nd == u
+                go_left[m] = np.isin(X[idx[m], feat[u]], cat_vals[u])
+        node[idx] = np.where(go_left, left[nd], right[nd])
+
+
+def _as_matrix(vecs: pd.Series):
+    import numpy as np
+
+    return np.asarray(vecs.tolist(), dtype=np.float64)
+
+
 def _leaves_udf(structs: list[dict]):
     """Arrow-batched: features array → per-class terminal node ids."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    arrs = [_tree_arrays(tr) for tr in structs]
+
     @pandas_udf("array<int>")
     def leaves(vecs: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                np.array([_walk(tr, x) for tr in structs], dtype=np.int32)
-                for x in vecs
-            ]
-        )
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = _as_matrix(vecs)
+        L = np.stack([_walk_batch(ta, X) for ta in arrs], axis=1)
+        return pd.Series(list(L.astype(np.int32)))
 
     return leaves
 
 
 def _scores_udf(rounds: list[list[dict]], priors: list[float], lr: float):
-    """Arrow-batched: features array → F_k = log prior_k + lr·Σ γ."""
+    """Arrow-batched: features array → F_k = log prior_k + lr·Σ γ.
+
+    Fully vectorized: per (round, class) tree, one ``_walk_batch`` descent
+    over the whole Arrow batch and one gather of baked leaf gammas —
+    accumulation order matches the former scalar loop (round-major,
+    class-minor), so outputs are bit-equal."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    base = np.asarray(priors)
+    arrs = [[_tree_arrays(tr) for tr in trees] for trees in rounds]
+    base = np.asarray(priors, dtype=np.float64)
 
     @pandas_udf("array<double>")
     def scores(vecs: pd.Series) -> pd.Series:
-        out = []
-        for x in vecs:
-            f = base.copy()
-            for trees in rounds:
-                for k, tr in enumerate(trees):
-                    f[k] += lr * tr["value"][_walk(tr, x)]
-            out.append(f)
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = _as_matrix(vecs)
+        Fm = np.tile(base, (X.shape[0], 1))
+        for trees in arrs:
+            for k, ta in enumerate(trees):
+                Fm[:, k] += lr * ta[6][_walk_batch(ta, X)]
+        return pd.Series(list(Fm))
 
     return scores
 

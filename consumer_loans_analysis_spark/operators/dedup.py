@@ -34,6 +34,57 @@ from pyspark.sql import functions as F
 from consumer_loans_analysis_spark.operators.text import portable_hash, words
 
 
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '134217728b',
+    '128m', '128MB') to bytes."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if raw.endswith(suf):
+            raw, mult = raw[: -len(suf)], m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+def _widen_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a few-split scan up to the cluster's
+    parallelism — a no-op at scale, where the scan already yields enough
+    splits.
+
+    Width is ESTIMATED from driver-side file metadata (Σ ceil(size /
+    maxPartitionBytes) over ``df.inputFiles()``): zero Spark jobs and no
+    RDD instantiation at plan-build time (``df.rdd.getNumPartitions()``
+    forces physical planning and a JVM→Python RDD bridge; the plan-shape
+    suite asserts the action-free contract). Non-file sources (inline
+    frames) report no input files and are widened unconditionally —
+    they are tiny by construction.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        mpb = max(1, _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20))
+        sc = spark.sparkContext
+        hconf = sc._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            p = sc._jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            splits += max(1, -(-size // mpb))
+            if splits >= target:
+                return df
+    return df.repartition(target)
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
     w = words(F.col(text_col))
@@ -70,9 +121,7 @@ def shingle_hashes(
     first (round-robin, no key skew). At scale the scan already yields
     enough splits and this is a no-op.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    df = _widen_small_scan(df)
     w = words(F.col(text_col))
     sh = F.when(
         F.size(w) >= n,
@@ -250,9 +299,7 @@ def minhash_near_dupes(
     cluster's parallelism (a no-op at scale where the scan already yields
     enough splits).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    df = _widen_small_scan(df)
     arr_tbl = (
         shingle_hash_arrays(df, text_col, id_col, n)
         .filter(F.size("arr") > 0)

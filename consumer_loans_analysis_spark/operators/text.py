@@ -495,6 +495,15 @@ def bpe_encode(
     """
     if merges is None:
         merges = DEFAULT_BPE_MERGES
+    outs = [left + right for left, right in merges]
+    if len(set(outs)) != len(outs):
+        # two merges with the same output string break the len(merges)-round
+        # convergence argument: a later merge can recreate a symbol adjacent
+        # to a previously-retired pair, silently under-merging
+        raise ValueError(
+            "bpe_encode requires unique merge outputs; duplicate outputs: "
+            f"{sorted({o for o in outs if outs.count(o) > 1})}"
+        )
     sep = "\x01"
     vocab = bpe_vocab(merges)
 

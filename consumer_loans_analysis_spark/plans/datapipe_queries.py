@@ -215,7 +215,7 @@ def d5_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id_a, id_b FROM pairs
       JOIN sizes sa ON sa.id = id_a
       JOIN sizes sb ON sb.id = id_b
-      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.45
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM dup

@@ -538,3 +538,63 @@ def test_weighted_voting_and_probs_array_member(toy):
 
     with pytest.raises(ValueError):
         SoftVotingEnsemble([lr], weights=[1.0, 2.0])
+
+
+def test_walk_batch_bit_equal_to_scalar_walk():
+    """The vectorized level-order descent must route every row to the SAME
+    terminal node as the scalar reference `_walk`, including categorical
+    splits, boundary-equal thresholds (x == thr goes left), and rows that
+    reach leaves at different depths — and the vectorized score
+    accumulation must be bit-equal to the scalar loop."""
+    import numpy as np
+
+    from consumer_loans_analysis_spark.ml.softmax_gbt import (
+        _tree_arrays,
+        _walk,
+        _walk_batch,
+    )
+
+    # hand-built unbalanced tree: node0 continuous split on f0 (thr 0.5),
+    # node1 categorical split on f1 ({1.0, 3.0}), node2 leaf;
+    # node1's children: node3 continuous on f0 (thr -1.0), node4 leaf.
+    tr = {
+        "feat": [0, 1, -1, 0, -1, -1, -1],
+        "thr": [0.5, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0],
+        "left": [1, 3, -1, 5, -1, -1, -1],
+        "right": [2, 4, -1, 6, -1, -1, -1],
+        "cats": [None, {1.0, 3.0}, None, None, None, None, None],
+        "value": [0.0, 0.0, 7.0, 0.0, 4.0, 1.5, -2.5],
+        "cover": [10.0] * 7,
+    }
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(500, 2))
+    # force boundary + categorical coverage
+    X[:50, 0] = 0.5          # x == thr → left, exactly like the scalar <=
+    X[50:100, 1] = 3.0       # in the cat set
+    X[100:150, 1] = 2.0      # not in the cat set
+    arrs = _tree_arrays(tr)
+    got = _walk_batch(arrs, X)
+    want = np.array([_walk(tr, x) for x in X])
+    assert (got == want).all()
+
+    # scores: vectorized gather bit-equal to the scalar accumulation
+    import pandas as pd
+
+    from consumer_loans_analysis_spark.ml import softmax_gbt as sg
+
+    rounds = [[tr, tr], [tr, tr]]
+    priors, lr = [-0.3, -1.2], 0.17
+    arrs_r = [[_tree_arrays(t) for t in trees] for trees in rounds]
+    Fm = np.tile(np.asarray(priors), (X.shape[0], 1))
+    for trees in arrs_r:
+        for k, ta in enumerate(trees):
+            Fm[:, k] += lr * ta[6][_walk_batch(ta, X)]
+    scalar = []
+    for x in X:
+        f = np.asarray(priors).copy()
+        for trees in rounds:
+            for k, t in enumerate(trees):
+                f[k] += lr * t["value"][_walk(t, x)]
+        scalar.append(f)
+    assert (Fm == np.stack(scalar)).all()
+    assert sg is not None and pd is not None

@@ -108,3 +108,27 @@ def test_similarity_build_action_free(spark, sf_dir):
     # the plan still executes correctly (dim matches the data)
     assert df.columns == ["id_a", "id_b", "cos"]
     df.limit(1).collect()
+
+
+def test_dedup_build_action_free(spark, sf_dir):
+    """d2 construction must run ZERO Spark jobs: the small-scan widening
+    probe is driver-side file metadata now, not df.rdd.getNumPartitions()
+    (which forces physical planning and a JVM->Python RDD bridge). d3 is
+    excluded: its eager localCheckpoint of the band index is a DOCUMENTED
+    construction-time materialization (dedup.py:319)."""
+    from consumer_loans_analysis_spark.operators import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+    group = "dedup_action_free_probe"
+    sc.setJobGroup(group, "plan construction must not run jobs")
+    try:
+        df = dedup.jaccard_near_dupes(docs, threshold=0.8)
+        sh = dedup.shingle_hashes(docs)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == [], f"plan construction ran jobs: {jobs}"
+    assert df.columns[:2] == ["id_a", "id_b"] or "id_a" in df.columns
+    assert {"id", "sh"} <= set(sh.columns)
+    df.limit(1).collect()
