@@ -189,6 +189,26 @@ class SoftmaxGBTModel(Model, DefaultParamsReadable, DefaultParamsWritable):
                 tr["cats"] = [set(c) if c else None for c in tr["cats"]]
         return state
 
+    def withMaxRounds(self, n_rounds: int) -> "SoftmaxGBTModel":
+        """Truncate to the first ``n_rounds`` boosting rounds.
+
+        Boosting is prefix-nested: round m's trees depend only on rounds
+        < m, so the truncated model is EXACTLY the model that training
+        with ``maxIter=n_rounds`` (same seed/params) would have produced
+        (pinned bit-equal in tests). One long fit + prefix evaluation
+        therefore yields the whole iteration-saturation curve — the
+        engine's early-stopping idiom, at 1× fit cost instead of one fit
+        per candidate iteration count."""
+        state = json.loads(self.getOrDefault(self.modelJson))
+        state["rounds"] = state["rounds"][:n_rounds]
+        out = SoftmaxGBTModel(
+            modelJson=json.dumps(state),
+            featuresCol=self.getOrDefault(self.featuresCol),
+            predictionCol=self.getOrDefault(self.predictionCol),
+            scoresCol=self.getOrDefault(self.scoresCol),
+        )
+        return out
+
     def _transform(self, df: DataFrame) -> DataFrame:
         from pyspark.ml.functions import vector_to_array
 

@@ -188,6 +188,9 @@ def semantic_dedup(
     n_bits: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocker: str = "signlsh",
+    n_clusters: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023) over an
     embedding column, end to end: bucket → within-bucket cosine pairs →
@@ -195,14 +198,23 @@ def semantic_dedup(
 
     SemDeDup clusters embeddings (they use k-means) and deduplicates
     WITHIN clusters only — the approximation that makes embedding dedup
-    sub-quadratic. Here the cluster assignment is the deterministic
-    axis-aligned sign-LSH bucket (``similarity.sign_bucket``) so the
-    whole operator is engine-portable and SQL-oracle-able; swapping in a
-    fitted k-means assignment (``similarity.ivf_topk``'s centroids)
-    changes one projection, nothing else. Cross-bucket near-dups are
-    missed by design — the same documented blind spot as cross-cluster
-    pairs in the paper; near-identical embeddings agree on leading-dim
-    signs unless a leading component sits at 0.
+    sub-quadratic. Two interchangeable blockers:
+
+    - ``blocker='signlsh'`` (default): deterministic axis-aligned sign-LSH
+      bucket (``similarity.sign_bucket``) — engine-portable and
+      SQL-oracle-able (the d11 oracle).
+    - ``blocker='kmeans'``: the PAPER's blocker proper — a fitted
+      spherical MLlib KMeans (vectors L2-normalized, so euclidean-nearest
+      == cosine-nearest centroid) with ``n_clusters`` lists. Data-adaptive
+      bucket sizes (sign-LSH buckets go empty/hot under anisotropic
+      embeddings); NOT SQL-expressible (iterative fit), so its gate is the
+      pytest recall bound vs the exact small-corpus answer, sim3-style.
+      The fit is one KMeans training action at construction time.
+
+    Cross-bucket near-dups are missed by design under either blocker —
+    the same documented blind spot as cross-cluster pairs in the paper;
+    sign-LSH misses when a leading component sits at 0, k-means when a
+    near-dup pair straddles a Voronoi boundary.
 
     Composition of existing verified pieces: ``sign_bucket`` (sim2) for
     blocking, ``similarity.cosine`` for the verify, and
@@ -217,11 +229,35 @@ def semantic_dedup(
     """
     from consumer_loans_analysis_spark.operators import dedup, similarity
 
-    b = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        similarity.sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
+    if blocker == "signlsh":
+        bucket = similarity.sign_bucket(F.col(vec_col), n_bits).alias("bucket")
+        b = emb.select(F.col(id_col), F.col(vec_col), bucket)
+    elif blocker == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        unit = F.transform(
+            F.col(vec_col),
+            lambda x: F.try_divide(
+                x.cast("double"),
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col(vec_col), lambda y: y * y),
+                        F.lit(0.0),
+                        lambda a, y: a + y,
+                    )
+                ),
+            ),
+        )
+        feats = emb.select(
+            F.col(id_col), F.col(vec_col), array_to_vector(unit).alias("_f")
+        )
+        km = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_f", predictionCol="bucket"
+        ).fit(feats)
+        b = km.transform(feats).select(id_col, vec_col, "bucket")
+    else:
+        raise ValueError(f"blocker must be signlsh | kmeans, got {blocker!r}")
     a = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
     )

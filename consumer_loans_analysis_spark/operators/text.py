@@ -563,6 +563,81 @@ def bpe_encode(
     )
 
 
+def bpe_encode_broadcast(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pretoken_pattern: str = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+",
+) -> DataFrame:
+    """``bpe_encode`` for LARGE merge tables: Arrow-batched ``mapInPandas``
+    with the rank table broadcast once in the closure, instead of the
+    literal-replace when-chain (whose generated-code size grows with M —
+    the right tool flips around M ≈ 10³; a real GPT-2 table is 50k merges).
+
+    Same semantics (GPT-2 greedy ``bpe()``: min-rank adjacent pair, merge
+    all non-overlapping occurrences left-to-right, repeat) and the SAME
+    output schema/values as ``bpe_encode`` — equivalence is pytest-pinned
+    on the shared table, and both match the hand-derived golden fixture.
+
+    Plan shape: map-only (one python runner stage, zero Exchange); the
+    per-word LRU cache makes the Zipf head free, exactly like GPT-2's
+    encoder cache.
+    """
+    import re
+    from functools import lru_cache
+
+    import pandas as pd
+
+    if merges is None:
+        merges = DEFAULT_BPE_MERGES
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    pat = pretoken_pattern
+    id_field = df.schema[id_col]
+
+    def encode_batches(batches):
+        rx = re.compile(pat)
+
+        @lru_cache(maxsize=65536)
+        def word_ids(word: str) -> tuple[int, ...]:
+            syms = list(word)
+            while len(syms) > 1:
+                best, best_rank = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = (syms[i], syms[i + 1]), r
+                if best is None:
+                    break
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return tuple(vocab.get(s, -1) for s in syms)
+
+        for pdf in batches:
+            ids = [
+                [t for w in rx.findall(text or "") for t in word_ids(w)]
+                for text in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_tokens": [len(x) for x in ids],
+                    "token_str": [" ".join(map(str, x)) for x in ids],
+                }
+            )
+
+    schema = f"doc_id {id_field.dataType.simpleString()}, n_tokens long, token_str string"
+    return df.select(id_col, text_col).mapInPandas(encode_batches, schema=schema)
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 10,

@@ -1,0 +1,105 @@
+"""EMPLOYEE_NO imputer wave (VERDICT r04 task 1): close 0.4255 → 0.47903.
+
+Only shallow softmax configs (d6_i60/d6_i100) were probed on this target;
+ECONOMIC_SECTOR needed d7_i100 to cross its bar. This wave runs the
+wave-3-class grid — BUT with ONE long fit per config and a PREFIX
+saturation curve via ``SoftmaxGBTModel.withMaxRounds`` (boosting is
+prefix-nested, pinned bit-equal in tests), so every iteration count along
+the way is evaluated at 1× fit cost: the engine's early-stopping idiom.
+
+Usage: python probe_imputer_emp_wave.py [config ...]  (appends IMPUTER_TUNING.json)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.ml import Pipeline, PipelineModel
+
+from consumer_loans_analysis_spark.ml.imputer_eval import evaluate_imputer
+from consumer_loans_analysis_spark.pipeline.loans import (
+    EMPLOYEE_NO_MAP,
+    build_processing_pipeline,
+)
+from consumer_loans_analysis_spark.pipeline.model_imputer import (
+    ModelImputer,
+    ModelImputerModel,
+)
+from consumer_loans_analysis_spark.pipeline.stages import BucketOrdinalEncoder
+from consumer_loans_analysis_spark.session import get_spark
+from consumer_loans_analysis_spark.sources.readers import read_loans_csv
+
+TARGET = "EMPLOYEE_NO_NUM"
+REF = 0.47903  # tuned-XGB, eda_processing.ipynb:2661 (mode baseline 0.27587 :2507)
+
+CONFIGS = {
+    "emp_d7_i200_lr02": {"maxDepth": 7, "maxIter": 200, "stepSize": 0.2},
+    "emp_d8_i150_lr02": {"maxDepth": 8, "maxIter": 150, "stepSize": 0.2},
+    "emp_d7_i200_lr015_s08": {
+        "maxDepth": 7, "maxIter": 200, "stepSize": 0.15, "subsamplingRate": 0.8,
+    },
+}
+PREFIXES = [40, 60, 80, 100, 120, 150, 175, 200]
+
+
+def truncated(fitted: ModelImputerModel, n: int) -> ModelImputerModel:
+    """Imputer with its softmax-GBT stage truncated to n boosting rounds."""
+    stages = list(fitted.inner.stages)
+    stages[-1] = stages[-1].withMaxRounds(n)
+    return ModelImputerModel(spec=fitted.spec, inner=PipelineModel(stages))
+
+
+def main() -> None:
+    spark = get_spark(
+        "probe_emp_wave", extra_configs={"spark.sql.shuffle.partitions": "8"}
+    )
+    names = sys.argv[1:] or list(CONFIGS)
+    train = read_loans_csv(spark, "/root/reference/data/orig_train.csv")
+    valid = read_loans_csv(spark, "/root/reference/data/orig_valid.csv")
+    base = build_processing_pipeline(with_model_imputers=False)
+    prep = Pipeline(
+        stages=base.getStages()[:-1]
+        + [BucketOrdinalEncoder(inputCol="EMPLOYEE_NO", outputCol=TARGET, mapping=EMPLOYEE_NO_MAP)]
+    ).fit(train)
+    ptrain = prep.transform(train).cache()
+    ptrain.count()
+    pvalid = prep.transform(valid).cache()
+    pvalid.count()
+
+    scores = {}
+    for name in names:
+        params = dict(CONFIGS[name])
+        imp = ModelImputer(
+            targetCol=TARGET, sentinel=None, excludePrefixes=["ECONOMIC_SECTOR_"],
+            classifierFamily="gbt_softmax", **params,
+        )
+        t0 = time.perf_counter()
+        fitted = imp.fit(ptrain)
+        fit_sec = time.perf_counter() - t0
+        curve = {}
+        for n in [p for p in PREFIXES if p <= params["maxIter"]]:
+            f1 = evaluate_imputer(truncated(fitted, n), pvalid, TARGET, sentinel=None)
+            curve[n] = round(f1, 4)
+            print(f"{name} @ {n:3d} rounds: f1={f1:.4f}", flush=True)
+        best_n = max(curve, key=curve.get)
+        scores[name] = {
+            "curve": curve, "best_n": best_n, "f1": curve[best_n],
+            "fit_sec": round(fit_sec), "target": TARGET,
+        }
+        print(name, scores[name], flush=True)
+
+    record = {
+        "probe": "gbt_softmax_emp_wave",
+        "scores": scores,
+        "reference_tuned_xgb": {"EMPLOYEE_NO": REF},
+        "prior_best": 0.4255,
+    }
+    print(json.dumps(record), flush=True)
+    with open("IMPUTER_TUNING.json", "a") as fh:
+        fh.write(json.dumps(record) + "\n")
+
+
+if __name__ == "__main__":
+    main()

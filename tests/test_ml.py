@@ -598,3 +598,30 @@ def test_walk_batch_bit_equal_to_scalar_walk():
         scalar.append(f)
     assert (Fm == np.stack(scalar)).all()
     assert sg is not None and pd is not None
+
+
+def test_softmax_gbt_prefix_truncation_equals_shorter_fit(spark):
+    """withMaxRounds(n) on a long fit must equal a fresh maxIter=n fit
+    bit-for-bit (boosting is prefix-nested; fits are seed-deterministic) —
+    the one-fit saturation-curve idiom used by the tuning waves."""
+    import random
+
+    from pyspark.ml.linalg import Vectors
+
+    from consumer_loans_analysis_spark.ml.softmax_gbt import SoftmaxGBTClassifier
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(400):
+        a, b = rng.gauss(0, 1), rng.gauss(0, 1)
+        label = float((a + 0.5 * b > 0) + (a - b > 1))
+        rows.append((Vectors.dense([a, b, a * b]), label))
+    df = spark.createDataFrame(rows, ["features", "label"]).cache()
+    long_fit = SoftmaxGBTClassifier(maxIter=5, maxDepth=3, scoresCol="probs").fit(df)
+    short_fit = SoftmaxGBTClassifier(maxIter=3, maxDepth=3, scoresCol="probs").fit(df)
+    trunc = long_fit.withMaxRounds(3)
+    got = trunc.transform(df).select("prediction", "probs").collect()
+    want = short_fit.transform(df).select("prediction", "probs").collect()
+    assert [r["prediction"] for r in got] == [r["prediction"] for r in want]
+    for g, w in zip(got, want):
+        assert list(g["probs"]) == list(w["probs"])
