@@ -1,0 +1,142 @@
+"""Tier-3 final-model report (VERDICT r04 task 4): one engine-vs-reference
+table for every BASELINE.md quality row, computed through the FULL serving
+path (C6 ServingWrapper: raw CSV → fitted pipeline incl. model imputers →
+classifier), plus the 6-fold-CV screening rows.
+
+Appends one ``{"probe": "tier3_report", ...}`` line to TUNING.json; the
+table itself lands in COVERAGE.md.
+
+Reference rows (BASELINE.md, notebook line cites there):
+  screening  — NB CV recall 0.79389, RF CV f1 0.64361, RF CV roc_auc
+               0.93291, XGB CV f1/auc 0.63405/0.92715 (cv=6, defaults;
+               the reference's roc_auc screening rows use PROBABILITY AUC
+               inside sklearn cross_validate, unlike the tuned-model rows)
+  tuned NB   — micro-F1 0.82782, hard ROC-AUC 0.83619, class-1 P/R/F1
+               0.47/0.85/0.60
+  tuned SVC  — micro-F1 0.88099, hard AUC 0.70054 (rbf kernel: MLlib gap,
+               LinearSVC stands in per the declared zoo table)
+  final ship — GaussianNB behind the full pipeline, hard AUC 0.83619
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.ml import Pipeline as MLPipeline
+from pyspark.ml import PipelineModel
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LinearSVC,
+    NaiveBayes,
+    RandomForestClassifier,
+)
+from pyspark.ml.feature import VectorAssembler
+
+from consumer_loans_analysis_spark.ml.cv import cross_validate, cv_summary
+from consumer_loans_analysis_spark.ml.imputer_eval import mode_baseline
+from consumer_loans_analysis_spark.ml.metrics import binary_metrics
+from consumer_loans_analysis_spark.ml.zoo import assemble_features
+from consumer_loans_analysis_spark.pipeline.loans import fit_full_pipeline
+from consumer_loans_analysis_spark.pipeline.model_imputer import ServingWrapper
+from consumer_loans_analysis_spark.session import get_spark
+from consumer_loans_analysis_spark.sources.readers import read_loans_csv
+
+
+def main() -> None:
+    spark = get_spark("tier3", extra_configs={"spark.sql.shuffle.partitions": "8"})
+    t_start = time.perf_counter()
+    train = read_loans_csv(spark, "/root/reference/data/orig_train.csv").cache()
+    valid = read_loans_csv(spark, "/root/reference/data/orig_valid.csv").cache()
+
+    # full C6-faithful pipeline: model imputers included, like the
+    # reference's FinalModel (modeling.py:322-336)
+    proc, feat = fit_full_pipeline(train, with_model_imputers=True)
+    featured = feat.transform(proc.transform(train)).cache()
+    featured.count()
+    feature_cols = [c for c in featured.columns if c != "FINALIZED_LOAN"]
+
+    def head_for(clf):
+        return MLPipeline(
+            stages=[
+                VectorAssembler(inputCols=feature_cols, outputCol="features"),
+                clf,
+            ]
+        ).fit(featured)
+
+    def serve_metrics(head) -> dict:
+        # score the labeled frame through the wrapper (identical plan to
+        # unlabeled serving; the extra `label` column rides along untouched
+        # so metrics need no brittle row-key re-join)
+        sw = ServingWrapper(PipelineModel(stages=[proc, feat]), head)
+        scored = sw.transform(
+            valid.withColumn("label", valid["FINALIZED_LOAN"].cast("double"))
+        )
+        return binary_metrics(scored)
+
+    results: dict = {}
+
+    # --- tuned-model rows through the full serving path -------------------
+    nb_head = head_for(
+        NaiveBayes(modelType="gaussian", labelCol="FINALIZED_LOAN")
+    )
+    results["final_nb_serving"] = {
+        k: round(v, 4) for k, v in serve_metrics(nb_head).items()
+    }
+    print("final_nb_serving", results["final_nb_serving"], flush=True)
+
+    svc_head = head_for(LinearSVC(labelCol="FINALIZED_LOAN"))
+    results["svc_serving"] = {
+        k: round(v, 4) for k, v in serve_metrics(svc_head).items()
+    }
+    print("svc_serving", results["svc_serving"], flush=True)
+
+    # --- screening rows: 6-fold CV on train, default hyperparameters ------
+    ftr = assemble_features(featured).cache()
+    ftr.count()
+    screen = {}
+    for name, factory in [
+        ("gaussian_nb", lambda: NaiveBayes(modelType="gaussian")),
+        ("random_forest", lambda: RandomForestClassifier(seed=42)),
+        ("gbt", lambda: GBTClassifier(seed=42)),
+    ]:
+        t0 = time.perf_counter()
+        summ = cv_summary(cross_validate(factory, ftr, k=6, parallelism=3))
+        screen[name] = {
+            **{k: round(v, 4) for k, v in summ.items()},
+            "sec": round(time.perf_counter() - t0),
+        }
+        print("screen", name, screen[name], flush=True)
+    results["screening_cv6"] = screen
+
+    # --- imputation rows --------------------------------------------------
+    results["emp_mode_baseline"] = round(
+        mode_baseline(train, valid, "EMPLOYEE_NO", sentinel="Missing"), 5
+    )
+    results["econ_mode_baseline"] = round(
+        mode_baseline(train, valid, "ECONOMIC_SECTOR", sentinel="Missing"), 5
+    )
+    print("mode baselines", results["econ_mode_baseline"], results["emp_mode_baseline"], flush=True)
+
+    record = {
+        "probe": "tier3_report",
+        "results": results,
+        "sec_total": round(time.perf_counter() - t_start),
+        "reference": {
+            "screening": {"nb_cv_recall": 0.79389, "rf_cv_f1": 0.64361,
+                          "rf_cv_roc_auc": 0.93291, "xgb_cv_f1": 0.63405,
+                          "xgb_cv_roc_auc": 0.92715},
+            "tuned_nb": {"micro_f1": 0.82782, "roc_auc_hard": 0.83619,
+                         "p1": 0.47, "r1": 0.85, "f1_1": 0.60},
+            "tuned_svc": {"micro_f1": 0.88099, "roc_auc_hard": 0.70054},
+            "final_model_roc_auc_hard": 0.83619,
+            "mode_baselines": {"econ": 0.27895, "emp": 0.27587},
+        },
+    }
+    print(json.dumps(record), flush=True)
+    with open("TUNING.json", "a") as fh:
+        fh.write(json.dumps(record) + "\n")
+
+
+if __name__ == "__main__":
+    main()
