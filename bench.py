@@ -116,6 +116,10 @@ def main() -> None:
         fn = registry.QUERIES[name]
         samples = []
         for _ in range(reps):
+            # cold-equivalent reps: drop caches a query left behind (e.g.
+            # d2/d3's shingle table) so every rep measures the full
+            # plan+cache-build cost, comparable with prior single-shot rounds
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             samples.append(round(time.perf_counter() - t0, 3))

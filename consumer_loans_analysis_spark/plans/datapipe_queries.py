@@ -1575,6 +1575,18 @@ def t14_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_encode(docs)
 
 
+@query("t14b_bpe_encode_broadcast", oracle=_bpe_sql())
+def t14b_bpe_encode_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t14's large-merge-table path: Arrow-batched ``mapInPandas`` with the
+    rank table broadcast in the closure (the right tool past M ≈ 10³ merges,
+    where the when-chain's generated code stops paying). Same greedy GPT-2
+    semantics — the SAME oracle as t14 hash-checks the id sequences, and a
+    hand-derived golden fixture pins both paths against paper-computed ids
+    (tests/test_operators.py::test_bpe_golden_fixture_hand_derived)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.bpe_encode_broadcast(docs)
+
+
 _T15_ROUNDS = 8
 
 
@@ -1995,3 +2007,21 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return curation.semantic_dedup(emb, threshold=0.45, n_bits=4)
+
+
+@query("d11b_semantic_dedup_kmeans")
+def d11b_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d11 with the SemDeDup paper's blocker proper: fitted spherical
+    k-means assignment instead of the sign-LSH bucket. Weak-by-design like
+    sim3 (an iterative KMeans fit has no SQL oracle — the driver records a
+    rows-only check); its gates are d11 (the fully-oracled sign-LSH twin,
+    identical downstream pipeline) and the planted-near-dup recall test
+    (tests/test_operators.py::test_semantic_dedup_kmeans_blocker_recall,
+    30/30 at k=8). Returns one row per vector, deterministic under the
+    fixed seed."""
+    from consumer_loans_analysis_spark.operators import curation
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return curation.semantic_dedup(
+        emb, threshold=0.45, blocker="kmeans", n_clusters=8
+    )

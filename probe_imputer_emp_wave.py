@@ -40,6 +40,13 @@ CONFIGS = {
     "emp_d7_i200_lr015_s08": {
         "maxDepth": 7, "maxIter": 200, "stepSize": 0.15, "subsamplingRate": 0.8,
     },
+    "emp_d8_i150_lr02_s08_mb64": {
+        "maxDepth": 8, "maxIter": 150, "stepSize": 0.2, "subsamplingRate": 0.8,
+        "maxBins": 64,
+    },
+    "emp_d9_i120_lr02_s08": {
+        "maxDepth": 9, "maxIter": 120, "stepSize": 0.2, "subsamplingRate": 0.8,
+    },
 }
 PREFIXES = [40, 60, 80, 100, 120, 150, 175, 200]
 

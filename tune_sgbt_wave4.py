@@ -45,12 +45,14 @@ def main() -> None:
     fva.count()
 
     results = {}
+    fitted = {}
     best = (None, None, -1.0)  # (config, n, micro_f1)
     for name in names:
         params = CONFIGS[name]
         t0 = time.perf_counter()
         m = SoftmaxGBTClassifier(scoresCol="probs", **params).fit(ftr)
         fit_sec = round(time.perf_counter() - t0)
+        fitted[name] = m
         curve = {}
         for n in [p for p in PREFIXES if p <= params["maxIter"]]:
             vm = binary_metrics(m.withMaxRounds(n).transform(fva))
@@ -63,10 +65,10 @@ def main() -> None:
     bname, bn, bf1 = best
     print(f"best member: {bname} @ {bn} = {bf1:.4f}", flush=True)
 
-    # seed committee at the best (config, n): refit at maxIter=bn (prefix-
-    # equal to the long fit, so the seed-42 member is free via truncation)
+    # seed committee at the best (config, n): the seed-42 member is FREE
+    # (prefix truncation of the long fit is bit-equal to a maxIter=bn fit)
     bparams = {**CONFIGS[bname], "maxIter": bn}
-    members = [SoftmaxGBTClassifier(scoresCol="probs", **bparams).fit(ftr)]
+    members = [fitted[bname].withMaxRounds(bn)]
     for s in (7, 99):
         members.append(
             SoftmaxGBTClassifier(scoresCol="probs", seed=s, **bparams).fit(ftr)
