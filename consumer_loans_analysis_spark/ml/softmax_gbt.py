@@ -257,6 +257,7 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
     subsamplingRate = Param(Params._dummy(), "subsamplingRate", "per-round row sample for tree fits", TypeConverters.toFloat)
     seed = Param(Params._dummy(), "seed", "seed", TypeConverters.toInt)
     parallelism = Param(Params._dummy(), "parallelism", "concurrent per-class tree fits", TypeConverters.toInt)
+    regLambda = Param(Params._dummy(), "regLambda", "L2 leaf regularization (XGBoost lambda): Newton gamma = (K-1)/K * sum(r) / (sum|r|(1-|r|) + lambda)", TypeConverters.toFloat)
 
     @keyword_only
     def __init__(self, featuresCol: str = "features", labelCol: str = "label",
@@ -264,14 +265,14 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                  maxIter: int = 40, maxDepth: int = 5, maxBins: int = 32,
                  minInstancesPerNode: int = 1, stepSize: float = 0.1,
                  subsamplingRate: float = 1.0, seed: int = 42,
-                 parallelism: int = 16):
+                 parallelism: int = 16, regLambda: float = 0.0):
         super().__init__()
         self._set(featuresCol=featuresCol, labelCol=labelCol,
                   predictionCol=predictionCol, scoresCol=scoresCol,
                   maxIter=maxIter, maxDepth=maxDepth, maxBins=maxBins,
                   minInstancesPerNode=minInstancesPerNode, stepSize=stepSize,
                   subsamplingRate=subsamplingRate, seed=seed,
-                  parallelism=parallelism)
+                  parallelism=parallelism, regLambda=regLambda)
 
     def _fit(self, df: DataFrame) -> SoftmaxGBTModel:
         from pyspark.ml.functions import vector_to_array
@@ -354,11 +355,15 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                 .collect()
             )
             scale = (K - 1) / K
+            reg = g(self.regLambda)
             gamma: dict[tuple[int, int], float] = {}
             for row in gtab:
-                den = row["den"]
+                # + reg = XGBoost's L2 leaf term (lambda) on the Newton
+                # denominator — shrinks extreme leaf values; 0.0 (default)
+                # reproduces the unregularized gamma bit-for-bit
+                den = (row["den"] or 0.0) + reg
                 gamma[(row["k"], row["leaf"])] = (
-                    scale * row["num"] / den if den and den > 1e-12 else 0.0
+                    scale * row["num"] / den if den > 1e-12 else 0.0
                 )
             for k, tr in enumerate(structs):
                 tr["value"] = [

@@ -625,3 +625,35 @@ def test_softmax_gbt_prefix_truncation_equals_shorter_fit(spark):
     assert [r["prediction"] for r in got] == [r["prediction"] for r in want]
     for g, w in zip(got, want):
         assert list(g["probs"]) == list(w["probs"])
+
+
+def test_softmax_gbt_reg_lambda(spark):
+    """regLambda (XGBoost L2 leaf term): 0.0 must reproduce the
+    unregularized model bit-for-bit; a positive lambda must shrink leaf
+    gammas toward zero (same trees — splits don't depend on lambda, only
+    the Newton leaf values do)."""
+    import json
+    import random
+
+    from pyspark.ml.linalg import Vectors
+
+    from consumer_loans_analysis_spark.ml.softmax_gbt import SoftmaxGBTClassifier
+
+    rng = random.Random(5)
+    rows = []
+    for _ in range(300):
+        a, b = rng.gauss(0, 1), rng.gauss(0, 1)
+        rows.append((Vectors.dense([a, b]), float(a + b > 0)))
+    df = spark.createDataFrame(rows, ["features", "label"]).cache()
+    base = SoftmaxGBTClassifier(maxIter=3, maxDepth=3).fit(df)
+    zero = SoftmaxGBTClassifier(maxIter=3, maxDepth=3, regLambda=0.0).fit(df)
+    reg = SoftmaxGBTClassifier(maxIter=3, maxDepth=3, regLambda=25.0).fit(df)
+    assert base.getOrDefault(base.modelJson) == zero.getOrDefault(zero.modelJson)
+
+    def leaf_l1(m):
+        st = json.loads(m.getOrDefault(m.modelJson))
+        return sum(
+            sum(abs(v) for v in tr["value"]) for trees in st["rounds"] for tr in trees
+        )
+
+    assert leaf_l1(reg) < leaf_l1(base)
