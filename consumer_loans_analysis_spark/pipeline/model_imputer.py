@@ -141,6 +141,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
     elasticNetParam = Param(Params._dummy(), "elasticNetParam", "lr L1 mixing", TypeConverters.toFloat)
     maxIter = Param(Params._dummy(), "maxIter", "lr/mlp iterations; gbt boosting rounds", TypeConverters.toInt)
     stepSize = Param(Params._dummy(), "stepSize", "gbt learning rate", TypeConverters.toFloat)
+    regLambda = Param(Params._dummy(), "regLambda", "gbt_softmax L2 leaf regularization", TypeConverters.toFloat)
     hiddenLayers = Param(Params._dummy(), "hiddenLayers", "JSON [width] for mlp", TypeConverters.toString)
 
     @keyword_only
@@ -151,7 +152,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                  featureSubsetStrategy: str = "auto", seed: int = 42,
                  classifierFamily: str = "rf", regParam: float = 0.0,
                  elasticNetParam: float = 0.0, maxIter: int = 100,
-                 stepSize: float = 0.1,
+                 stepSize: float = 0.1, regLambda: float = 0.0,
                  hiddenLayers: list[int] | None = None):
         super().__init__()
         self._set(targetCol=targetCol, sentinel=sentinel if sentinel is not None else "",
@@ -161,7 +162,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                   featureSubsetStrategy=featureSubsetStrategy, seed=seed,
                   classifierFamily=classifierFamily, regParam=regParam,
                   elasticNetParam=elasticNetParam, maxIter=maxIter,
-                  stepSize=stepSize)
+                  stepSize=stepSize, regLambda=regLambda)
         self._set_json(self.excludePrefixes, excludePrefixes or [])
         self._set_json(self.hiddenLayers, hiddenLayers or [64])
 
@@ -259,6 +260,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                 stepSize=self.getOrDefault(self.stepSize),
                 subsamplingRate=self.getOrDefault(self.subsamplingRate),
                 seed=self.getOrDefault(self.seed),
+                regLambda=self.getOrDefault(self.regLambda),
             )
         else:
             raise ValueError(

@@ -47,6 +47,13 @@ CONFIGS = {
     "emp_d9_i120_lr02_s08": {
         "maxDepth": 9, "maxIter": 120, "stepSize": 0.2, "subsamplingRate": 0.8,
     },
+    "emp_d10_i120_lr02": {"maxDepth": 10, "maxIter": 120, "stepSize": 0.2},
+    "emp_d10_i120_lr02_reg5": {
+        "maxDepth": 10, "maxIter": 120, "stepSize": 0.2, "regLambda": 5.0,
+    },
+    "emp_d12_i100_lr02_reg5": {
+        "maxDepth": 12, "maxIter": 100, "stepSize": 0.2, "regLambda": 5.0,
+    },
 }
 PREFIXES = [40, 60, 80, 100, 120, 150, 175, 200]
 
