@@ -29,8 +29,20 @@ CONFIGS = {
     "sgbt_d6_i400_lr02": {"maxDepth": 6, "maxIter": 400, "stepSize": 0.2},
     "sgbt_d6_i400_lr015": {"maxDepth": 6, "maxIter": 400, "stepSize": 0.15},
     "sgbt_d7_i300_lr015": {"maxDepth": 7, "maxIter": 300, "stepSize": 0.15},
+    # reference dart-XGB shape: eta 0.363, lambda 5.30, very deep trees
+    # (depth 46; MLlib caps at 30 — probe the deep+regularized corner)
+    "sgbt_d8_i250_lr03_reg5": {
+        "maxDepth": 8, "maxIter": 250, "stepSize": 0.3, "regLambda": 5.0,
+    },
+    "sgbt_d10_i200_lr035_reg5": {
+        "maxDepth": 10, "maxIter": 200, "stepSize": 0.35, "regLambda": 5.0,
+    },
+    "sgbt_d12_i150_lr035_reg5_s08": {
+        "maxDepth": 12, "maxIter": 150, "stepSize": 0.35, "regLambda": 5.0,
+        "subsamplingRate": 0.8,
+    },
 }
-PREFIXES = [100, 150, 200, 250, 300, 350, 400]
+PREFIXES = [50, 75, 100, 150, 200, 250, 300, 350, 400]
 
 
 def main() -> None:
