@@ -54,6 +54,11 @@ CONFIGS = {
     "emp_d12_i100_lr02_reg5": {
         "maxDepth": 12, "maxIter": 100, "stepSize": 0.2, "regLambda": 5.0,
     },
+    "emp_d12_i100_lr02": {"maxDepth": 12, "maxIter": 100, "stepSize": 0.2},
+    "emp_d14_i80_lr02": {"maxDepth": 14, "maxIter": 80, "stepSize": 0.2},
+    "emp_d10_i100_lr02_s09": {
+        "maxDepth": 10, "maxIter": 100, "stepSize": 0.2, "subsamplingRate": 0.9,
+    },
 }
 PREFIXES = [40, 60, 80, 100, 120, 150, 175, 200]
 
