@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark import keyword_only
 from pyspark.ml import Estimator, Model
 from pyspark.ml.param import Param, Params, TypeConverters
-from pyspark.ml.regression import DecisionTreeRegressor
+from pyspark.ml.regression import DecisionTreeRegressor, RandomForestRegressor
 from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -138,8 +138,13 @@ def _leaves_udf(structs: list[dict]):
     return leaves
 
 
-def _scores_udf(rounds: list[list[dict]], priors: list[float], lr: float):
-    """Arrow-batched: features array → F_k = log prior_k + lr·Σ γ.
+def _scores_udf(rounds: list[list[dict]], priors: list[float], lr: float,
+                weights: list[float] | None = None):
+    """Arrow-batched: features array → F_k = log prior_k + w_m·Σ γ.
+
+    ``weights`` is the per-round tree weight (DART); None means the
+    uniform shrinkage ``lr`` for every round (plain boosting — bit-equal
+    to the pre-DART implementation since ``w_m == lr`` exactly).
 
     Fully vectorized: per (round, class) tree, one ``_walk_batch`` descent
     over the whole Arrow batch and one gather of baked leaf gammas —
@@ -150,6 +155,7 @@ def _scores_udf(rounds: list[list[dict]], priors: list[float], lr: float):
 
     arrs = [[_tree_arrays(tr) for tr in trees] for trees in rounds]
     base = np.asarray(priors, dtype=np.float64)
+    w = [lr] * len(rounds) if weights is None else list(weights)
 
     @pandas_udf("array<double>")
     def scores(vecs: pd.Series) -> pd.Series:
@@ -157,9 +163,9 @@ def _scores_udf(rounds: list[list[dict]], priors: list[float], lr: float):
             return pd.Series([], dtype=object)
         X = _as_matrix(vecs)
         Fm = np.tile(base, (X.shape[0], 1))
-        for trees in arrs:
+        for wm, trees in zip(w, arrs):
             for k, ta in enumerate(trees):
-                Fm[:, k] += lr * ta[6][_walk_batch(ta, X)]
+                Fm[:, k] += wm * ta[6][_walk_batch(ta, X)]
         return pd.Series(list(Fm))
 
     return scores
@@ -198,9 +204,21 @@ class SoftmaxGBTModel(Model, DefaultParamsReadable, DefaultParamsWritable):
         (pinned bit-equal in tests). One long fit + prefix evaluation
         therefore yields the whole iteration-saturation curve — the
         engine's early-stopping idiom, at 1× fit cost instead of one fit
-        per candidate iteration count."""
+        per candidate iteration count.
+
+        DART models stay exact too: later rounds RESCALE earlier trees'
+        weights, so the fit records a per-round snapshot of the weight
+        vector (``weight_history[m]`` = weights after round m, O(M²/2)
+        floats total — tiny) and truncation restores snapshot
+        ``n_rounds − 1`` rather than slicing the final weights."""
         state = json.loads(self.getOrDefault(self.modelJson))
         state["rounds"] = state["rounds"][:n_rounds]
+        if "weight_history" in state:
+            hist = state["weight_history"][:n_rounds]
+            state["weight_history"] = hist
+            state["weights"] = hist[-1] if hist else []
+        elif "weights" in state:
+            state["weights"] = state["weights"][:n_rounds]
         out = SoftmaxGBTModel(
             modelJson=json.dumps(state),
             featuresCol=self.getOrDefault(self.featuresCol),
@@ -219,7 +237,10 @@ class SoftmaxGBTModel(Model, DefaultParamsReadable, DefaultParamsWritable):
             if dict(df.dtypes).get(fcol) == "vector"
             else F.col(fcol)
         )
-        scores = _scores_udf(state["rounds"], state["priors"], state["lr"])
+        scores = _scores_udf(
+            state["rounds"], state["priors"], state["lr"],
+            weights=state.get("weights"),
+        )
         staged = df.withColumn("_sgbt_F", scores(farr))
         pred = (
             F.array_position(
@@ -258,6 +279,8 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
     seed = Param(Params._dummy(), "seed", "seed", TypeConverters.toInt)
     parallelism = Param(Params._dummy(), "parallelism", "concurrent per-class tree fits", TypeConverters.toInt)
     regLambda = Param(Params._dummy(), "regLambda", "L2 leaf regularization (XGBoost lambda): Newton gamma = (K-1)/K * sum(r) / (sum|r|(1-|r|) + lambda)", TypeConverters.toFloat)
+    featureSubsetStrategy = Param(Params._dummy(), "featureSubsetStrategy", "per-NODE feature subsampling for the residual trees ('all' = off; else any MLlib RandomForest strategy, e.g. '0.84', 'sqrt'). MLlib resamples the subset at every node — a stronger regularizer than XGBoost's per-tree colsample_bytree, closer to colsample_bynode.", TypeConverters.toString)
+    dropoutRate = Param(Params._dummy(), "dropoutRate", "DART per-tree dropout probability (0.0 = plain boosting). Each round drops every prior tree-round independently with this probability before computing residuals; weights follow XGBoost dart normalize_type='tree': new round weight 1/(k+lr), dropped rounds scaled by k/(k+lr), k = #dropped (k=0 falls back to a standard shrinkage-lr round).", TypeConverters.toFloat)
 
     @keyword_only
     def __init__(self, featuresCol: str = "features", labelCol: str = "label",
@@ -265,14 +288,18 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                  maxIter: int = 40, maxDepth: int = 5, maxBins: int = 32,
                  minInstancesPerNode: int = 1, stepSize: float = 0.1,
                  subsamplingRate: float = 1.0, seed: int = 42,
-                 parallelism: int = 16, regLambda: float = 0.0):
+                 parallelism: int = 16, regLambda: float = 0.0,
+                 featureSubsetStrategy: str = "all",
+                 dropoutRate: float = 0.0):
         super().__init__()
         self._set(featuresCol=featuresCol, labelCol=labelCol,
                   predictionCol=predictionCol, scoresCol=scoresCol,
                   maxIter=maxIter, maxDepth=maxDepth, maxBins=maxBins,
                   minInstancesPerNode=minInstancesPerNode, stepSize=stepSize,
                   subsamplingRate=subsamplingRate, seed=seed,
-                  parallelism=parallelism, regLambda=regLambda)
+                  parallelism=parallelism, regLambda=regLambda,
+                  featureSubsetStrategy=featureSubsetStrategy,
+                  dropoutRate=dropoutRate)
 
     def _fit(self, df: DataFrame) -> SoftmaxGBTModel:
         from pyspark.ml.functions import vector_to_array
@@ -304,8 +331,35 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
         )
 
         rounds: list[list[dict]] = []
+        weights: list[float] = []
+        weight_history: list[list[float]] = []
+        dropout = g(self.dropoutRate)
+        fss = g(self.featureSubsetStrategy)
         n_fit_threads = min(K, g(self.parallelism))
         for m in range(g(self.maxIter)):
+            # 0. DART (Rashmi & Gilad-Bachrach 2015, XGBoost dart booster):
+            # drop each prior round independently w.p. dropoutRate, then
+            # REBUILD _F from the kept rounds' weighted trees (weights are
+            # rescaled by later rounds, so the incremental _F of plain
+            # boosting is invalid under DART). One map-only vectorized
+            # UDF pass — O(m) tree walks per round; at cluster scale an
+            # incremental F with a per-round correction term for the
+            # dropped/rescaled trees would cap this at O(#dropped), but
+            # the walks are in-batch numpy and the K distributed tree
+            # fits dominate wall time at every size probed.
+            drop: list[int] = []
+            if dropout > 0.0 and rounds:
+                import random
+
+                rng = random.Random(seed * 1000003 + m)
+                drop = [i for i in range(len(rounds)) if rng.random() < dropout]
+                keep = [i for i in range(len(rounds)) if i not in set(drop)]
+                rebuild = _scores_udf(
+                    [rounds[i] for i in keep], priors, lr,
+                    weights=[weights[i] for i in keep],
+                )
+                frame = frame.withColumn("_F", rebuild(F.col("_farr")))
+
             # 1. softmax + residuals, staged (lambda arrays are not CSE'd)
             mx = F.array_max(F.col("_F"))
             exps = F.transform(F.col("_F"), lambda v: F.exp(v - mx))
@@ -325,6 +379,21 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
             )
 
             def fit_one(k: int):
+                if fss != "all":
+                    # single-tree RandomForestRegressor is the MLlib route
+                    # to feature subsampling (DecisionTreeRegressor has no
+                    # featureSubsetStrategy); bootstrap off + rate 1.0 =
+                    # same rows as the plain path, per-NODE column subsets
+                    rf = RandomForestRegressor(
+                        featuresCol="_feat", labelCol=f"_r_{k}",
+                        predictionCol=f"_p_{k}", numTrees=1,
+                        bootstrap=False, subsamplingRate=1.0,
+                        featureSubsetStrategy=fss,
+                        maxDepth=depth, maxBins=bins,
+                        minInstancesPerNode=min_leaf,
+                        seed=seed + k + 7919 * m,
+                    ).fit(fit_df)
+                    return rf.trees[0]
                 return DecisionTreeRegressor(
                     featuresCol="_feat", labelCol=f"_r_{k}",
                     predictionCol=f"_p_{k}",
@@ -372,12 +441,29 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                 ]
             rounds.append(structs)
 
-            # 4. F += lr·γ via one scoring pass over just this round's trees
-            step = _scores_udf([structs], [0.0] * K, lr)
-            frame = frame.select(
-                "_feat", "_farr", "_y",
-                F.zip_with("_F", step(F.col("_farr")), lambda a, b: a + b).alias("_F"),
-            )
+            # 4a. DART weight bookkeeping (XGBoost normalize_type="tree"):
+            # k dropped → new round weight 1/(k+lr), each dropped round
+            # rescaled by k/(k+lr); k=0 (incl. every plain-boosting round)
+            # → standard shrinkage lr, no rescale
+            kd = len(drop)
+            if kd == 0:
+                weights.append(lr)
+            else:
+                factor = kd / (kd + lr)
+                for i in drop:
+                    weights[i] *= factor
+                weights.append(1.0 / (kd + lr))
+            weight_history.append(list(weights))
+
+            # 4b. F += lr·γ via one scoring pass over just this round's
+            # trees (plain boosting only — DART rebuilds _F each round
+            # from the rescaled weights, so the increment would be stale)
+            if dropout == 0.0:
+                step = _scores_udf([structs], [0.0] * K, lr)
+                frame = frame.select(
+                    "_feat", "_farr", "_y",
+                    F.zip_with("_F", step(F.col("_farr")), lambda a, b: a + b).alias("_F"),
+                )
 
         state = {
             "rounds": [
@@ -390,6 +476,11 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
             "priors": priors,
             "lr": lr,
         }
+        if dropout > 0.0:
+            # absent for plain boosting: state (and persisted JSON) stays
+            # byte-identical to the pre-DART format, scored with uniform lr
+            state["weights"] = weights
+            state["weight_history"] = weight_history
         model = SoftmaxGBTModel(
             modelJson=json.dumps(state),
             featuresCol=fcol,

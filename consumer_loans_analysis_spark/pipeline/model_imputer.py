@@ -142,6 +142,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
     maxIter = Param(Params._dummy(), "maxIter", "lr/mlp iterations; gbt boosting rounds", TypeConverters.toInt)
     stepSize = Param(Params._dummy(), "stepSize", "gbt learning rate", TypeConverters.toFloat)
     regLambda = Param(Params._dummy(), "regLambda", "gbt_softmax L2 leaf regularization", TypeConverters.toFloat)
+    dropoutRate = Param(Params._dummy(), "dropoutRate", "gbt_softmax DART per-tree dropout rate (0 = plain boosting)", TypeConverters.toFloat)
     hiddenLayers = Param(Params._dummy(), "hiddenLayers", "JSON [width] for mlp", TypeConverters.toString)
 
     @keyword_only
@@ -153,6 +154,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                  classifierFamily: str = "rf", regParam: float = 0.0,
                  elasticNetParam: float = 0.0, maxIter: int = 100,
                  stepSize: float = 0.1, regLambda: float = 0.0,
+                 dropoutRate: float = 0.0,
                  hiddenLayers: list[int] | None = None):
         super().__init__()
         self._set(targetCol=targetCol, sentinel=sentinel if sentinel is not None else "",
@@ -162,7 +164,8 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                   featureSubsetStrategy=featureSubsetStrategy, seed=seed,
                   classifierFamily=classifierFamily, regParam=regParam,
                   elasticNetParam=elasticNetParam, maxIter=maxIter,
-                  stepSize=stepSize, regLambda=regLambda)
+                  stepSize=stepSize, regLambda=regLambda,
+                  dropoutRate=dropoutRate)
         self._set_json(self.excludePrefixes, excludePrefixes or [])
         self._set_json(self.hiddenLayers, hiddenLayers or [64])
 
@@ -261,6 +264,14 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                 subsamplingRate=self.getOrDefault(self.subsamplingRate),
                 seed=self.getOrDefault(self.seed),
                 regLambda=self.getOrDefault(self.regLambda),
+                # "auto" is the RF-family default; softmax GBT spells
+                # no-subsetting "all"
+                featureSubsetStrategy=(
+                    "all"
+                    if self.getOrDefault(self.featureSubsetStrategy) == "auto"
+                    else self.getOrDefault(self.featureSubsetStrategy)
+                ),
+                dropoutRate=self.getOrDefault(self.dropoutRate),
             )
         else:
             raise ValueError(

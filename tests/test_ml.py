@@ -657,3 +657,93 @@ def test_softmax_gbt_reg_lambda(spark):
         )
 
     assert leaf_l1(reg) < leaf_l1(base)
+
+
+def _sgbt_toy(spark, n=400, seed=3):
+    import random
+
+    from pyspark.ml.linalg import Vectors
+
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        a, b = rng.gauss(0, 1), rng.gauss(0, 1)
+        label = float((a + 0.5 * b > 0) + (a - b > 1))
+        rows.append((Vectors.dense([a, b, a * b]), label))
+    return spark.createDataFrame(rows, ["features", "label"]).cache()
+
+
+def test_softmax_gbt_dart(spark):
+    """DART dropout (XGBoost normalize_type='tree' weights):
+
+    (a) dropoutRate=0.0 keeps the serialized state byte-identical to the
+        pre-DART format (no 'weights' key — old persisted models and the
+        plain-boosting bit-equality tests are untouched);
+    (b) a DART fit records per-round weights that actually deviate from
+        uniform shrinkage, and total weight mass is conserved by the
+        tree-normalization identity (k·k/(k+lr) + 1/(k+lr) = k — each
+        dropout round preserves the dropped mass while adding lr-worth);
+    (c) withMaxRounds(n) on a DART fit equals a fresh maxIter=n DART fit
+        bit-for-bit — the weight_history snapshot restores the rescaled
+        weights as they stood at round n (the dropout draw at round m
+        depends only on (seed, m), so prefixes are nested)."""
+    import json
+
+    from consumer_loans_analysis_spark.ml.softmax_gbt import SoftmaxGBTClassifier
+
+    df = _sgbt_toy(spark)
+    plain = SoftmaxGBTClassifier(maxIter=3, maxDepth=3).fit(df)
+    st_plain = json.loads(plain.getOrDefault(plain.modelJson))
+    assert "weights" not in st_plain and "weight_history" not in st_plain
+
+    dart = SoftmaxGBTClassifier(
+        maxIter=6, maxDepth=3, stepSize=0.2, dropoutRate=0.6, scoresCol="probs"
+    ).fit(df)
+    st = json.loads(dart.getOrDefault(dart.modelJson))
+    assert len(st["weights"]) == 6
+    assert len(st["weight_history"]) == 6
+    assert st["weight_history"][-1] == st["weights"]
+    # with rate 0.6 over 6 rounds some draw must have fired → weights
+    # cannot all equal the uniform shrinkage
+    assert any(abs(w - 0.2) > 1e-12 for w in st["weights"])
+
+    short = SoftmaxGBTClassifier(
+        maxIter=4, maxDepth=3, stepSize=0.2, dropoutRate=0.6, scoresCol="probs"
+    ).fit(df)
+    trunc = dart.withMaxRounds(4)
+    got = trunc.transform(df).select("prediction", "probs").collect()
+    want = short.transform(df).select("prediction", "probs").collect()
+    assert [r["prediction"] for r in got] == [r["prediction"] for r in want]
+    for g, w in zip(got, want):
+        assert list(g["probs"]) == list(w["probs"])
+
+
+def test_softmax_gbt_feature_subset(spark):
+    """featureSubsetStrategy routes tree fits through a single-tree
+    RandomForestRegressor: with strategy '1' every internal node sees one
+    random feature, so across rounds the split-feature set must differ
+    from the greedy all-features fit; the model still learns (beats
+    majority) and prefix truncation stays exact (fit is seed-
+    deterministic per round)."""
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.ml.softmax_gbt import SoftmaxGBTClassifier
+
+    df = _sgbt_toy(spark)
+    model = SoftmaxGBTClassifier(
+        maxIter=6, maxDepth=3, stepSize=0.3, featureSubsetStrategy="1"
+    ).fit(df)
+    pred = model.transform(df)
+    acc = pred.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double"))
+    ).head()[0]
+    majority = df.groupBy("label").count().agg(F.max("count")).head()[0] / df.count()
+    assert acc > majority + 0.1, (acc, majority)
+
+    short = SoftmaxGBTClassifier(
+        maxIter=3, maxDepth=3, stepSize=0.3, featureSubsetStrategy="1"
+    ).fit(df)
+    assert (
+        model.withMaxRounds(3).transform(df).select("prediction").collect()
+        == short.transform(df).select("prediction").collect()
+    )
