@@ -59,6 +59,22 @@ CONFIGS = {
     "emp_d10_i100_lr02_s09": {
         "maxDepth": 10, "maxIter": 100, "stepSize": 0.2, "subsamplingRate": 0.9,
     },
+    # echo of the reference winner (eda_processing.ipynb:2661 best trial:
+    # depth 20, lr 0.113, 739 trees, subsample 0.82, colsample_bytree
+    # 0.84) — engine colsample is per-NODE (stronger at equal rate)
+    "emp_echo_d12_i200_lr011_s082_cs084": {
+        "maxDepth": 12, "maxIter": 200, "stepSize": 0.113,
+        "subsamplingRate": 0.82, "featureSubsetStrategy": "0.84",
+    },
+    "emp_echo_d14_i150_lr011_s082_cs084": {
+        "maxDepth": 14, "maxIter": 150, "stepSize": 0.113,
+        "subsamplingRate": 0.82, "featureSubsetStrategy": "0.84",
+    },
+    # best-so-far shape (d10_i100 = 0.4714) + the new colsample knob
+    "emp_d10_i120_lr02_cs084": {
+        "maxDepth": 10, "maxIter": 120, "stepSize": 0.2,
+        "featureSubsetStrategy": "0.84",
+    },
 }
 PREFIXES = [40, 60, 80, 100, 120, 150, 175, 200]
 

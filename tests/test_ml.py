@@ -325,6 +325,32 @@ def test_imputer_classifier_families(spark):
         ModelImputer(targetCol="EDUCATION", classifierFamily="nope").fit(train)
 
 
+def test_imputer_forwards_dart_and_colsample(spark):
+    """ModelImputer forwards dropoutRate / featureSubsetStrategy to the
+    gbt_softmax family (the r5 tuning waves depend on this): the fitted
+    inner SoftmaxGBTModel must carry DART weights, and the imputer still
+    recovers hidden values above the mode floor."""
+    import json
+
+    from consumer_loans_analysis_spark.ml.imputer_eval import evaluate_imputer, mode_baseline
+    from consumer_loans_analysis_spark.pipeline.model_imputer import ModelImputer
+    from consumer_loans_analysis_spark.sources.readers import read_loans_csv
+
+    train = read_loans_csv(spark, "/root/reference/data/orig_train.csv").cache()
+    valid = read_loans_csv(spark, "/root/reference/data/orig_valid.csv").cache()
+    imp = ModelImputer(
+        targetCol="EDUCATION", sentinel="Missing",
+        classifierFamily="gbt_softmax", maxDepth=3, maxIter=6,
+        stepSize=0.3, dropoutRate=0.5, featureSubsetStrategy="0.5",
+    )
+    fitted = imp.fit(train)
+    sgbt = fitted.inner.stages[-1]
+    st = json.loads(sgbt.getOrDefault(sgbt.modelJson))
+    assert len(st["weights"]) == 6  # DART reached the inner estimator
+    floor = mode_baseline(train, valid, "EDUCATION")
+    assert evaluate_imputer(fitted, valid, "EDUCATION") > floor
+
+
 def test_tree_shap_matches_hand_computed_shapley():
     """Fixture tree where Saabas and TreeSHAP provably differ, with the
     exact Shapley values computed by hand.
