@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -572,3 +574,116 @@ def duplicate_spans(
         )
         .select(F.col("id").alias(id_col), "n_spans", "n_dup_spans", "dup_span_ratio")
     )
+
+
+def bloom_build(
+    fps: DataFrame, fp_col: str = "fp",
+    expected_items: int = 1_000_000, fpp: float = 0.01,
+):
+    """Distributed Bloom-filter build over a fingerprint column.
+
+    Spark's own ``bloom_filter_agg`` is not in the public function
+    registry (internal to runtime row-level filtering), so this is the
+    engine's equivalent, built from public primitives:
+
+    1. per row, the ``n_hashes`` bit positions are JVM-side Column exprs
+       (``pmod(xxhash64(fp, i), m_bits)`` — the probe side computes the
+       identical exprs, so hash portability is by construction);
+    2. positions fold into 64-bit words via one ``bit_or`` aggregation
+       grouped by word index — the ONLY shuffle, and it carries ≤
+       n·n_hashes 16-byte rows down to ≤ m_bits/64 result rows;
+    3. only SET words reach the driver (sparse collect), which lays them
+       into a numpy bitmap: m_bits/8 bytes (~1.2 MB at 1M items / 1%
+       fpp) — broadcastable state, vs the fingerprint table itself.
+
+    Sizing is the textbook optimum: m = −n·ln(p)/ln2², h = (m/n)·ln2.
+
+    Returns ``(m_bits, n_hashes, words)`` with ``words`` a numpy uint64
+    array of length ceil(m_bits/64).
+    """
+    import math
+
+    import numpy as np
+
+    m_bits = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    m_bits = (m_bits + 63) // 64 * 64
+    n_hashes = max(1, round(m_bits / expected_items * math.log(2)))
+
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(fp_col), F.lit(i)), F.lit(m_bits))
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("pos")
+    set_words = (
+        fps.select(pos)
+        .select(
+            F.floor(F.col("pos") / 64).alias("w"),
+            # PySpark's shiftleft() only takes a literal shift — expr form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in set_words:
+        words[r["w"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return m_bits, n_hashes, words
+
+
+def bloom_incremental_dedupe(
+    batch: DataFrame, fingerprints: DataFrame, fp_col: str = "fp",
+    expected_items: int | None = None, fpp: float = 0.01,
+) -> DataFrame:
+    """Incremental-batch dedup with a Bloom pre-filter — the scale upgrade
+    of the plain anti-join (d8): EXACTLY the same rows come out (Bloom
+    negatives are guaranteed non-members; positives are verified by the
+    exact anti-join), but at 100 TB the historical fingerprint table no
+    longer shuffles per batch. The ~1 MB bitmap broadcasts to the batch
+    side, definite-new rows (the overwhelming majority in append-heavy
+    pipelines) pass with zero exchange, and only the ~fpp·batch + true-dup
+    sliver pays the anti-join.
+
+    ``expected_items`` defaults to one count() of the fingerprint table
+    (pass it explicitly to keep construction action-free); the build
+    itself is one aggregation action either way — amortized state, like
+    d8's materialized fingerprint table.
+    """
+    import pandas as pd
+
+    if expected_items is None:
+        expected_items = max(64, fingerprints.count())
+    m_bits, n_hashes, bloom_words = bloom_build(
+        fingerprints, fp_col, expected_items, fpp
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(positions: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(positions) == 0:
+            return pd.Series([], dtype=bool)
+        P = np.asarray(positions.tolist(), dtype=np.int64)  # (batch, h)
+        w = bloom_words[P >> 6]
+        m = np.uint64(1) << (P.astype(np.uint64) & np.uint64(63))
+        return pd.Series(((w & m) != 0).all(axis=1))
+
+    probe_pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(fp_col), F.lit(i)), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    flagged = batch.withColumn("_maybe", might_contain(probe_pos))
+    definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    verified_new = (
+        flagged.filter(F.col("_maybe"))
+        .drop("_maybe")
+        .join(fingerprints.select(fp_col).distinct(), fp_col, "left_anti")
+    )
+    return definite_new.unionByName(verified_new)

@@ -451,3 +451,147 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
         vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("double")
     )
     return scale, qvec
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_subs: int = 8,
+    ks: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou, Douze & Schmid 2011
+    — the FAISS IVFADC family's compression half; sits between sim1's
+    exact scan and sim3's IVF pruning in the engine's ANN ladder).
+
+    Train: the dim-D unit-normalized space splits into ``m_subs``
+    subspaces; one MLlib KMeans per subspace learns a ``ks``-centroid
+    codebook (distributed fits over subvector slices — training actions at
+    construction, like ``ivf_topk``). Encode: each corpus vector becomes
+    ``m_subs`` small codes via one Arrow-batched argmin — the corpus
+    compresses to m_subs bytes/vector at ks≤256 (64-dim float32 → 8 B:
+    32×), which is what lets a 100 TB embedding corpus live in cluster
+    memory. Search is ADC (asymmetric distance computation): per query one
+    (m_subs × ks) dot-product lookup table against the RAW query vector;
+    approx score = Σ_m LUT[m, code_m] — table lookups, no float math per
+    candidate. Scan shape: ``mapInPandas`` over the coded corpus, queries'
+    LUTs in the closure (queries are an operationally small batch, like
+    ``cosine_topk``'s broadcast side), per-partition top-R via
+    argpartition, then a per-query window over the ≤ partitions·n_q·R
+    survivors. Final: exact re-rank of the top ``rerank·k`` candidates
+    against true vectors (the standard ADC refinement step) — candidate
+    ids broadcast back onto the corpus, ONE extra corpus-scan join, no
+    corpus shuffle anywhere.
+
+    Output matches sim1/sim3: (query_id, neighbor_id, cos, rank) with the
+    exact cosine for surviving candidates.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def unit(vec: Column) -> Column:
+        return F.transform(vec, lambda x: F.try_divide(x.cast("double"), _norm(vec)))
+
+    c_unit = corpus.select(
+        F.col(id_col).alias("neighbor_id"), unit(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)  # reused by train + encode + re-rank
+
+    # --- train: one KMeans per subspace over the subvector slice ---------
+    dim = len(c_unit.select("v").head()["v"])
+    if dim % m_subs != 0:
+        raise ValueError(f"m_subs={m_subs} must divide dim={dim}")
+    dsub = dim // m_subs
+    codebooks = []
+    for s in range(m_subs):
+        sub = c_unit.select(
+            array_to_vector(F.slice("v", s * dsub + 1, dsub)).alias("features")
+        )
+        km = KMeans(k=ks, seed=seed + s, featuresCol="features").fit(sub)
+        codebooks.append(np.asarray(km.clusterCenters(), dtype=np.float64))
+    cb = np.stack(codebooks)  # (m_subs, ks, dsub)
+
+    # --- encode: vec → m_subs argmin codes, one Arrow pass ---------------
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        X = X.reshape(X.shape[0], m_subs, dsub)
+        # ||x - c||² argmin == argmax(2x·c - ||c||²) per subspace
+        cnorm = (cb**2).sum(axis=2)  # (m, ks)
+        codes = np.empty((X.shape[0], m_subs), dtype=np.int32)
+        for s in range(m_subs):
+            scores = 2 * X[:, s, :] @ cb[s].T - cnorm[s]
+            codes[:, s] = scores.argmax(axis=1)
+        return pd.Series(list(codes))
+
+    coded = c_unit.select("neighbor_id", encode(F.col("v")).alias("codes"))
+
+    # --- ADC scan: LUTs in the closure, per-partition top-R --------------
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), unit(F.col(vec_col)).alias("v")
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    Q = np.asarray([r["v"] for r in q_rows], dtype=np.float64)
+    Qs = Q.reshape(len(q_rows), m_subs, dsub)
+    # LUT[q, m, c] = q_sub · centroid  →  approx cos = Σ_m LUT[q, m, code_m]
+    lut = np.einsum("qmd,mcd->qmc", Qs, cb)
+    R = max(k, rerank * k)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
+            ids = pdf["neighbor_id"].to_numpy()
+            # gather: S[q, b] = Σ_m lut[q, m, C[b, m]] — arange(m) ⊗ C(B,m)
+            # broadcast to (B, m), slice dim0 keeps q → (nq, B, m)
+            S = lut[:, np.arange(m_subs), C].sum(axis=2)
+            top = min(R, S.shape[1])
+            idx = np.argpartition(-S, top - 1, axis=1)[:, :top]
+            out = {
+                "query_id": np.repeat(q_ids, top),
+                "neighbor_id": ids[idx].ravel(),
+                "approx": np.take_along_axis(S, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    parts = coded.mapInPandas(
+        scan, "query_id long, neighbor_id long, approx double"
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cands = (
+        parts.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= R)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- exact re-rank of the R survivors --------------------------------
+    qdf = queries.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
+        "query_id long, qv array<double>",
+    )
+    scored = (
+        c_unit.join(F.broadcast(cands), c_unit["neighbor_id"] == cands["neighbor_id"])
+        .drop(cands["neighbor_id"])
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -534,6 +534,26 @@ def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn("cos", F.round(F.col("cos"), 6))
 
+
+@query("sim5_pq_topk")  # no SQL oracle: KMeans codebooks aren't SQL-expressible
+def sim5_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (Jégou et al. 2011; the FAISS
+    IVFADC compression half): 16 subspace codebooks × 64 codes compress
+    the 64-dim corpus 16×, an asymmetric-distance table scan proposes
+    candidates, exact re-rank of the top 4k fixes the ranking. Codebooks
+    sized for this corpus's razor-thin margin (planted pairs at cos
+    0.45-0.51 vs random up to 0.4497 — measured recall 0.88@rerank4,
+    1.00@rerank16; 8×16 books lose the margin to quantization noise).
+    Driver records a rows-only check; recall vs the exact scan is
+    asserted in tests/test_operators.py::test_pq_recall (sim3's gate
+    pattern)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.pq_topk(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5),
+        k=5, m_subs=16, ks=64,
+    )
+    return out.withColumn("cos", F.round(F.col("cos"), 6))
+
 _EXACT_TOPK_TAIL = """
     , scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -858,6 +878,42 @@ def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = docs.filter(F.col("source") == "src19").withColumn("fp", F.md5("text"))
     return batch.join(corpus_fp, "fp", "left_anti").select("doc_id", "source")
+
+
+@query(
+    "d12_bloom_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE source <> 'src19'
+    )
+    SELECT doc_id, source FROM documents
+    WHERE source = 'src19'
+      AND md5(text) NOT IN (SELECT fp FROM corpus)
+    """,
+)
+def d12_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8's incremental dedup behind a Bloom pre-filter
+    (``dedup.bloom_incremental_dedupe``): the corpus fingerprint table
+    folds into a ~1 MB bitmap via one distributed ``bit_or`` aggregation
+    (Spark's internal ``bloom_filter_agg`` isn't public — this is the
+    engine-native equivalent); definite-new batch rows pass with ZERO
+    exchange against history, and only Bloom-positive rows (~fpp·batch +
+    true dups) pay the exact anti-join. The oracle is the plain exact
+    anti-join — the operator's contract is bit-identical output, with the
+    per-batch shuffle of the historical table removed at scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    corpus_fp = (
+        docs.filter(F.col("source") != "src19")
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("source") == "src19").withColumn("fp", F.md5("text"))
+    # explicit expected_items keeps construction action-free; generous for
+    # every test SF (undersizing only raises fpp → more verify traffic,
+    # never wrong output)
+    return dedup.bloom_incremental_dedupe(
+        batch, corpus_fp, expected_items=65536, fpp=0.01
+    ).select("doc_id", "source")
 
 
 @query(

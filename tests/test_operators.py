@@ -834,3 +834,42 @@ def test_semantic_dedup_kmeans_blocker_recall(spark, sf_dir):
     recall = hit / len(planted)
     print(f"kmeans-blocker planted-pair recall: {recall:.3f} ({hit}/{len(planted)})")
     assert recall >= 0.9, recall
+
+
+def test_pq_recall(spark, sf_dir):
+    """PQ-ADC top-k (sim5's gate, same pattern as sim3's): recall@5 vs the
+    exact scan is high at 16×64 codebooks with 4k re-rank, rises when the
+    candidate pool R grows, and surviving candidates carry their EXACT
+    cosine (re-rank contract: scores for common pairs match sim1's to
+    1e-9). Codebook size matters on this corpus: the planted-pair margin
+    is ~0.005 of cosine, so coarse 8×16 books lose it to quantization
+    noise (measured 0.44 recall) — worth keeping as the documented
+    failure mode."""
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.operators import similarity
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_rows = similarity.cosine_topk(corpus, queries, k=5).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact_rows}
+
+    def run(rerank: int):
+        return similarity.pq_topk(
+            corpus, queries, k=5, m_subs=16, ks=64, rerank=rerank
+        ).collect()
+
+    got4 = run(4)
+    r4 = len(exact & {(r["query_id"], r["neighbor_id"]) for r in got4}) / len(exact)
+    assert r4 >= 0.75, r4
+    got16 = run(16)
+    r16 = len(exact & {(r["query_id"], r["neighbor_id"]) for r in got16}) / len(exact)
+    assert r16 >= max(r4, 0.9), (r4, r16)
+    # exact-cosine contract on the intersection
+    for r in got16:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cos"] - exact_cos[key]) < 1e-9, key

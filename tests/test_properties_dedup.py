@@ -171,3 +171,61 @@ def test_winnowing_guarantee(spark, pre_a, post_a, pre_b, post_b, shared):
     # and the Spark-side counts agree with the local reference
     assert rows[0]["n_fingerprints"] == len(fps(doc_a))
     assert rows[1]["n_fingerprints"] == len(fps(doc_b))
+
+
+def test_bloom_incremental_dedupe_equals_exact_anti_join(spark):
+    """bloom_incremental_dedupe's contract: output identical to the plain
+    anti-join (Bloom negatives are guaranteed non-members, positives are
+    exactly verified) — checked on a corpus with planted dups, both
+    well-sized and deliberately UNDERSIZED (high-fpp) filters; and no
+    false negatives: every true member must flag maybe=true."""
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.operators.dedup import (
+        bloom_build,
+        bloom_incremental_dedupe,
+    )
+
+    corpus = spark.range(500).select(
+        F.md5(F.concat(F.lit("doc-"), F.col("id").cast("string"))).alias("fp")
+    )
+    # batch: 100 dups of corpus docs (ids 0..99) + 150 new (ids 1000..1149)
+    batch = (
+        spark.range(100)
+        .select(F.col("id").alias("bid"))
+        .unionByName(spark.range(1000, 1150).select(F.col("id").alias("bid")))
+        .select(
+            "bid",
+            F.md5(F.concat(F.lit("doc-"), F.col("bid").cast("string"))).alias("fp"),
+        )
+    )
+    want = sorted(
+        r["bid"] for r in batch.join(corpus, "fp", "left_anti").collect()
+    )
+    assert want == list(range(1000, 1150))
+    for expected, fpp in [(500, 0.01), (8, 0.5)]:  # well-sized and starved
+        got = sorted(
+            r["bid"]
+            for r in bloom_incremental_dedupe(
+                batch, corpus, expected_items=expected, fpp=fpp
+            ).collect()
+        )
+        assert got == want, (expected, fpp)
+
+    # no-false-negative property of the build itself: every corpus member
+    # probes positive in the bitmap
+    import numpy as np
+
+    m_bits, n_hashes, words = bloom_build(corpus, expected_items=500, fpp=0.01)
+    probe = corpus.select(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(m_bits))
+                for i in range(n_hashes)
+            ]
+        ).alias("pos")
+    ).collect()
+    for r in probe:
+        P = np.asarray(r["pos"], dtype=np.int64)
+        hits = (words[P >> 6] & (np.uint64(1) << (P.astype(np.uint64) & np.uint64(63)))) != 0
+        assert hits.all()
