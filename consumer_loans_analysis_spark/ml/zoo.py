@@ -55,6 +55,11 @@ def model_zoo(seed: int = 42, mlp_layers: list[int] | None = None) -> dict[str, 
         "logistic_regression": lambda: LogisticRegression(),
         "linear_svc": lambda: LinearSVC(),
         "gaussian_nb": lambda: NaiveBayes(modelType="gaussian"),
+        # engine-native closed-form Gaussian NB with the sklearn
+        # var_smoothing knob (ml/gaussian_nb.py) — the reference's tuned
+        # and FINAL shipped model family (var_smoothing 9.027e-05,
+        # modeling_validation.ipynb:608-614); MLlib's has no such knob
+        "gaussian_nb_smoothed": lambda: _gaussian_nb_smoothed(),
         "mlp": lambda: MultilayerPerceptronClassifier(
             layers=mlp_layers or [54, 16, 2], seed=seed
         ),
@@ -64,6 +69,13 @@ def model_zoo(seed: int = 42, mlp_layers: list[int] | None = None) -> dict[str, 
         "gbt_softmax": lambda: _softmax_gbt(seed),
         "dummy_uniform": lambda: UniformRandomClassifier(seed=seed),
     }
+
+
+def _gaussian_nb_smoothed():
+    from consumer_loans_analysis_spark.ml.gaussian_nb import GaussianNBClassifier
+
+    # reference-tuned smoothing (TUNING.json nb_smoothing_sweep)
+    return GaussianNBClassifier(varSmoothing=9.027e-05)
 
 
 def _softmax_gbt(seed: int):

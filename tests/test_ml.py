@@ -773,3 +773,111 @@ def test_softmax_gbt_feature_subset(spark):
         model.withMaxRounds(3).transform(df).select("prediction").collect()
         == short.transform(df).select("prediction").collect()
     )
+
+
+# --- engine-native Gaussian NB (var_smoothing; reference final model) ----
+
+
+def _gnb_fixture(spark):
+    rows = [
+        (Vectors.dense([1.0, 10.0]), 0.0),
+        (Vectors.dense([2.0, 11.0]), 0.0),
+        (Vectors.dense([3.0, 9.0]), 0.0),
+        (Vectors.dense([6.0, 2.0]), 1.0),
+        (Vectors.dense([7.0, 4.0]), 1.0),
+        (Vectors.dense([8.5, 3.0]), 1.0),
+    ]
+    return spark.createDataFrame(rows, ["features", "label"])
+
+
+def _gnb_expected(xs, vs):
+    """sklearn-convention Gaussian NB posteriors, pure Python: ddof=0
+    variances, epsilon = vs * max_i Var_global(x_i) added to every
+    variance at scoring time."""
+    data = {
+        0.0: [[1.0, 10.0], [2.0, 11.0], [3.0, 9.0]],
+        1.0: [[6.0, 2.0], [7.0, 4.0], [8.5, 3.0]],
+    }
+    n_tot = sum(len(v) for v in data.values())
+    all_rows = [r for v in data.values() for r in v]
+    d = 2
+    g_var = []
+    for i in range(d):
+        col = [r[i] for r in all_rows]
+        m = sum(col) / len(col)
+        g_var.append(sum((x - m) ** 2 for x in col) / len(col))
+    eps = vs * max(g_var)
+    stats = {}
+    for c, rowsc in data.items():
+        mus, var = [], []
+        for i in range(d):
+            col = [r[i] for r in rowsc]
+            m = sum(col) / len(col)
+            mus.append(m)
+            var.append(sum((x - m) ** 2 for x in col) / len(col) + eps)
+        stats[c] = (math.log(len(rowsc) / n_tot), mus, var)
+    out = []
+    for x in xs:
+        lls = {}
+        for c, (lp, mus, var) in stats.items():
+            ll = lp
+            for i in range(d):
+                ll += -0.5 * (math.log(2 * math.pi * var[i])) \
+                      - (x[i] - mus[i]) ** 2 / (2 * var[i])
+            lls[c] = ll
+        mx = max(lls.values())
+        z = sum(math.exp(v - mx) for v in lls.values())
+        out.append({c: math.exp(v - mx) / z for c, v in lls.items()})
+    return out
+
+
+def test_gaussian_nb_matches_hand_computation(spark):
+    from consumer_loans_analysis_spark.ml.gaussian_nb import GaussianNBClassifier
+
+    df = _gnb_fixture(spark)
+    vs = 1e-3
+    model = GaussianNBClassifier(varSmoothing=vs).fit(df)
+    got = model.transform(df).select("label", "prediction", "probs").collect()
+    xs = [[1.0, 10.0], [2.0, 11.0], [3.0, 9.0], [6.0, 2.0], [7.0, 4.0], [8.5, 3.0]]
+    want = _gnb_expected(xs, vs)
+    for row, exp in zip(got, want):
+        assert row["prediction"] == row["label"]
+        assert abs(row["probs"][0] - exp[0.0]) < 1e-9
+        assert abs(row["probs"][1] - exp[1.0]) < 1e-9
+        assert abs(sum(row["probs"]) - 1.0) < 1e-12
+
+
+def test_gaussian_nb_with_var_smoothing_no_refit(spark):
+    """withVarSmoothing(ε) must equal a fresh fit at ε (stats are
+    ε-independent), and a large ε must actually change the posteriors."""
+    from consumer_loans_analysis_spark.ml.gaussian_nb import GaussianNBClassifier
+
+    df = _gnb_fixture(spark)
+    base = GaussianNBClassifier(varSmoothing=1e-9).fit(df)
+    refit = GaussianNBClassifier(varSmoothing=0.5).fit(df)
+    swapped = base.withVarSmoothing(0.5)
+    a = swapped.transform(df).select("probs").collect()
+    b = refit.transform(df).select("probs").collect()
+    for ra, rb in zip(a, b):
+        assert list(ra["probs"]) == list(rb["probs"])
+    c = base.transform(df).select("probs").collect()
+    assert any(abs(ra["probs"][0] - rc["probs"][0]) > 1e-6 for ra, rc in zip(a, c))
+
+
+def test_gaussian_nb_toy_accuracy_and_persistence(spark, toy, tmp_path):
+    from consumer_loans_analysis_spark.ml.gaussian_nb import (
+        GaussianNBClassifier,
+        GaussianNBModel,
+    )
+
+    model = GaussianNBClassifier(varSmoothing=1e-6).fit(toy)
+    pred = model.transform(toy)
+    m = binary_metrics(pred)
+    assert m["accuracy"] > 0.8, m
+    path = str(tmp_path / "gnb")
+    model.save(path)
+    loaded = GaussianNBModel.load(path)
+    got = loaded.transform(toy).select("probs").collect()
+    want = model.transform(toy).select("probs").collect()
+    for g, w in zip(got, want):
+        assert list(g["probs"]) == list(w["probs"])
