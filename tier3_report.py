@@ -52,8 +52,11 @@ def main() -> None:
     # full C6-faithful pipeline: model imputers included, like the
     # reference's FinalModel (modeling.py:322-336)
     proc, feat = fit_full_pipeline(train, with_model_imputers=True)
-    featured = feat.transform(proc.transform(train)).cache()
-    featured.count()
+    # localCheckpoint, NOT cache: the transform plan embeds the fitted RF
+    # imputer models, and a cached frame still ships that full lineage in
+    # every task binary (~177 MB per LinearSVC/CV iteration — measured).
+    # Checkpointing truncates the lineage so iterative fits broadcast KBs.
+    featured = feat.transform(proc.transform(train)).localCheckpoint()
     feature_cols = [c for c in featured.columns if c != "FINALIZED_LOAN"]
 
     def head_for(clf):
