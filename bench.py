@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 from consumer_loans_analysis_spark.plans import registry
@@ -96,10 +97,18 @@ def _warmup(spark, sf_dir: str) -> None:
         spark.sparkContext._jvm.System.gc()
 
 
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    load_start = _loadavg()
     registry.load_all()
     spark = get_spark("bench")
     _warmup(spark, sf_dir)
@@ -125,7 +134,7 @@ def main() -> None:
             samples.append(round(time.perf_counter() - t0, 3))
             assert rows is not None
         samples.sort()
-        timings[name] = samples[len(samples) // 2]
+        timings[name] = round(statistics.median(samples), 3)
         spreads[name] = samples
     total = round(sum(timings.values()), 3)
     print(
@@ -139,6 +148,11 @@ def main() -> None:
                 "reps": reps,
                 "protocol": "median_of_reps_per_query",
                 "samples": spreads,
+                # host-load snapshot so round-over-round drift can be
+                # attributed (r05's lesson: a uniformly slower host looks
+                # like a uniform regression)
+                "loadavg_at_start": load_start,
+                "loadavg_at_end": _loadavg(),
             }
         )
     )

@@ -80,7 +80,11 @@ def _tree_arrays(tr: dict) -> tuple:
     # leaves carry feat == -1; clamp to 0 — masked out before use
     feat = np.maximum(np.asarray(tr["feat"], dtype=np.int32), 0)
     thr = np.asarray(tr["thr"], dtype=np.float64)
-    is_cat = np.asarray([c is not None for c in tr["cats"]], dtype=bool)
+    # truthiness, NOT `is not None`: the scalar _walk falls back to the
+    # threshold for an EMPTY categories set (`if cat`), and cat_vals below
+    # is only built for non-empty sets — the masks must agree or an empty
+    # set would KeyError in _walk_batch where _walk takes the float branch
+    is_cat = np.asarray([bool(c) for c in tr["cats"]], dtype=bool)
     cat_vals = {
         i: np.asarray(sorted(c), dtype=np.float64)
         for i, c in enumerate(tr["cats"])

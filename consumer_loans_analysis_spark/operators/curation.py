@@ -236,17 +236,25 @@ def semantic_dedup(
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        # coalesce the try_divide: a zero-norm embedding would yield null
+        # elements and array_to_vector/KMeans.fit would fail opaquely —
+        # map it to the zero vector instead (lands in some cluster; the
+        # cosine verify still rejects its pairs, matching signlsh's
+        # tolerance of such vectors)
         unit = F.transform(
             F.col(vec_col),
-            lambda x: F.try_divide(
-                x.cast("double"),
-                F.sqrt(
-                    F.aggregate(
-                        F.transform(F.col(vec_col), lambda y: y * y),
-                        F.lit(0.0),
-                        lambda a, y: a + y,
-                    )
+            lambda x: F.coalesce(
+                F.try_divide(
+                    x.cast("double"),
+                    F.sqrt(
+                        F.aggregate(
+                            F.transform(F.col(vec_col), lambda y: y * y),
+                            F.lit(0.0),
+                            lambda a, y: a + y,
+                        )
+                    ),
                 ),
+                F.lit(0.0),
             ),
         )
         feats = emb.select(

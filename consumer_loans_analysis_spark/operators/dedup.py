@@ -63,9 +63,10 @@ def _widen_small_scan(df: DataFrame) -> DataFrame:
     maxPartitionBytes) over ``df.inputFiles()``): zero Spark jobs and no
     RDD instantiation at plan-build time (``df.rdd.getNumPartitions()``
     forces physical planning and a JVM→Python RDD bridge; the plan-shape
-    suite asserts the action-free contract). Non-file sources (inline
-    frames) report no input files and are widened unconditionally —
-    they are tiny by construction.
+    suite asserts the action-free contract). Non-file sources (inline or
+    upstream-repartitioned frames) report no input files and fall back to
+    the partition-count probe — zero jobs, just planning cost — so an
+    already-wide in-memory frame is not shuffled again.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -84,6 +85,9 @@ def _widen_small_scan(df: DataFrame) -> DataFrame:
             splits += max(1, -(-size // mpb))
             if splits >= target:
                 return df
+    else:
+        if df.rdd.getNumPartitions() >= target:
+            return df
     return df.repartition(target)
 
 
@@ -686,4 +690,8 @@ def bloom_incremental_dedupe(
         .drop("_maybe")
         .join(fingerprints.select(fp_col).distinct(), fp_col, "left_anti")
     )
-    return definite_new.unionByName(verified_new)
+    # exposed for the plan-shape suite: the definite_new branch must stay
+    # exchange- and join-free (the whole point of the Bloom gate)
+    out = definite_new.unionByName(verified_new)
+    out._bloom_branches = (definite_new, verified_new)  # type: ignore[attr-defined]
+    return out

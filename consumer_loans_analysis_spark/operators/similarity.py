@@ -263,7 +263,15 @@ def ivf_topk(
         n_lists = max(2, int(math.sqrt(corpus.count())))
 
     def unit(vec: Column) -> Column:
-        return F.transform(vec, lambda x: F.try_divide(x.cast("double"), _norm(vec)))
+        # coalesce: a zero-norm vector would otherwise yield null elements
+        # and crash array_to_vector/KMeans.fit opaquely; map to the zero
+        # vector (its cosine to anything is null → filtered downstream)
+        return F.transform(
+            vec,
+            lambda x: F.coalesce(
+                F.try_divide(x.cast("double"), _norm(vec)), F.lit(0.0)
+            ),
+        )
 
     c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -495,7 +503,15 @@ def pq_topk(
     from pyspark.ml.functions import array_to_vector
 
     def unit(vec: Column) -> Column:
-        return F.transform(vec, lambda x: F.try_divide(x.cast("double"), _norm(vec)))
+        # coalesce: a zero-norm vector would otherwise yield null elements
+        # and crash array_to_vector/KMeans.fit opaquely; map to the zero
+        # vector (its cosine to anything is null → filtered downstream)
+        return F.transform(
+            vec,
+            lambda x: F.coalesce(
+                F.try_divide(x.cast("double"), _norm(vec)), F.lit(0.0)
+            ),
+        )
 
     c_unit = corpus.select(
         F.col(id_col).alias("neighbor_id"), unit(F.col(vec_col)).alias("v")

@@ -591,6 +591,16 @@ def bpe_encode_broadcast(
 
     if merges is None:
         merges = DEFAULT_BPE_MERGES
+    outs = [left + right for left, right in merges]
+    if len(set(outs)) != len(outs):
+        # the rank-based merge here would actually tolerate duplicate
+        # outputs, but this path is documented same-semantics with
+        # bpe_encode (and pytest-pinned equal on shared tables) — accept
+        # the same input domain so the two can never silently diverge
+        raise ValueError(
+            "bpe_encode_broadcast requires unique merge outputs; duplicate "
+            f"outputs: {sorted({o for o in outs if outs.count(o) > 1})}"
+        )
     ranks = {pair: r for r, pair in enumerate(merges)}
     vocab = bpe_vocab(merges)
     pat = pretoken_pattern

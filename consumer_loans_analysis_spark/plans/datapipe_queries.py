@@ -586,6 +586,24 @@ def sim4_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos", F.round(F.col("cos"), 6))
 
 
+@query("sim5b_pq_full_rerank_topk", oracle=_COSINE_SQL + _EXACT_TOPK_TAIL)
+def sim5b_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with ``rerank·k ≥ |corpus|`` re-ranks EVERY candidate exactly, so
+    the result must EQUAL brute-force top-k — the sim4 trick applied to
+    sim5: the codebook fit, ADC LUT scan, per-partition argpartition and
+    candidate plumbing all sit under the DuckDB hash-compare (any dropped
+    or duplicated candidate breaks the exact ranking). sim5 stays the
+    approximate rerank=4 path whose recall is gated in
+    tests/test_operators.py::test_pq_recall. rerank=400·k=5 → R=2000 ≥
+    corpus at every test sf (500/500/2000 embeddings)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.pq_topk(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5),
+        k=5, m_subs=16, ks=64, rerank=400,
+    )
+    return out.withColumn("cos", F.round(F.col("cos"), 6))
+
+
 
 @query(
     "t6_normalize_fingerprint",

@@ -207,7 +207,17 @@ def test_serving_wrapper_label_absent(spark, loans_train):
 
     valid = read_loans_csv(spark, ORIG_VALID).drop("FINALIZED_LOAN")
     assert "FINALIZED_LOAN" not in valid.columns
-    out = serving.transform(valid)
+    # serving must be ONE lazy transform chain: plan construction runs
+    # zero Spark jobs (no per-stage actions hidden inside transform())
+    sc = spark.sparkContext
+    group = "serving_action_free_probe"
+    sc.setJobGroup(group, "serving transform must not run jobs")
+    try:
+        out = serving.transform(valid)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == [], f"serving transform ran jobs at plan time: {jobs}"
     n = out.count()
     assert n == 3235
     preds = {r["prediction"] for r in out.select("prediction").distinct().collect()}

@@ -132,3 +132,53 @@ def test_dedup_build_action_free(spark, sf_dir):
     assert df.columns[:2] == ["id_a", "id_b"] or "id_a" in df.columns
     assert {"id", "sh"} <= set(sh.columns)
     df.limit(1).collect()
+
+
+def test_bloom_fast_path_is_exchange_and_join_free(spark, sf_dir):
+    """d12: the definite_new branch (Bloom says 'certainly unseen') must
+    pass with ZERO exchange and ZERO join against the fingerprint table --
+    that absence is the entire 100 TB value of the Bloom gate. Also pins
+    the construction cost: with expected_items passed explicitly, building
+    the plan runs only the documented bit_or bitmap aggregation, never the
+    fallback fingerprint count()."""
+    from consumer_loans_analysis_spark.operators import dedup
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    sc = spark.sparkContext
+    group = "bloom_build_probe"
+    sc.setJobGroup(group, "bloom construction job count")
+    try:
+        out = dedup.bloom_incremental_dedupe(
+            batch, history, expected_items=1000, fpp=0.01
+        )
+        jobs_explicit = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    # one collect = the bit_or word aggregation (AQE may split it into a
+    # couple of jobs, but the count() fallback must NOT appear: building
+    # again with expected_items=None must cost strictly more jobs)
+    group2 = "bloom_build_probe_none"
+    sc.setJobGroup(group2, "bloom construction with count fallback")
+    try:
+        dedup.bloom_incremental_dedupe(batch, history, fpp=0.01)
+        jobs_none = sc.statusTracker().getJobIdsForGroup(group2)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(jobs_explicit) >= 1  # the documented build aggregation
+    assert len(jobs_none) > len(jobs_explicit), (
+        f"expected the expected_items=None fallback to add a count() job: "
+        f"{len(jobs_none)} vs {len(jobs_explicit)}"
+    )
+
+    definite_new, verified_new = out._bloom_branches
+    fast = _plan(definite_new)
+    assert "Exchange" not in fast, fast
+    assert "Join" not in fast, fast
+    # the slow branch DOES carry the exact anti-join (the verify sliver)
+    slow = _plan(verified_new)
+    assert "Join" in slow, slow

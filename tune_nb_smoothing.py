@@ -51,10 +51,13 @@ def main() -> None:
     valid = read_loans_csv(spark, "/root/reference/data/orig_valid.csv").cache()
     proc, feat = fit_full_pipeline(train, with_model_imputers=True)
     pipe = PipelineModel(stages=[proc, feat])
-    ftr = assemble_features(pipe.transform(train)).cache()
-    ftr.count()
-    fva = assemble_features(pipe.transform(valid)).cache()
-    fva.count()
+    # localCheckpoint, NOT cache (tier3_report's lesson): the transform
+    # plan embeds the fitted RF imputer models, and a cached frame still
+    # ships that lineage (~177 MB measured) in EVERY task binary — fatal
+    # for a sweep that runs 5×46 tiny aggregations. Checkpointing
+    # truncates the lineage so each agg broadcasts KBs.
+    ftr = assemble_features(pipe.transform(train)).localCheckpoint(eager=True)
+    fva = assemble_features(pipe.transform(valid)).localCheckpoint(eager=True)
 
     # --- 5-fold CV sweep: one NB fit per fold, one tiny agg per (fold, ε)
     folded = add_fold(ftr, K).cache()
