@@ -29,10 +29,12 @@ aggregation; nothing driver-side ever holds row data, only tree structs
 (O(K · 2^depth) per round). The same design runs at 100 TB with the tree
 fits as the dominant (distributed) cost.
 
-Serving: trees are extracted to plain-Python arrays at fit time
-(reusing ``ml.importance._extract_tree``) with Newton gammas baked into
-the leaf values, so the fitted model is library-free: one Arrow-batched
-pandas UDF accumulates ``F_k = log π_k + η Σ_m γ_mk(x)`` and argmaxes.
+Serving: trees are extracted to plain-Python arrays at fit time (via
+MLlib's parquet persistence — ``_extract_tree_from_save``, pinned
+bit-equal to ``ml.importance._extract_tree``'s py4j walk, ~60× faster
+on deep trees) with Newton gammas baked into the leaf values, so the
+fitted model is library-free: one Arrow-batched pandas UDF accumulates
+``F_k = log π_k + η Σ_m γ_mk(x)`` and argmaxes.
 Persistence is a JSON Param (DefaultParamsWritable) — no MLlib model
 objects to round-trip.
 """
@@ -54,6 +56,69 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from consumer_loans_analysis_spark.ml.importance import _extract_tree
+
+
+def _extract_tree_from_save(model) -> dict:
+    """Same output as ``_extract_tree(model._call_java("rootNode"), 0,
+    False)`` — pinned bit-equal in tests — but via MLlib's parquet
+    persistence: ONE save job plus one driver-local pyarrow read, instead
+    of ~10 py4j round-trips per node. The py4j walk costs ~3 ms/node
+    (profiled: 131 s for a 45k-node round at depth 14 — the dominant fit
+    cost); this path is bulk data transfer, ~30× faster on deep trees.
+
+    MLlib's NodeData ids are assigned preorder (id, left subtree, right
+    subtree — ``DecisionTreeModelReadWrite.NodeData.build``), exactly the
+    index order the recursive walk assigns, so ``id`` maps 1:1 onto the
+    array index. ``prediction`` is the same double the walk reads;
+    ``impurityStats[0]`` is the variance-impurity count (= ``cover``);
+    continuous splits store ``[threshold]`` in leftCategoriesOrThreshold
+    with numCategories == -1, categorical splits store the left-category
+    doubles."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="sgbt_extract_")
+    try:
+        model.write().overwrite().save(tmp)
+        import glob as _glob
+
+        parts = sorted(_glob.glob(tmp + "/data/*.parquet"))
+        rows = [
+            r
+            for p in parts
+            for r in pq.read_table(p).to_pylist()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    n = len(rows)
+    feat = [-1] * n
+    thr = [0.0] * n
+    left = [-1] * n
+    right = [-1] * n
+    value = [0.0] * n
+    cats: list = [None] * n
+    cover = [0.0] * n
+    for r in rows:
+        i = r["id"]
+        value[i] = float(r["prediction"])
+        cover[i] = float(r["impurityStats"][0])
+        lc, rc = r["leftChild"], r["rightChild"]
+        if lc != -1:
+            left[i] = lc
+            right[i] = rc
+            s = r["split"]
+            feat[i] = s["featureIndex"]
+            if s["numCategories"] >= 0:
+                cats[i] = set(float(c) for c in s["leftCategoriesOrThreshold"])
+            else:
+                thr[i] = float(s["leftCategoriesOrThreshold"][0])
+    return {
+        "feat": feat, "thr": thr, "left": left, "right": right,
+        "value": value, "cats": cats, "cover": cover,
+    }
 
 
 def _walk(tr: dict, x) -> int:
@@ -340,7 +405,13 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
         dropout = g(self.dropoutRate)
         fss = g(self.featureSubsetStrategy)
         n_fit_threads = min(K, g(self.parallelism))
+        # opt-in per-phase wall breakdown (profiling deep configs); zero
+        # cost when the env var is unset
+        import os as _os
+        import time as _time
+        _prof = bool(_os.environ.get("SPARK_GRAFT_GBT_PROFILE"))
         for m in range(g(self.maxIter)):
+            _t = _time.perf_counter() if _prof else 0.0
             # 0. DART (Rashmi & Gilad-Bachrach 2015, XGBoost dart booster):
             # drop each prior round independently w.p. dropoutRate, then
             # REBUILD _F from the kept rounds' weighted trees (weights are
@@ -376,6 +447,9 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
             frame = frame.select(
                 "*", *[F.element_at("_r", k + 1).alias(f"_r_{k}") for k in range(K)]
             ).localCheckpoint(eager=True)
+            if _prof:
+                print(f"[gbt-prof] m={m} residuals+ckpt {_time.perf_counter() - _t:.2f}s", flush=True)
+                _t = _time.perf_counter()
 
             # 2. K residual trees against the one materialized frame
             fit_df = (
@@ -407,10 +481,15 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
 
             with ThreadPoolExecutor(n_fit_threads) as pool:
                 models = list(pool.map(fit_one, range(K)))
-            structs = [
-                _extract_tree(mod._call_java("rootNode"), 0, False)
-                for mod in models
-            ]
+            if _prof:
+                print(f"[gbt-prof] m={m} tree fits {_time.perf_counter() - _t:.2f}s", flush=True)
+                _t = _time.perf_counter()
+            with ThreadPoolExecutor(n_fit_threads) as pool:
+                structs = list(pool.map(_extract_tree_from_save, models))
+            if _prof:
+                nn = sum(len(s["left"]) for s in structs)
+                print(f"[gbt-prof] m={m} extract {_time.perf_counter() - _t:.2f}s ({nn} nodes)", flush=True)
+                _t = _time.perf_counter()
 
             # 3. Newton gammas, one distributed aggregation
             leaves = _leaves_udf(structs)
@@ -444,6 +523,9 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                     for i in range(len(tr["value"]))
                 ]
             rounds.append(structs)
+            if _prof:
+                print(f"[gbt-prof] m={m} gammas {_time.perf_counter() - _t:.2f}s", flush=True)
+                _t = _time.perf_counter()
 
             # 4a. DART weight bookkeeping (XGBoost normalize_type="tree"):
             # k dropped → new round weight 1/(k+lr), each dropped round
@@ -468,6 +550,8 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                     "_feat", "_farr", "_y",
                     F.zip_with("_F", step(F.col("_farr")), lambda a, b: a + b).alias("_F"),
                 )
+            if _prof:
+                print(f"[gbt-prof] m={m} F-update {_time.perf_counter() - _t:.2f}s", flush=True)
 
         state = {
             "rounds": [

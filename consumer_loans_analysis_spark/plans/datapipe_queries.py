@@ -2092,10 +2092,15 @@ def d11b_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical downstream pipeline) and the planted-near-dup recall test
     (tests/test_operators.py::test_semantic_dedup_kmeans_blocker_recall,
     30/30 at k=8). Returns one row per vector, deterministic under the
-    fixed seed."""
+    fixed seed. A sim4-style exact full-probe twin (n_clusters=1 → all
+    pairs → the d11 oracle without the bucket clause) is blocked by
+    MLlib's ``k > 1`` parameter validation, so the recall pytest stays
+    the gate."""
     from consumer_loans_analysis_spark.operators import curation
 
     emb = read_table(spark, sf_dir, "embeddings")
     return curation.semantic_dedup(
         emb, threshold=0.45, blocker="kmeans", n_clusters=8
     )
+
+

@@ -88,6 +88,12 @@ CONFIGS = {
         "maxDepth": 12, "maxIter": 80, "stepSize": 0.2,
         "featureSubsetStrategy": "0.84",
     },
+    # second-seed replicate of the 0.4802 headline (emp_d14_i80 passed the
+    # 0.47903 bar by 0.0012 — thin enough to want seed robustness;
+    # VERDICT r05 task 2)
+    "emp_d14_i80_lr02_seed7": {
+        "maxDepth": 14, "maxIter": 80, "stepSize": 0.2, "seed": 7,
+    },
 }
 PREFIXES = [40, 60, 80, 100, 120, 150, 175, 200]
 

@@ -881,3 +881,56 @@ def test_gaussian_nb_toy_accuracy_and_persistence(spark, toy, tmp_path):
     want = model.transform(toy).select("probs").collect()
     for g, w in zip(got, want):
         assert list(g["probs"]) == list(w["probs"])
+
+
+def test_extract_tree_from_save_bit_equal_to_py4j_walk(spark):
+    """The parquet-persistence tree extractor must reproduce the py4j
+    recursive walk EXACTLY -- every array, including categorical split
+    sets, covers, and full-precision thresholds/predictions -- on both
+    the DecisionTreeRegressor path and the single-tree
+    RandomForestRegressor (featureSubsetStrategy) path."""
+    import random
+
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.regression import DecisionTreeRegressor, RandomForestRegressor
+
+    from consumer_loans_analysis_spark.ml.importance import _extract_tree
+    from consumer_loans_analysis_spark.ml.softmax_gbt import _extract_tree_from_save
+
+    rng = random.Random(42)
+    rows = [
+        (
+            rng.uniform(-3, 3),
+            rng.choice(["a", "b", "c", "d", "e"]),
+            rng.uniform(0, 1),
+        )
+        for _ in range(800)
+    ]
+    # label depends on BOTH the numeric and the categorical column so the
+    # fitted tree contains continuous AND categorical splits
+    data = [
+        (x, c, 2.5 * x + {"a": 0, "b": 3, "c": -2, "d": 1, "e": 5}[c] + 0.1 * n, n)
+        for x, c, n in rows
+    ]
+    df = spark.createDataFrame(data, "x double, c string, label double, noise double")
+    idx = StringIndexer(inputCol="c", outputCol="c_idx").fit(df)
+    assembled = VectorAssembler(
+        inputCols=["x", "c_idx", "noise"], outputCol="features"
+    ).transform(idx.transform(df))
+
+    dt = DecisionTreeRegressor(
+        featuresCol="features", labelCol="label", maxDepth=8, seed=1
+    ).fit(assembled)
+    rf = RandomForestRegressor(
+        featuresCol="features", labelCol="label", numTrees=1, bootstrap=False,
+        subsamplingRate=1.0, featureSubsetStrategy="0.9", maxDepth=8, seed=2,
+    ).fit(assembled)
+
+    for mod in (dt, rf.trees[0]):
+        want = _extract_tree(mod._call_java("rootNode"), 0, False)
+        got = _extract_tree_from_save(mod)
+        assert got.keys() == want.keys()
+        for key in want:
+            assert got[key] == want[key], key
+        # sanity: the fixture actually exercised a categorical split
+        assert any(c is not None for c in want["cats"]), "no categorical split in fixture"
