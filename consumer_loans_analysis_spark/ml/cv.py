@@ -41,10 +41,14 @@ def cross_validate(
     label_col: str = "label",
     parallelism: int = 1,
     seed: int = 42,
+    soft_auc_col: str | None = None,
 ) -> list[dict[str, float]]:
     """Per-fold multi-metric CV. ``estimator_factory() -> Estimator`` builds
     a fresh estimator per fold (MLlib estimators are reusable, but a factory
-    keeps the contract obvious). Returns one metric dict per fold."""
+    keeps the contract obvious). Returns one metric dict per fold.
+    ``soft_auc_col`` (e.g. "probability") adds the probability-AUC the
+    reference's screening tables use, when the fold predictions carry that
+    column."""
     folded = add_fold(df, k, seed=seed).cache()
     folded.count()  # materialize once
 
@@ -54,6 +58,10 @@ def cross_validate(
         model = estimator_factory().fit(train)
         pred = model.transform(test)
         m = binary_metrics(pred, label_col=label_col)
+        if soft_auc_col and soft_auc_col in pred.columns:
+            from consumer_loans_analysis_spark.ml.metrics import soft_auc
+
+            m["roc_auc_soft"] = soft_auc(pred, label_col, soft_auc_col)
         m["fold"] = i
         return m
 

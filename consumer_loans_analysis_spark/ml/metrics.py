@@ -83,3 +83,18 @@ def micro_f1_multiclass(pred: DataFrame, label_col: str, pred_col: str) -> float
         F.sum((F.col(label_col) == F.col(pred_col)).cast("long")).alias("correct"),
     ).head()
     return (row["correct"] or 0) / row["n"] if row["n"] else 0.0
+
+
+def soft_auc(pred: DataFrame, label_col: str = "label", prob_col: str = "probability") -> float:
+    """Probability ROC-AUC — the sklearn ``cross_validate('roc_auc')``
+    convention the reference's SCREENING rows use
+    (modeling_validation.ipynb cv tables), unlike its tuned/final rows
+    which score hard 0/1 predictions (``roc_auc_hard`` above). MLlib's
+    BinaryClassificationEvaluator computes it distributed (sort-merge on
+    executors — no driver-side global sort)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    ev = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol=prob_col, metricName="areaUnderROC"
+    )
+    return ev.evaluate(pred)
