@@ -94,6 +94,9 @@ CONFIGS = {
     "emp_d14_i80_lr02_seed7": {
         "maxDepth": 14, "maxIter": 80, "stepSize": 0.2, "seed": 7,
     },
+    "emp_d14_i80_lr02_seed99": {
+        "maxDepth": 14, "maxIter": 80, "stepSize": 0.2, "seed": 99,
+    },
 }
 PREFIXES = [40, 60, 80, 100, 120, 150, 175, 200]
 
