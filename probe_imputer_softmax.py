@@ -39,6 +39,12 @@ CONFIGS = {
     "rf_tpe_emp": {"_family": "rf", "numTrees": 80, "maxDepth": 14, "maxBins": 64, "minInstancesPerNode": 3, "subsamplingRate": 0.82, "featureSubsetStrategy": "0.5", "_target": "EMPLOYEE_NO_NUM"},
     "sgbt_d8_i60_lr02": {"maxDepth": 8, "maxIter": 60, "stepSize": 0.2},
     "sgbt_d7_i100_lr02": {"maxDepth": 7, "maxIter": 100, "stepSize": 0.2},
+    # seed replicates of the 0.5059 ECONOMIC_SECTOR headline (ref 0.500,
+    # margin 0.0059): MLlib's split-binning sampler makes fits
+    # seed-sensitive, so the robustness number is the multi-seed mean
+    # (r6, same protocol as emp_seed_robustness_summary)
+    "sgbt_d7_i100_lr02_seed7": {"maxDepth": 7, "maxIter": 100, "stepSize": 0.2, "seed": 7},
+    "sgbt_d7_i100_lr02_seed99": {"maxDepth": 7, "maxIter": 100, "stepSize": 0.2, "seed": 99},
 }
 
 
