@@ -57,11 +57,17 @@ def cross_validate(
         test = folded.filter(F.col("_fold") == i)
         model = estimator_factory().fit(train)
         pred = model.transform(test)
+        two_passes = soft_auc_col and soft_auc_col in pred.columns
+        if two_passes:
+            # the soft-AUC evaluator is a second action over the scored
+            # frame — cache so the model transform runs once, not twice
+            pred = pred.cache()
         m = binary_metrics(pred, label_col=label_col)
-        if soft_auc_col and soft_auc_col in pred.columns:
+        if two_passes:
             from consumer_loans_analysis_spark.ml.metrics import soft_auc
 
             m["roc_auc_soft"] = soft_auc(pred, label_col, soft_auc_col)
+            pred.unpersist()
         m["fold"] = i
         return m
 

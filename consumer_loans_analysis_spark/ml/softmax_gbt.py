@@ -31,9 +31,10 @@ fits as the dominant (distributed) cost.
 
 Serving: trees are extracted to plain-Python arrays at fit time (via
 MLlib's parquet persistence — ``_extract_tree_from_save``, pinned
-bit-equal to ``ml.importance._extract_tree``'s py4j walk, ~60× faster
-on deep trees) with Newton gammas baked into the leaf values, so the
-fitted model is library-free: one Arrow-batched pandas UDF accumulates
+bit-equal to ``ml.importance._extract_tree``'s py4j walk; 62× faster
+extraction on deep trees) with Newton gammas baked into the leaf
+values, so the fitted model is library-free: one Arrow-batched pandas
+UDF accumulates
 ``F_k = log π_k + η Σ_m γ_mk(x)`` and argmaxes.
 Persistence is a JSON Param (DefaultParamsWritable) — no MLlib model
 objects to round-trip.
@@ -55,16 +56,14 @@ from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from consumer_loans_analysis_spark.ml.importance import _extract_tree
-
-
 def _extract_tree_from_save(model) -> dict:
-    """Same output as ``_extract_tree(model._call_java("rootNode"), 0,
-    False)`` — pinned bit-equal in tests — but via MLlib's parquet
-    persistence: ONE save job plus one driver-local pyarrow read, instead
-    of ~10 py4j round-trips per node. The py4j walk costs ~3 ms/node
-    (profiled: 131 s for a 45k-node round at depth 14 — the dominant fit
-    cost); this path is bulk data transfer, ~30× faster on deep trees.
+    """Same output as ``ml.importance._extract_tree(model._call_java(
+    "rootNode"), 0, False)`` — pinned bit-equal in tests — but via MLlib's
+    parquet persistence: ONE save job plus one driver-local pyarrow read,
+    instead of ~10 py4j round-trips per node. The py4j walk costs
+    ~3 ms/node (profiled: 131.4 s for a 45,690-node round at depth 14 —
+    the dominant fit cost); this path replays the same round in 2.1 s
+    (62× on extraction; ~9× on the whole fit, 347 s → 38 s over 3 rounds).
 
     MLlib's NodeData ids are assigned preorder (id, left subtree, right
     subtree — ``DecisionTreeModelReadWrite.NodeData.build``), exactly the

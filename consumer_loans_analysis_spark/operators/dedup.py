@@ -638,6 +638,19 @@ def bloom_build(
     return m_bits, n_hashes, words
 
 
+def bloom_probe_split(
+    batch: DataFrame, fingerprints: DataFrame, fp_col: str = "fp",
+    expected_items: int | None = None, fpp: float = 0.01,
+) -> tuple[DataFrame, DataFrame]:
+    """The two branches of the Bloom-gated incremental dedup, exposed
+    separately: ``(definite_new, verified_new)``. ``definite_new`` (Bloom
+    says certainly-unseen) is exchange- and join-free by construction —
+    the plan-shape suite pins that; ``verified_new`` routes the
+    Bloom-positive sliver through the exact anti-join. Most callers want
+    ``bloom_incremental_dedupe`` (their union)."""
+    return _bloom_probe_split(batch, fingerprints, fp_col, expected_items, fpp)
+
+
 def bloom_incremental_dedupe(
     batch: DataFrame, fingerprints: DataFrame, fp_col: str = "fp",
     expected_items: int | None = None, fpp: float = 0.01,
@@ -656,6 +669,16 @@ def bloom_incremental_dedupe(
     itself is one aggregation action either way — amortized state, like
     d8's materialized fingerprint table.
     """
+    definite_new, verified_new = _bloom_probe_split(
+        batch, fingerprints, fp_col, expected_items, fpp
+    )
+    return definite_new.unionByName(verified_new)
+
+
+def _bloom_probe_split(
+    batch: DataFrame, fingerprints: DataFrame, fp_col: str,
+    expected_items: int | None, fpp: float,
+) -> tuple[DataFrame, DataFrame]:
     import pandas as pd
 
     if expected_items is None:
@@ -690,8 +713,4 @@ def bloom_incremental_dedupe(
         .drop("_maybe")
         .join(fingerprints.select(fp_col).distinct(), fp_col, "left_anti")
     )
-    # exposed for the plan-shape suite: the definite_new branch must stay
-    # exchange- and join-free (the whole point of the Bloom gate)
-    out = definite_new.unionByName(verified_new)
-    out._bloom_branches = (definite_new, verified_new)  # type: ignore[attr-defined]
-    return out
+    return definite_new, verified_new

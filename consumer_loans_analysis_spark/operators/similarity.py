@@ -263,16 +263,16 @@ def ivf_topk(
         n_lists = max(2, int(math.sqrt(corpus.count())))
 
     def unit(vec: Column) -> Column:
-        # coalesce: a zero-norm vector would otherwise yield null elements
-        # and crash array_to_vector/KMeans.fit opaquely; map to the zero
-        # vector (its cosine to anything is null → filtered downstream)
-        return F.transform(
-            vec,
-            lambda x: F.coalesce(
-                F.try_divide(x.cast("double"), _norm(vec)), F.lit(0.0)
-            ),
-        )
+        return F.transform(vec, lambda x: F.try_divide(x.cast("double"), _norm(vec)))
 
+    # zero-norm vectors have no direction: their cosine to anything is
+    # undefined, so they can neither be ranked nor rank others — exclude
+    # them up front (also keeps null unit-elements out of KMeans.fit,
+    # which would otherwise crash opaquely). Test corpora contain none,
+    # so the SQL oracles (where a zero-norm row would surface as a
+    # NULL-cos candidate sorted last) are unaffected.
+    corpus = corpus.filter(_norm(F.col(vec_col)) > 0)
+    queries = queries.filter(_norm(F.col(vec_col)) > 0)
     c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -503,16 +503,14 @@ def pq_topk(
     from pyspark.ml.functions import array_to_vector
 
     def unit(vec: Column) -> Column:
-        # coalesce: a zero-norm vector would otherwise yield null elements
-        # and crash array_to_vector/KMeans.fit opaquely; map to the zero
-        # vector (its cosine to anything is null → filtered downstream)
-        return F.transform(
-            vec,
-            lambda x: F.coalesce(
-                F.try_divide(x.cast("double"), _norm(vec)), F.lit(0.0)
-            ),
-        )
+        return F.transform(vec, lambda x: F.try_divide(x.cast("double"), _norm(vec)))
 
+    # zero-norm vectors have no direction — not rankable by cosine, and
+    # their null unit-elements would crash the subspace KMeans fits;
+    # exclude both sides up front (same contract as ivf_topk; test
+    # corpora contain none, so the exact-twin oracle is unaffected)
+    corpus = corpus.filter(_norm(F.col(vec_col)) > 0)
+    queries = queries.filter(_norm(F.col(vec_col)) > 0)
     c_unit = corpus.select(
         F.col(id_col).alias("neighbor_id"), unit(F.col(vec_col)).alias("v")
     ).localCheckpoint(eager=True)  # reused by train + encode + re-rank

@@ -435,6 +435,19 @@ DEFAULT_BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def _require_unique_merge_outputs(merges: list[tuple[str, str]], fn: str) -> None:
+    """Two merges with the same output string break the len(merges)-round
+    convergence argument (a later merge can recreate a symbol adjacent to a
+    previously-retired pair, silently under-merging) — both BPE encode
+    paths reject such tables so they can never silently diverge."""
+    outs = [left + right for left, right in merges]
+    if len(set(outs)) != len(outs):
+        raise ValueError(
+            f"{fn} requires unique merge outputs; duplicate outputs: "
+            f"{sorted({o for o in outs if outs.count(o) > 1})}"
+        )
+
+
 def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
     """Token-id vocabulary induced by a merge table: ids 0-25 for a-z,
     then one id per merge output in rank order. Unknown symbols map to -1
@@ -495,15 +508,7 @@ def bpe_encode(
     """
     if merges is None:
         merges = DEFAULT_BPE_MERGES
-    outs = [left + right for left, right in merges]
-    if len(set(outs)) != len(outs):
-        # two merges with the same output string break the len(merges)-round
-        # convergence argument: a later merge can recreate a symbol adjacent
-        # to a previously-retired pair, silently under-merging
-        raise ValueError(
-            "bpe_encode requires unique merge outputs; duplicate outputs: "
-            f"{sorted({o for o in outs if outs.count(o) > 1})}"
-        )
+    _require_unique_merge_outputs(merges, "bpe_encode")
     sep = "\x01"
     vocab = bpe_vocab(merges)
 
@@ -591,16 +596,11 @@ def bpe_encode_broadcast(
 
     if merges is None:
         merges = DEFAULT_BPE_MERGES
-    outs = [left + right for left, right in merges]
-    if len(set(outs)) != len(outs):
-        # the rank-based merge here would actually tolerate duplicate
-        # outputs, but this path is documented same-semantics with
-        # bpe_encode (and pytest-pinned equal on shared tables) — accept
-        # the same input domain so the two can never silently diverge
-        raise ValueError(
-            "bpe_encode_broadcast requires unique merge outputs; duplicate "
-            f"outputs: {sorted({o for o in outs if outs.count(o) > 1})}"
-        )
+    # the rank-based merge here would actually tolerate duplicate outputs,
+    # but this path is documented same-semantics with bpe_encode (and
+    # pytest-pinned equal on shared tables) — accept the same input domain
+    # so the two can never silently diverge
+    _require_unique_merge_outputs(merges, "bpe_encode_broadcast")
     ranks = {pair: r for r, pair in enumerate(merges)}
     vocab = bpe_vocab(merges)
     pat = pretoken_pattern

@@ -153,7 +153,7 @@ def test_bloom_fast_path_is_exchange_and_join_free(spark, sf_dir):
     group = "bloom_build_probe"
     sc.setJobGroup(group, "bloom construction job count")
     try:
-        out = dedup.bloom_incremental_dedupe(
+        definite_new, verified_new = dedup.bloom_probe_split(
             batch, history, expected_items=1000, fpp=0.01
         )
         jobs_explicit = sc.statusTracker().getJobIdsForGroup(group)
@@ -175,7 +175,6 @@ def test_bloom_fast_path_is_exchange_and_join_free(spark, sf_dir):
         f"{len(jobs_none)} vs {len(jobs_explicit)}"
     )
 
-    definite_new, verified_new = out._bloom_branches
     fast = _plan(definite_new)
     assert "Exchange" not in fast, fast
     assert "Join" not in fast, fast
