@@ -520,13 +520,22 @@ def pq_topk(
     if dim % m_subs != 0:
         raise ValueError(f"m_subs={m_subs} must divide dim={dim}")
     dsub = dim // m_subs
-    codebooks = []
-    for s in range(m_subs):
+    # the m_subs codebook fits are independent MLlib training actions over
+    # slices of the SAME checkpointed frame — run them thread-parallel
+    # (Spark schedules the jobs concurrently; each result is deterministic
+    # under its own seed, so parallelism does not change the codebooks).
+    # Sequentially these dominated pq_topk wall time (16 fits back-to-back).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fit_subspace(s: int):
         sub = c_unit.select(
             array_to_vector(F.slice("v", s * dsub + 1, dsub)).alias("features")
         )
         km = KMeans(k=ks, seed=seed + s, featuresCol="features").fit(sub)
-        codebooks.append(np.asarray(km.clusterCenters(), dtype=np.float64))
+        return np.asarray(km.clusterCenters(), dtype=np.float64)
+
+    with ThreadPoolExecutor(min(m_subs, 8)) as pool:
+        codebooks = list(pool.map(fit_subspace, range(m_subs)))
     cb = np.stack(codebooks)  # (m_subs, ks, dsub)
 
     # --- encode: vec → m_subs argmin codes, one Arrow pass ---------------
