@@ -34,6 +34,34 @@ def add_fold(df: DataFrame, k: int, cols: list[str] | None = None, seed: int = 4
     )
 
 
+def pin_layout(df: DataFrame, parts: int = 8, seed: int = 7,
+               cols: list[str] | None = None) -> DataFrame:
+    """Deterministic partition layout: hash-partition AND sort rows by a
+    content hash so every run sees identical (partition, order) placement
+    regardless of how the input happened to be laid out.
+
+    Why it exists: MLlib tree fits draw their split-binning / subsampling
+    samples per-partition with partition-id-seeded RNGs, so the SAME
+    seed + params can produce different trees if the input layout differs
+    between runs (observed: same-config EMPLOYEE_NO imputer refits at
+    0.471 vs 0.4802 — COVERAGE.md r6 notes). Pinning the layout before
+    ``fit`` makes every quality number replayable. Columns used for the
+    hash default to all columns; pass ``cols`` when some columns are
+    non-deterministic (e.g. generated ids).
+
+    Scale: one hash exchange + in-partition sort — the same cost class as
+    the shuffle any fit-side repartition would pay; at cluster scale this
+    is how you'd pin a training frame too."""
+    cols = cols or df.columns
+    h = F.hash(*[F.col(c) for c in cols], F.lit(seed))
+    return (
+        df.withColumn("_pin", h)
+        .repartition(parts, F.col("_pin"))
+        .sortWithinPartitions("_pin")
+        .drop("_pin")
+    )
+
+
 def cross_validate(
     estimator_factory,
     df: DataFrame,
@@ -66,6 +94,11 @@ def cross_validate(
         if two_passes:
             from consumer_loans_analysis_spark.ml.metrics import soft_auc
 
+            # soft_auc runs its actions EAGERLY (returns a float), so by
+            # the time we unpersist here both consumers of `pred` have
+            # executed. If soft_auc is ever refactored to return something
+            # lazy, this unpersist must move after its evaluation or the
+            # model transform silently re-runs.
             m["roc_auc_soft"] = soft_auc(pred, label_col, soft_auc_col)
             pred.unpersist()
         m["fold"] = i

@@ -92,6 +92,20 @@ def _extract_tree_from_save(model) -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # The driver-local glob is only complete when executors share the
+    # driver's filesystem (local mode / shared NFS). On a cluster with
+    # executor-local disks the parts would be missing or partial and the
+    # tree silently truncated — fail loudly instead; the fix there is to
+    # save to a shared path (DFS) or read back via spark.read.parquet.
+    ids = sorted(r["id"] for r in rows)
+    if not rows or ids != list(range(len(rows))):
+        raise RuntimeError(
+            "tree extraction read an incomplete NodeData set "
+            f"({len(rows)} rows, id range {ids[:1]}..{ids[-1:]}): the model "
+            "save path is not visible to the driver in full — use a "
+            "shared filesystem or a spark.read.parquet readback"
+        )
+
     n = len(rows)
     feat = [-1] * n
     thr = [0.0] * n

@@ -66,7 +66,13 @@ def _widen_small_scan(df: DataFrame) -> DataFrame:
     suite asserts the action-free contract). Non-file sources (inline or
     upstream-repartitioned frames) report no input files and fall back to
     the partition-count probe — zero jobs, just planning cost — so an
-    already-wide in-memory frame is not shuffled again.
+    already-wide in-memory frame is not shuffled again. Caveat on that
+    fallback: ``df.rdd.getNumPartitions()`` pays exactly the non-AQE
+    physical-planning + RDD-bridge cost the file path avoids, and it
+    reports the PRE-AQE layout (AQE may coalesce differently at execution
+    time), so the widening decision can be conservative. Acceptable
+    because it only fires for non-file frames, where a spurious
+    repartition costs one extra narrow exchange, not a re-scan.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism

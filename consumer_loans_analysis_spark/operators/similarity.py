@@ -250,6 +250,11 @@ def ivf_topk(
     Spherical variant: vectors are L2-normalized before clustering and
     probing, so euclidean-nearest-list == cosine-nearest-list (plain L2
     IVF misroutes cosine queries when vector norms vary).
+
+    Zero-norm contract: rows whose vector has zero L2 norm are EXCLUDED
+    from both corpus and queries (cosine is undefined for them), so the
+    output may contain fewer distinct ``query_id``s than the input — a
+    zero-norm query produces no rows rather than null-cosine rows.
     """
     import math
 
@@ -497,6 +502,10 @@ def pq_topk(
 
     Output matches sim1/sim3: (query_id, neighbor_id, cos, rank) with the
     exact cosine for surviving candidates.
+
+    Zero-norm contract (same as ``ivf_topk``): zero-norm rows are EXCLUDED
+    from both corpus and queries, so a zero-norm query yields no output
+    rows — callers may see fewer distinct ``query_id``s than input queries.
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans

@@ -934,3 +934,81 @@ def test_extract_tree_from_save_bit_equal_to_py4j_walk(spark):
             assert got[key] == want[key], key
         # sanity: the fixture actually exercised a categorical split
         assert any(c is not None for c in want["cats"]), "no categorical split in fixture"
+
+
+def test_rff_kernel_approximation_and_persistence(spark, tmp_path):
+    """z(x)ᵀz(y) must approximate exp(−γ‖x−y‖²) (Rahimi–Recht) — checked
+    pairwise on a small random set at D=4096 where the O(1/√D) error is
+    well under 0.05 — plus determinism (same seed ⇒ identical output) and
+    a save/load round-trip through the JSON-Param persistence."""
+    import random
+
+    import numpy as np
+
+    from consumer_loans_analysis_spark.ml.rff import RandomFourierFeatures
+
+    rng = random.Random(7)
+    pts = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(12)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(pts)],
+                               "id long, features array<double>")
+
+    gamma = 0.5
+    est = RandomFourierFeatures(nComponents=4096, gamma=gamma, seed=3)
+    model = est.fit(df)
+    assert abs(model.gamma - gamma) < 1e-12
+
+    from pyspark.ml.functions import vector_to_array
+
+    out = {
+        r["id"]: np.asarray(r["z"])
+        for r in model.transform(df).select(
+            "id", vector_to_array("rff_features").alias("z")
+        ).collect()
+    }
+    X = np.asarray(pts)
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            want = np.exp(-gamma * np.sum((X[i] - X[j]) ** 2))
+            got = float(out[i] @ out[j])
+            assert abs(got - want) < 0.05, (i, j, got, want)
+
+    # determinism: a fresh fit with the same seed produces the same map
+    out2 = {
+        r["id"]: np.asarray(r["z"])
+        for r in est.fit(df).transform(df).select(
+            "id", vector_to_array("rff_features").alias("z")
+        ).collect()
+    }
+    assert all(np.array_equal(out[i], out2[i]) for i in out)
+
+    # persistence round-trip
+    path = str(tmp_path / "rff_model")
+    model.write().overwrite().save(path)
+    from consumer_loans_analysis_spark.ml.rff import RandomFourierFeaturesModel
+
+    loaded = RandomFourierFeaturesModel.load(path)
+    out3 = {
+        r["id"]: np.asarray(r["z"])
+        for r in loaded.transform(df).select(
+            "id", vector_to_array("rff_features").alias("z")
+        ).collect()
+    }
+    assert all(np.array_equal(out[i], out3[i]) for i in out)
+
+
+def test_rff_gamma_scale_matches_sklearn_convention(spark):
+    """gamma=0.0 resolves to 1/(d·Var[X]) with the variance over ALL
+    matrix entries — sklearn's gamma='scale'. Checked against a direct
+    numpy computation."""
+    import numpy as np
+
+    from consumer_loans_analysis_spark.ml.rff import RandomFourierFeatures
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(2.0, 3.0, size=(40, 5))
+    df = spark.createDataFrame(
+        [(v.tolist(),) for v in X], "features array<double>"
+    )
+    model = RandomFourierFeatures(nComponents=8, gamma=0.0, seed=1).fit(df)
+    want = 1.0 / (X.shape[1] * X.var())
+    assert abs(model.gamma - want) / want < 1e-9
