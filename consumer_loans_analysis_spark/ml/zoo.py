@@ -13,7 +13,8 @@ front per SURVEY §2.8 M1):
 | SVC (linear) / LinearSVC | LinearSVC                            |
 | GaussianNB             | NaiveBayes(modelType='gaussian')       |
 | MLP                    | MultilayerPerceptronClassifier         |
-| KNN / AdaBoost / rbf-SVC | no MLlib equivalent — documented gap |
+| rbf-SVC                | RandomFourierFeatures → LinearSVC (ml/rff.py — Rahimi–Recht kernel approx; closes the r≤6 LinearSVC-only gap) |
+| KNN / AdaBoost         | no MLlib equivalent — documented gap   |
 | DummyClassifier        | UniformRandomClassifier (M2, below)    |
 
 The final shipped model is GaussianNB (BASELINE.md), which MLlib has.

@@ -64,16 +64,17 @@ def main() -> None:
     results = {}
     best = None  # (cv_f1, D, reg)
     gamma_used = None
+    # fold on the ORIGINAL features so every (D, reg) cell shares the
+    # identical split — comparisons across D stay apples-to-apples
+    folded = add_fold(ftr, K).localCheckpoint(eager=True)
     for D in D_GRID:
         rff_model = RandomFourierFeatures(
             inputCol="features", outputCol="z", nComponents=D, gamma=0.0, seed=42
         ).fit(ftr)
         gamma_used = rff_model.gamma
-        z = add_fold(
-            rff_model.transform(ftr).select("label", F.col("z").alias("features2")),
-            K,
-            cols=["label", "features2"],
-        ).withColumnRenamed("features2", "z").localCheckpoint(eager=True)
+        z = rff_model.transform(folded).select(
+            "label", "z", "_fold"
+        ).localCheckpoint(eager=True)
         for reg in REG_GRID:
             f1s, aucs = [], []
             for i in range(K):

@@ -1012,3 +1012,31 @@ def test_rff_gamma_scale_matches_sklearn_convention(spark):
     model = RandomFourierFeatures(nComponents=8, gamma=0.0, seed=1).fit(df)
     want = 1.0 / (X.shape[1] * X.var())
     assert abs(model.gamma - want) / want < 1e-9
+
+
+def test_pin_layout_is_layout_invariant(spark):
+    """pin_layout must place identical rows in identical (partition, order)
+    slots regardless of the input frame's incoming layout — the property
+    that makes seeded MLlib fits replayable (VERDICT r06 task 5)."""
+    from consumer_loans_analysis_spark.ml.cv import pin_layout
+
+    rows = [(i, f"v{i % 7}", float(i) * 0.5) for i in range(500)]
+    df1 = spark.createDataFrame(rows, "id long, s string, x double").repartition(3)
+    df2 = (
+        spark.createDataFrame(list(reversed(rows)), "id long, s string, x double")
+        .repartition(11, "s")
+    )
+
+    def layout(df):
+        return (
+            pin_layout(df, parts=4)
+            .rdd.mapPartitionsWithIndex(
+                lambda pid, it: [(pid, [tuple(r) for r in it])]
+            )
+            .collect()
+        )
+
+    l1 = dict(layout(df1))
+    l2 = dict(layout(df2))
+    assert l1 == l2
+    assert sum(len(v) for v in l1.values()) == 500
