@@ -68,6 +68,10 @@ def model_zoo(seed: int = 42, mlp_layers: list[int] | None = None) -> dict[str, 
         # in-engine K-class boosting (ml/softmax_gbt.py) — the XGB-family
         # stand-in; tuned config from TUNING.json sgbt_binary_wave2
         "gbt_softmax": lambda: _softmax_gbt(seed),
+        # rbf-SVC stand-in: Rahimi–Recht random Fourier features feeding a
+        # linear SVM (ml/rff.py) — approximates sklearn SVC(kernel='rbf',
+        # gamma='scale'), the one reference family MLlib lacks natively
+        "rbf_svc_rff": lambda: _rbf_svc_rff(seed),
         "dummy_uniform": lambda: UniformRandomClassifier(seed=seed),
     }
 
@@ -77,6 +81,18 @@ def _gaussian_nb_smoothed():
 
     # reference-tuned smoothing (TUNING.json nb_smoothing_sweep)
     return GaussianNBClassifier(varSmoothing=9.027e-05)
+
+
+def _rbf_svc_rff(seed: int):
+    from pyspark.ml import Pipeline
+
+    from consumer_loans_analysis_spark.ml.rff import RandomFourierFeatures
+
+    return Pipeline(stages=[
+        RandomFourierFeatures(inputCol="features", outputCol="_rff_z",
+                              nComponents=1000, gamma=0.0, seed=seed),
+        LinearSVC(featuresCol="_rff_z"),
+    ])
 
 
 def _softmax_gbt(seed: int):

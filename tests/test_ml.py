@@ -1040,3 +1040,15 @@ def test_pin_layout_is_layout_invariant(spark):
     l2 = dict(layout(df2))
     assert l1 == l2
     assert sum(len(v) for v in l1.values()) == 500
+
+
+def test_rbf_svc_rff_zoo_entry_learns_toy(spark, toy):
+    """The rbf-SVC stand-in (RFF → LinearSVC pipeline) must fit/transform
+    through the standard zoo contract and beat chance comfortably on the
+    linearly separable toy set (an rbf approximation subsumes linear)."""
+    from consumer_loans_analysis_spark.ml.metrics import binary_metrics
+    from consumer_loans_analysis_spark.ml.zoo import model_zoo
+
+    model = model_zoo()["rbf_svc_rff"]().fit(toy)
+    m = binary_metrics(model.transform(toy))
+    assert m["micro_f1"] > 0.85, m
