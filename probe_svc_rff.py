@@ -22,6 +22,7 @@ TUNING.json.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from pyspark.ml import Pipeline as MLPipeline
@@ -39,10 +40,14 @@ from consumer_loans_analysis_spark.session import get_spark
 from consumer_loans_analysis_spark.sources.readers import read_loans_csv
 
 K = 4
-D_GRID = [1000, 2000]
 # sklearn C=1 maps to regParam ≈ 1/(C·n) in MLlib's (λ/2)‖w‖² + mean-hinge
-# objective; bracket it with two heavier-regularization points
-REG_GRID = [6.6e-5, 1e-3, 1e-2]
+# objective; bracket it with heavier-regularization points. Wave 1
+# (D ∈ {1000, 2000} × reg ∈ {6.6e-5, 1e-3, 1e-2}) CV-selected its grid
+# EDGE (D=2000, reg=0.01, serving 0.8624/0.7034), so the grids are
+# env-overridable for follow-up waves past the edge:
+#   SVC_RFF_D_GRID=2000,4000 SVC_RFF_REG_GRID=0.01,0.03,0.1
+D_GRID = [int(x) for x in os.environ.get("SVC_RFF_D_GRID", "1000,2000").split(",")]
+REG_GRID = [float(x) for x in os.environ.get("SVC_RFF_REG_GRID", "6.6e-5,1e-3,1e-2").split(",")]
 
 
 def main() -> None:
