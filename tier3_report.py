@@ -59,10 +59,11 @@ def main() -> None:
     featured = feat.transform(proc.transform(train)).localCheckpoint()
     feature_cols = [c for c in featured.columns if c != "FINALIZED_LOAN"]
 
-    def head_for(clf):
+    def head_for(clf, pre=None):
         return MLPipeline(
             stages=[
                 VectorAssembler(inputCols=feature_cols, outputCol="features"),
+                *(pre or []),
                 clf,
             ]
         ).fit(featured)
@@ -107,6 +108,23 @@ def main() -> None:
         k: round(v, 4) for k, v in serve_metrics(svc_head).items()
     }
     print("svc_serving", results["svc_serving"], flush=True)
+
+    # r7: the rbf-SVC substitution row proper — RFF (sklearn gamma='scale')
+    # → LinearSVC at the CV-selected point from probe_svc_rff.py
+    # (TUNING.json svc_rff_serving: D=2000, regParam=0.01, selected over
+    # two waves of 4-fold CV on train only)
+    from consumer_loans_analysis_spark.ml.rff import RandomFourierFeatures
+
+    rff_svc_head = head_for(
+        LinearSVC(featuresCol="_rff_z", labelCol="FINALIZED_LOAN",
+                  regParam=0.01, maxIter=100),
+        pre=[RandomFourierFeatures(inputCol="features", outputCol="_rff_z",
+                                   nComponents=2000, gamma=0.0, seed=42)],
+    )
+    results["svc_rff_serving"] = {
+        k: round(v, 4) for k, v in serve_metrics(rff_svc_head).items()
+    }
+    print("svc_rff_serving", results["svc_rff_serving"], flush=True)
 
     # --- screening rows: 6-fold CV on train, default hyperparameters ------
     ftr = assemble_features(featured).cache()
