@@ -71,13 +71,45 @@ class ModelImputerModel(Model, MLWritable, MLReadable):
         target = self.spec["target"]
         labels = self.spec["labels"]
         feature_cols = self.spec["featureCols"]
+        bag = int(self.spec.get("bagSize", 1))
         # predict over the full frame; missing feature values can't occur
         # (features are the already-processed numeric columns)
         pred = self.inner.transform(df.select(*df.columns))
-        label_expr = F.element_at(
-            F.array(*[F.lit(l) for l in labels]),
-            F.col("_mi_prediction").cast("int") + 1,
-        )
+        lab_arr = F.array(*[F.lit(l) for l in labels])
+        if bag > 1:
+            # seed-bagged soft vote: average the members' per-class
+            # probability arrays row-wise, argmax (first max on ties —
+            # deterministic) → label. This is the variance reduction that
+            # lifted EMPLOYEE_NO past the reference bar (IMPUTER_TUNING.json
+            # emp_soft_avg: 5-seed soft avg 0.4834 vs single-seed band
+            # 0.4753 ± 0.0044); map-only at transform time, like the
+            # single-member path.
+            from functools import reduce as _reduce
+
+            if self.spec.get("family") == "gbt_softmax":
+                member_scores = [F.col(f"_mi_scores_{i}") for i in range(bag)]
+            else:
+                from pyspark.ml.functions import vector_to_array
+
+                member_scores = [
+                    vector_to_array(F.col(f"_mi_prob_{i}")) for i in range(bag)
+                ]
+            ssum = _reduce(
+                lambda a, b: F.zip_with(a, b, lambda x, y: x + y), member_scores
+            )
+            label_expr = F.element_at(
+                lab_arr, F.array_position(ssum, F.array_max(ssum)).cast("int")
+            )
+            member_cols = [
+                f"_mi_{kind}_{i}"
+                for i in range(bag)
+                for kind in ("prediction", "scores", "raw", "prob")
+            ]
+        else:
+            label_expr = F.element_at(
+                lab_arr, F.col("_mi_prediction").cast("int") + 1
+            )
+            member_cols = []
         if self.spec["numericTarget"]:
             label_expr = label_expr.cast("double")
         out = pred.withColumn(
@@ -88,7 +120,7 @@ class ModelImputerModel(Model, MLWritable, MLReadable):
         )
         return out.drop(
             "_mi_features", "_mi_scaled", "_mi_prediction", "_mi_raw",
-            "_mi_prob", "rawPrediction", "probability",
+            "_mi_prob", "rawPrediction", "probability", *member_cols,
         )
 
     # --- persistence ---------------------------------------------------------
@@ -144,6 +176,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
     regLambda = Param(Params._dummy(), "regLambda", "gbt_softmax L2 leaf regularization", TypeConverters.toFloat)
     dropoutRate = Param(Params._dummy(), "dropoutRate", "gbt_softmax DART per-tree dropout rate (0 = plain boosting)", TypeConverters.toFloat)
     hiddenLayers = Param(Params._dummy(), "hiddenLayers", "JSON [width] for mlp", TypeConverters.toString)
+    seedBag = Param(Params._dummy(), "seedBag", "members in the seed-bagged soft vote (1 = single model)", TypeConverters.toInt)
 
     @keyword_only
     def __init__(self, targetCol: str = "", sentinel: str | None = "Missing",
@@ -155,7 +188,8 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                  elasticNetParam: float = 0.0, maxIter: int = 100,
                  stepSize: float = 0.1, regLambda: float = 0.0,
                  dropoutRate: float = 0.0,
-                 hiddenLayers: list[int] | None = None):
+                 hiddenLayers: list[int] | None = None,
+                 seedBag: int = 1):
         super().__init__()
         self._set(targetCol=targetCol, sentinel=sentinel if sentinel is not None else "",
                   numTrees=numTrees, maxDepth=maxDepth, maxBins=maxBins,
@@ -165,7 +199,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                   classifierFamily=classifierFamily, regParam=regParam,
                   elasticNetParam=elasticNetParam, maxIter=maxIter,
                   stepSize=stepSize, regLambda=regLambda,
-                  dropoutRate=dropoutRate)
+                  dropoutRate=dropoutRate, seedBag=seedBag)
         self._set_json(self.excludePrefixes, excludePrefixes or [])
         self._set_json(self.hiddenLayers, hiddenLayers or [64])
 
@@ -184,100 +218,114 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
         train = df.filter(cond).withColumn("_mi_label_src", F.col(target).cast("string"))
 
         family = self.getOrDefault(self.classifierFamily)
-        common = dict(
-            featuresCol="_mi_features", labelCol="_mi_label",
-            predictionCol="_mi_prediction", rawPredictionCol="_mi_raw",
-            probabilityCol="_mi_prob",
+        n_classes = (
+            train.select("_mi_label_src").distinct().count()
+            if family == "mlp"
+            else None
         )
-        if family == "rf":
-            clf = RandomForestClassifier(
-                numTrees=self.getOrDefault(self.numTrees),
-                maxDepth=self.getOrDefault(self.maxDepth),
-                maxBins=self.getOrDefault(self.maxBins),
-                minInstancesPerNode=self.getOrDefault(self.minInstancesPerNode),
-                subsamplingRate=self.getOrDefault(self.subsamplingRate),
-                featureSubsetStrategy=self.getOrDefault(self.featureSubsetStrategy),
-                seed=self.getOrDefault(self.seed),
-                **common,
+
+        def build_clf(seed_val: int, idx: int | None):
+            # idx None = the single-model path (standard column names);
+            # idx i = seed-bag member i (suffixed columns so members'
+            # transforms chain on one frame without collisions)
+            sfx = "" if idx is None else f"_{idx}"
+            common = dict(
+                featuresCol="_mi_features", labelCol="_mi_label",
+                predictionCol=f"_mi_prediction{sfx}",
+                rawPredictionCol=f"_mi_raw{sfx}",
+                probabilityCol=f"_mi_prob{sfx}",
             )
-        elif family == "lr":
-            clf = LogisticRegression(
-                regParam=self.getOrDefault(self.regParam),
-                elasticNetParam=self.getOrDefault(self.elasticNetParam),
-                maxIter=self.getOrDefault(self.maxIter),
-                family="multinomial",
-                **common,
-            )
-        elif family == "mlp":
-            n_classes = train.select("_mi_label_src").distinct().count()
-            layers = [len(feature_cols), *self._get_json(self.hiddenLayers), n_classes]
-            clf = MultilayerPerceptronClassifier(
-                layers=layers,
-                maxIter=self.getOrDefault(self.maxIter),
-                seed=self.getOrDefault(self.seed),
-                **{**common, "featuresCol": "_mi_scaled"},
-            )
-        elif family == "gbt_ovr":
-            # the reference's imputer is boosted trees (XGBClassifier,
-            # eda_processing.ipynb:2423-2480). MLlib GBT is binary-only, so
-            # the multiclass target trains one-vs-rest: k parallel binary
-            # GBTs, argmax of margins at predict time.
-            clf = OneVsRest(
-                classifier=GBTClassifier(
+            if family == "rf":
+                return RandomForestClassifier(
+                    numTrees=self.getOrDefault(self.numTrees),
                     maxDepth=self.getOrDefault(self.maxDepth),
                     maxBins=self.getOrDefault(self.maxBins),
-                    maxIter=self.getOrDefault(self.maxIter),
-                    stepSize=self.getOrDefault(self.stepSize),
-                    subsamplingRate=self.getOrDefault(self.subsamplingRate),
                     minInstancesPerNode=self.getOrDefault(self.minInstancesPerNode),
-                    seed=self.getOrDefault(self.seed),
+                    subsamplingRate=self.getOrDefault(self.subsamplingRate),
+                    featureSubsetStrategy=self.getOrDefault(self.featureSubsetStrategy),
+                    seed=seed_val,
+                    **common,
+                )
+            elif family == "lr":
+                return LogisticRegression(
+                    regParam=self.getOrDefault(self.regParam),
+                    elasticNetParam=self.getOrDefault(self.elasticNetParam),
+                    maxIter=self.getOrDefault(self.maxIter),
+                    family="multinomial",
+                    **common,
+                )
+            elif family == "mlp":
+                layers = [len(feature_cols), *self._get_json(self.hiddenLayers), n_classes]
+                return MultilayerPerceptronClassifier(
+                    layers=layers,
+                    maxIter=self.getOrDefault(self.maxIter),
+                    seed=seed_val,
+                    **{**common, "featuresCol": "_mi_scaled"},
+                )
+            elif family == "gbt_ovr":
+                # the reference's imputer is boosted trees (XGBClassifier,
+                # eda_processing.ipynb:2423-2480). MLlib GBT is binary-only, so
+                # the multiclass target trains one-vs-rest: k parallel binary
+                # GBTs, argmax of margins at predict time.
+                return OneVsRest(
+                    classifier=GBTClassifier(
+                        maxDepth=self.getOrDefault(self.maxDepth),
+                        maxBins=self.getOrDefault(self.maxBins),
+                        maxIter=self.getOrDefault(self.maxIter),
+                        stepSize=self.getOrDefault(self.stepSize),
+                        subsamplingRate=self.getOrDefault(self.subsamplingRate),
+                        minInstancesPerNode=self.getOrDefault(self.minInstancesPerNode),
+                        seed=seed_val,
+                        featuresCol="_mi_features",
+                        labelCol="_mi_label",
+                    ),
                     featuresCol="_mi_features",
                     labelCol="_mi_label",
-                ),
-                featuresCol="_mi_features",
-                labelCol="_mi_label",
-                predictionCol="_mi_prediction",
-                # rawPredictionCol stays at its default: PySpark 4.1's
-                # OneVsRestModel.transform mis-resolves custom (and empty)
-                # raw-prediction names; the default "rawPrediction" column
-                # is dropped in ModelImputerModel._transform instead
-                parallelism=8,
-            )
-        elif family == "gbt_softmax":
-            # TRUE multiclass boosting (the reference's XGB shape): K
-            # residual regression trees per round over ONE shared cached
-            # frame — not the rejected K×-cost one-vs-rest design. See
-            # ml/softmax_gbt.py for the algorithm and 100 TB shape.
-            from consumer_loans_analysis_spark.ml.softmax_gbt import (
-                SoftmaxGBTClassifier,
-            )
+                    predictionCol="_mi_prediction",
+                    # rawPredictionCol stays at its default: PySpark 4.1's
+                    # OneVsRestModel.transform mis-resolves custom (and empty)
+                    # raw-prediction names; the default "rawPrediction" column
+                    # is dropped in ModelImputerModel._transform instead
+                    parallelism=8,
+                )
+            elif family == "gbt_softmax":
+                # TRUE multiclass boosting (the reference's XGB shape): K
+                # residual regression trees per round over ONE shared cached
+                # frame — not the rejected K×-cost one-vs-rest design. See
+                # ml/softmax_gbt.py for the algorithm and 100 TB shape.
+                from consumer_loans_analysis_spark.ml.softmax_gbt import (
+                    SoftmaxGBTClassifier,
+                )
 
-            clf = SoftmaxGBTClassifier(
-                featuresCol="_mi_features",
-                labelCol="_mi_label",
-                predictionCol="_mi_prediction",
-                maxIter=self.getOrDefault(self.maxIter),
-                maxDepth=self.getOrDefault(self.maxDepth),
-                maxBins=self.getOrDefault(self.maxBins),
-                minInstancesPerNode=self.getOrDefault(self.minInstancesPerNode),
-                stepSize=self.getOrDefault(self.stepSize),
-                subsamplingRate=self.getOrDefault(self.subsamplingRate),
-                seed=self.getOrDefault(self.seed),
-                regLambda=self.getOrDefault(self.regLambda),
-                # "auto" is the RF-family default; softmax GBT spells
-                # no-subsetting "all"
-                featureSubsetStrategy=(
-                    "all"
-                    if self.getOrDefault(self.featureSubsetStrategy) == "auto"
-                    else self.getOrDefault(self.featureSubsetStrategy)
-                ),
-                dropoutRate=self.getOrDefault(self.dropoutRate),
-            )
-        else:
-            raise ValueError(
-                f"unknown classifierFamily {family!r} "
-                "(rf | lr | mlp | gbt_ovr | gbt_softmax)"
-            )
+                extra = {} if idx is None else {"scoresCol": f"_mi_scores_{idx}"}
+                return SoftmaxGBTClassifier(
+                    featuresCol="_mi_features",
+                    labelCol="_mi_label",
+                    predictionCol=f"_mi_prediction{sfx}",
+                    maxIter=self.getOrDefault(self.maxIter),
+                    maxDepth=self.getOrDefault(self.maxDepth),
+                    maxBins=self.getOrDefault(self.maxBins),
+                    minInstancesPerNode=self.getOrDefault(self.minInstancesPerNode),
+                    stepSize=self.getOrDefault(self.stepSize),
+                    subsamplingRate=self.getOrDefault(self.subsamplingRate),
+                    seed=seed_val,
+                    regLambda=self.getOrDefault(self.regLambda),
+                    # "auto" is the RF-family default; softmax GBT spells
+                    # no-subsetting "all"
+                    featureSubsetStrategy=(
+                        "all"
+                        if self.getOrDefault(self.featureSubsetStrategy) == "auto"
+                        else self.getOrDefault(self.featureSubsetStrategy)
+                    ),
+                    dropoutRate=self.getOrDefault(self.dropoutRate),
+                    **extra,
+                )
+            else:
+                raise ValueError(
+                    f"unknown classifierFamily {family!r} "
+                    "(rf | lr | mlp | gbt_ovr | gbt_softmax)"
+                )
+
         stages = [
             StringIndexer(
                 inputCol="_mi_label_src", outputCol="_mi_label",
@@ -296,22 +344,53 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                     withMean=True, withStd=True,
                 )
             )
-        pipe = Pipeline(stages=[*stages, clf])
-        fitted = pipe.fit(train)
-        labels = list(fitted.stages[0].labelsArray[0])
-        # drop the indexer from the serving path (it would fail on sentinel
-        # rows); keep assembler + classifier
-        inner = PipelineModel(stages=fitted.stages[1:])
-        model = ModelImputerModel(
-            spec={
-                "target": target,
-                "sentinel": sentinel,
-                "labels": labels,
-                "featureCols": feature_cols,
-                "numericTarget": numeric_target,
-            },
-            inner=inner,
-        )
+        spec = {
+            "target": target,
+            "sentinel": sentinel,
+            "featureCols": feature_cols,
+            "numericTarget": numeric_target,
+        }
+        bag = self.getOrDefault(self.seedBag)
+        base_seed = self.getOrDefault(self.seed)
+        if bag > 1:
+            # Seed-bagged soft vote (the EMPLOYEE_NO-bar-winning protocol,
+            # IMPUTER_TUNING.json emp_soft_avg, now first-class): fit the
+            # prep stages once, then `bag` members at deterministic seed
+            # offsets on the SAME materialized frame, thread-parallel
+            # (independent training actions, like pq_topk's codebooks).
+            # ModelImputerModel._transform averages their probabilities.
+            if family not in ("rf", "mlp", "gbt_softmax"):
+                raise ValueError(
+                    "seedBag > 1 requires a seeded probability-emitting "
+                    "family (rf | mlp | gbt_softmax); lr is deterministic "
+                    "and gbt_ovr exposes no calibrated scores"
+                )
+            from concurrent.futures import ThreadPoolExecutor
+
+            prep = Pipeline(stages=stages).fit(train)
+            # localCheckpoint: truncate the upstream lineage so each member
+            # fit's tasks don't re-ship it (same reason as the tune_*
+            # harness scripts — see SKILL.md round-6 note)
+            assembled = prep.transform(train).localCheckpoint(eager=True)
+            with ThreadPoolExecutor(max_workers=min(bag, 4)) as pool:
+                members = list(pool.map(
+                    # 7919 (the 1000th prime) spaces member seeds so bags
+                    # with nearby base seeds don't share members
+                    lambda i: build_clf(base_seed + 7919 * i, i).fit(assembled),
+                    range(bag),
+                ))
+            labels = list(prep.stages[0].labelsArray[0])
+            inner = PipelineModel(stages=[*prep.stages[1:], *members])
+            spec.update({"labels": labels, "bagSize": bag, "family": family})
+        else:
+            pipe = Pipeline(stages=[*stages, build_clf(base_seed, None)])
+            fitted = pipe.fit(train)
+            labels = list(fitted.stages[0].labelsArray[0])
+            # drop the indexer from the serving path (it would fail on
+            # sentinel rows); keep assembler + classifier
+            inner = PipelineModel(stages=fitted.stages[1:])
+            spec["labels"] = labels
+        model = ModelImputerModel(spec=spec, inner=inner)
         model._resetUid(self.uid)
         return model
 

@@ -312,3 +312,57 @@ def test_target_mean_encoder_closed_form(spark, tmp_path):
     loaded = TargetMeanEncoderModel.load(p)
     got2 = {r["cat"]: r["cat_te"] for r in loaded.transform(df).collect()}
     assert got2 == got
+
+
+def test_model_imputer_seed_bag_soft_vote(spark, tmp_path):
+    """seedBag > 1: the imputer fits k members at deterministic seed
+    offsets and soft-averages their probabilities at transform time (the
+    EMPLOYEE_NO-bar-winning protocol as a first-class capability). The
+    bagged model must impute every sentinel row, leave present rows
+    untouched, add no working columns, transform deterministically, and
+    round-trip through persistence prediction-identically."""
+    from consumer_loans_analysis_spark.pipeline.model_imputer import (
+        ModelImputer,
+        ModelImputerModel,
+    )
+
+    rows = [
+        (float(i % 3), float((i * 7) % 5), "abc"[i % 3] if i % 5 else "Missing")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, t string")
+
+    for family, extra in [
+        ("rf", {"numTrees": 8, "maxDepth": 3}),
+        ("gbt_softmax", {"maxDepth": 3, "maxIter": 4, "stepSize": 0.3}),
+    ]:
+        model = ModelImputer(
+            targetCol="t", sentinel="Missing", seedBag=3,
+            classifierFamily=family, **extra,
+        ).fit(df)
+        assert model.spec["bagSize"] == 3 and model.spec["family"] == family
+        out = model.transform(df)
+        assert out.columns == df.columns, family  # no working columns leak
+        assert out.filter(F.col("t") == "Missing").count() == 0, family
+        # present rows untouched; x determines t → exact recovery here
+        n0 = out.filter(F.col("x") == 0.0).count()
+        assert out.filter((F.col("x") == 0.0) & (F.col("t") == "a")).count() == n0
+
+        got = sorted(out.collect(), key=lambda r: (r["x"], r["y"], r["t"]))
+        again = sorted(model.transform(df).collect(),
+                       key=lambda r: (r["x"], r["y"], r["t"]))
+        assert got == again, family  # deterministic soft vote (ties → first)
+
+        path = str(tmp_path / f"bagged_{family}")
+        model.write().overwrite().save(path)
+        loaded = ModelImputerModel.load(path)
+        assert loaded.spec == model.spec
+        re = sorted(loaded.transform(df).collect(),
+                    key=lambda r: (r["x"], r["y"], r["t"]))
+        assert re == got, family
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seedBag"):
+        ModelImputer(targetCol="t", sentinel="Missing", seedBag=3,
+                     classifierFamily="lr").fit(df)
