@@ -19,6 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from consumer_loans_analysis_spark.plans import registry
 
+# Directory scanned for the driver's CORRECTNESS_r*.json records. A module
+# constant (not os.path.dirname at call time) so tests can monkeypatch it
+# without touching shared os.path state.
+_CORRECTNESS_DIR = os.path.dirname(os.path.abspath(__file__))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -38,20 +43,30 @@ def _driver_rotation(keys: list[str]) -> list[str]:
     50 per recorded round so coverage keeps cycling once every query has
     been checked at least once. Pure reordering — keys, callables, and
     oracles are unchanged.
+
+    Only CLEAN passes (``hash_match: true``) count as checked: a query whose
+    last driver record was a failure or ``no_oracle`` re-enters the front of
+    the sample so a regression can't hide behind a stale check (r7 ADVICE).
+    The cycling offset counts only successfully PARSED files, so a corrupt
+    record can't silently shift which checked queries the driver re-sees.
     """
-    here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    files = sorted(glob.glob(os.path.join(_CORRECTNESS_DIR, "CORRECTNESS_r*.json")))
     seen: set[str] = set()
+    parsed = 0
     for f in files:
         try:
             with open(f) as fh:
-                seen.update(json.load(fh).keys())
+                recs = json.load(fh)
         except (OSError, ValueError):
             continue
+        parsed += 1
+        for k, v in recs.items():
+            if isinstance(v, dict) and v.get("hash_match") is True:
+                seen.add(k)
     unchecked = [k for k in keys if k not in seen]
     checked = [k for k in keys if k in seen]
     if checked:
-        off = (len(files) * 50) % len(checked)
+        off = (parsed * 50) % len(checked)
         checked = checked[off:] + checked[:off]
     return unchecked + checked
 

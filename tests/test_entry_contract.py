@@ -32,20 +32,21 @@ def test_queries_run_at_sf0001(spark, sf_dir):
 
 
 def test_driver_rotation_orders_unchecked_first(tmp_path, monkeypatch):
-    """The self-served sample rotation: never-driver-checked keys order
-    first (registry order preserved), checked keys follow rotated by 50
-    per recorded round, and the result is always a permutation."""
+    """The self-served sample rotation: never-cleanly-driver-checked keys
+    order first (registry order preserved), checked keys follow rotated by
+    50 per parsed round, and the result is always a permutation."""
     import json
 
     keys = [f"q{i}" for i in range(147)]
+    ok = {"hash_match": True}
 
     # no CORRECTNESS files at all -> identity order
-    monkeypatch.setattr(entry_mod.os.path, "dirname", lambda _: str(tmp_path))
+    monkeypatch.setattr(entry_mod, "_CORRECTNESS_DIR", str(tmp_path))
     assert entry_mod._driver_rotation(keys) == keys
 
-    # one round checked the first 50 -> the other 97 move to the front
+    # one round cleanly checked the first 50 -> the other 97 move to the front
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        json.dumps({k: {} for k in keys[:50]})
+        json.dumps({k: ok for k in keys[:50]})
     )
     rot = entry_mod._driver_rotation(keys)
     assert sorted(rot) == sorted(keys)
@@ -54,19 +55,69 @@ def test_driver_rotation_orders_unchecked_first(tmp_path, monkeypatch):
     # checked tail rotated by 1 file * 50 mod 50 == 0 -> original order
     assert rot[97:] == keys[:50]
 
-    # two rounds checked everything -> pure 50-per-round cycling
+    # two more rounds cleanly checked everything -> pure 50-per-round cycling
     (tmp_path / "CORRECTNESS_r02.json").write_text(
-        json.dumps({k: {} for k in keys[50:100]})
+        json.dumps({k: ok for k in keys[50:100]})
     )
     (tmp_path / "CORRECTNESS_r03.json").write_text(
-        json.dumps({k: {} for k in keys[100:]})
+        json.dumps({k: ok for k in keys[100:]})
     )
     rot3 = entry_mod._driver_rotation(keys)
     assert sorted(rot3) == sorted(keys)
     off = (3 * 50) % 147
     assert rot3 == keys[off:] + keys[:off]
 
-    # unreadable file is skipped, not fatal
+    # unreadable file is skipped entirely: keys ignored AND it does not
+    # advance the cycling offset (r7 ADVICE — corrupt file must not shift
+    # which checked queries the driver re-sees)
     (tmp_path / "CORRECTNESS_r04.json").write_text("{not json")
     rot4 = entry_mod._driver_rotation(keys)
-    assert sorted(rot4) == sorted(keys)
+    assert rot4 == rot3
+
+
+def test_driver_rotation_failures_reenter_front(tmp_path, monkeypatch):
+    """A failed or no_oracle record does NOT count as checked — the query
+    re-enters the front of the next driver sample (r7 ADVICE)."""
+    import json
+
+    keys = [f"q{i}" for i in range(10)]
+    monkeypatch.setattr(entry_mod, "_CORRECTNESS_DIR", str(tmp_path))
+
+    recs = {k: {"hash_match": True} for k in keys[:5]}
+    recs["q1"] = {"hash_match": False, "err": None}            # hash mismatch
+    recs["q3"] = {"hash_match": None, "err": "no_oracle"}      # rows-only
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(recs))
+
+    rot = entry_mod._driver_rotation(keys)
+    assert sorted(rot) == sorted(keys)
+    # unchecked front: q1 and q3 (non-clean) + q5..q9 (never recorded)
+    assert rot[:7] == ["q1", "q3"] + keys[5:]
+    # clean tail rotated by (1 parsed file * 50) % 3 == 2
+    clean = ["q0", "q2", "q4"]
+    assert rot[7:] == clean[2:] + clean[:2]
+
+    # a later clean pass promotes the query back to the checked tail
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q1": {"hash_match": True}})
+    )
+    rot2 = entry_mod._driver_rotation(keys)
+    assert rot2[:6] == ["q3"] + keys[5:]
+    assert set(rot2[6:]) == {"q0", "q1", "q2", "q4"}
+
+
+def test_driver_rotation_edge_cases(tmp_path, monkeypatch):
+    """Cycling arithmetic edges: empty key list, all-unchecked, offset wrap
+    when checked-count divides the sample size unevenly."""
+    import json
+
+    monkeypatch.setattr(entry_mod, "_CORRECTNESS_DIR", str(tmp_path))
+    assert entry_mod._driver_rotation([]) == []
+
+    keys = [f"q{i}" for i in range(7)]
+    # all checked, 4 parsed files -> offset (4*50) % 7 == 4
+    for i in range(4):
+        (tmp_path / f"CORRECTNESS_r0{i + 1}.json").write_text(
+            json.dumps({k: {"hash_match": True} for k in keys})
+        )
+    rot = entry_mod._driver_rotation(keys)
+    assert rot == keys[4:] + keys[:4]

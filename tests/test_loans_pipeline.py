@@ -335,6 +335,9 @@ def test_model_imputer_seed_bag_soft_vote(spark, tmp_path):
     for family, extra in [
         ("rf", {"numTrees": 8, "maxDepth": 3}),
         ("gbt_softmax", {"maxDepth": 3, "maxIter": 4, "stepSize": 0.3}),
+        # mlp is the most divergent bag path (StandardScaler prep stage,
+        # _mi_scaled featuresCol, vector probabilityCol) — keep it tiny
+        ("mlp", {"hiddenLayers": [4], "maxIter": 15}),
     ]:
         model = ModelImputer(
             targetCol="t", sentinel="Missing", seedBag=3,
