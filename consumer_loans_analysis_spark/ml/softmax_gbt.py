@@ -76,6 +76,8 @@ def _extract_tree_from_save(model) -> dict:
     import shutil
     import tempfile
 
+    import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     tmp = tempfile.mkdtemp(prefix="sgbt_extract_")
@@ -84,11 +86,11 @@ def _extract_tree_from_save(model) -> dict:
         import glob as _glob
 
         parts = sorted(_glob.glob(tmp + "/data/*.parquet"))
-        rows = [
-            r
-            for p in parts
-            for r in pq.read_table(p).to_pylist()
-        ]
+        tbl = (
+            pa.concat_tables([pq.read_table(p) for p in parts])
+            if parts
+            else None
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -97,40 +99,62 @@ def _extract_tree_from_save(model) -> dict:
     # executor-local disks the parts would be missing or partial and the
     # tree silently truncated — fail loudly instead; the fix there is to
     # save to a shared path (DFS) or read back via spark.read.parquet.
-    ids = sorted(r["id"] for r in rows)
-    if not rows or ids != list(range(len(rows))):
+    n = len(tbl) if tbl is not None else 0
+    ids = tbl.column("id").to_numpy() if n else np.empty(0, dtype=np.int64)
+    if n == 0 or not np.array_equal(np.sort(ids), np.arange(n)):
+        srt = np.sort(ids)
         raise RuntimeError(
             "tree extraction read an incomplete NodeData set "
-            f"({len(rows)} rows, id range {ids[:1]}..{ids[-1:]}): the model "
+            f"({n} rows, id range {srt[:1]}..{srt[-1:]}): the model "
             "save path is not visible to the driver in full — use a "
             "shared filesystem or a spark.read.parquet readback"
         )
 
-    n = len(rows)
-    feat = [-1] * n
-    thr = [0.0] * n
-    left = [-1] * n
-    right = [-1] * n
-    value = [0.0] * n
+    # Column-wise numpy build (this used to be a per-row Python loop — the
+    # dominant GIL-held driver cost when several member fits run
+    # thread-parallel, r8). Output format and values are IDENTICAL: plain
+    # lists of Python floats/ints, cats as sets of floats — the
+    # bit-equality pin test (test_extract_tree_from_save_bit_equal_to_
+    # py4j_walk) compares against the py4j walk unchanged.
+    lc_rows = tbl.column("leftChild").to_numpy()
+    internal_rows = lc_rows != -1
+
+    value = np.empty(n, dtype=np.float64)
+    value[ids] = tbl.column("prediction").to_numpy()
+    imp = tbl.column("impurityStats").combine_chunks()
+    # impurityStats is list<double> with [count, sum, sumSq] for variance
+    # impurity — element 0 via the list offsets (never empty)
+    imp_off = imp.offsets.to_numpy()
+    imp_val = imp.values.to_numpy()
+    cover = np.empty(n, dtype=np.float64)
+    cover[ids] = imp_val[imp_off[:-1]]
+
+    left = np.full(n, -1, dtype=np.int64)
+    right = np.full(n, -1, dtype=np.int64)
+    feat = np.full(n, -1, dtype=np.int64)
+    thr = np.zeros(n, dtype=np.float64)
+    left[ids[internal_rows]] = lc_rows[internal_rows]
+    right[ids[internal_rows]] = tbl.column("rightChild").to_numpy()[internal_rows]
+
+    split = tbl.column("split").combine_chunks()
+    fidx = split.field("featureIndex").to_numpy()
+    ncat = split.field("numCategories").to_numpy()
+    lcot = split.field("leftCategoriesOrThreshold")
+    lcot_off = lcot.offsets.to_numpy()
+    lcot_val = lcot.values.to_numpy()
+    feat[ids[internal_rows]] = fidx[internal_rows]
+    cont_rows = internal_rows & (ncat < 0)
+    thr[ids[cont_rows]] = lcot_val[lcot_off[:-1][cont_rows]]
+
     cats: list = [None] * n
-    cover = [0.0] * n
-    for r in rows:
-        i = r["id"]
-        value[i] = float(r["prediction"])
-        cover[i] = float(r["impurityStats"][0])
-        lc, rc = r["leftChild"], r["rightChild"]
-        if lc != -1:
-            left[i] = lc
-            right[i] = rc
-            s = r["split"]
-            feat[i] = s["featureIndex"]
-            if s["numCategories"] >= 0:
-                cats[i] = set(float(c) for c in s["leftCategoriesOrThreshold"])
-            else:
-                thr[i] = float(s["leftCategoriesOrThreshold"][0])
+    # Python loop only over categorical internal nodes (rare)
+    for r in np.nonzero(internal_rows & (ncat >= 0))[0]:
+        cats[int(ids[r])] = set(lcot_val[lcot_off[r]:lcot_off[r + 1]].tolist())
+
     return {
-        "feat": feat, "thr": thr, "left": left, "right": right,
-        "value": value, "cats": cats, "cover": cover,
+        "feat": feat.tolist(), "thr": thr.tolist(),
+        "left": left.tolist(), "right": right.tolist(),
+        "value": value.tolist(), "cats": cats, "cover": cover.tolist(),
     }
 
 

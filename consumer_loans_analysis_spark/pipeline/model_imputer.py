@@ -372,7 +372,11 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
             # fit's tasks don't re-ship it (same reason as the tune_*
             # harness scripts — see SKILL.md round-6 note)
             assembled = prep.transform(train).localCheckpoint(eager=True)
-            with ThreadPoolExecutor(max_workers=min(bag, 4)) as pool:
+            # all members in flight at once: with the vectorized tree
+            # extraction (r8) member fits are cluster-job-bound, not
+            # driver-GIL-bound, so a 4-worker cap only added a serialized
+            # tail member (the r7 2115 s wall for bag=5)
+            with ThreadPoolExecutor(max_workers=bag) as pool:
                 members = list(pool.map(
                     # 7919 (the 1000th prime) spaces member seeds so bags
                     # with nearby base seeds don't share members

@@ -46,8 +46,15 @@ K = 4
 # EDGE (D=2000, reg=0.01, serving 0.8624/0.7034), so the grids are
 # env-overridable for follow-up waves past the edge:
 #   SVC_RFF_D_GRID=2000,4000 SVC_RFF_REG_GRID=0.01,0.03,0.1
+# Wave 3 (r8) adds γ itself: waves 1-2 only ever used sklearn 'scale'
+# (0.00138) while the reference's Optuna-tuned SVC landed at γ=0.2667,
+# C=22208.6 (modeling_validation.ipynb cell 23 output) — γ=0 in the grid
+# means 'scale', anything else is used verbatim:
+#   SVC_RFF_GAMMA_GRID=0.05,0.267,1.0 SVC_RFF_REG_GRID=1e-8,1e-5,1e-3
 D_GRID = [int(x) for x in os.environ.get("SVC_RFF_D_GRID", "1000,2000").split(",")]
 REG_GRID = [float(x) for x in os.environ.get("SVC_RFF_REG_GRID", "6.6e-5,1e-3,1e-2").split(",")]
+GAMMA_GRID = [float(x) for x in os.environ.get("SVC_RFF_GAMMA_GRID", "0").split(",")]
+MAX_ITER = int(os.environ.get("SVC_RFF_MAX_ITER", "100"))
 
 
 def main() -> None:
@@ -67,48 +74,52 @@ def main() -> None:
     ).localCheckpoint(eager=True)
 
     results = {}
-    best = None  # (cv_f1, D, reg)
-    gamma_used = None
-    # fold on the ORIGINAL features so every (D, reg) cell shares the
-    # identical split — comparisons across D stay apples-to-apples
+    best = None  # (cv_f1, gamma_param, D, reg)
+    gamma_resolved = {}
+    # fold on the ORIGINAL features so every (γ, D, reg) cell shares the
+    # identical split — comparisons across cells stay apples-to-apples
     folded = add_fold(ftr, K).localCheckpoint(eager=True)
-    for D in D_GRID:
-        rff_model = RandomFourierFeatures(
-            inputCol="features", outputCol="z", nComponents=D, gamma=0.0, seed=42
-        ).fit(ftr)
-        gamma_used = rff_model.gamma
-        z = rff_model.transform(folded).select(
-            "label", "z", "_fold"
-        ).localCheckpoint(eager=True)
-        for reg in REG_GRID:
-            f1s, aucs = [], []
-            for i in range(K):
-                m = LinearSVC(
-                    featuresCol="z", labelCol="label", regParam=reg, maxIter=100
-                ).fit(z.filter(F.col("_fold") != i))
-                met = binary_metrics(m.transform(z.filter(F.col("_fold") == i)))
-                f1s.append(met["micro_f1"])
-                aucs.append(met["roc_auc_hard"])
-            cv_f1 = sum(f1s) / K
-            cv_auc = sum(aucs) / K
-            results[f"D{D}_reg{reg}"] = {
-                "cv_micro_f1": round(cv_f1, 4), "cv_roc_auc_hard": round(cv_auc, 4),
-            }
-            print(f"D={D} reg={reg}: cv micro_f1 {cv_f1:.4f} auc {cv_auc:.4f}",
-                  flush=True)
-            if best is None or cv_f1 > best[0]:
-                best = (cv_f1, D, reg)
+    for g in GAMMA_GRID:
+        for D in D_GRID:
+            rff_model = RandomFourierFeatures(
+                inputCol="features", outputCol="z", nComponents=D, gamma=g, seed=42
+            ).fit(ftr)
+            gamma_resolved[g] = rff_model.gamma
+            z = rff_model.transform(folded).select(
+                "label", "z", "_fold"
+            ).localCheckpoint(eager=True)
+            for reg in REG_GRID:
+                f1s, aucs = [], []
+                for i in range(K):
+                    m = LinearSVC(
+                        featuresCol="z", labelCol="label", regParam=reg,
+                        maxIter=MAX_ITER,
+                    ).fit(z.filter(F.col("_fold") != i))
+                    met = binary_metrics(m.transform(z.filter(F.col("_fold") == i)))
+                    f1s.append(met["micro_f1"])
+                    aucs.append(met["roc_auc_hard"])
+                cv_f1 = sum(f1s) / K
+                cv_auc = sum(aucs) / K
+                results[f"g{g}_D{D}_reg{reg}"] = {
+                    "cv_micro_f1": round(cv_f1, 4),
+                    "cv_roc_auc_hard": round(cv_auc, 4),
+                }
+                print(f"g={g} D={D} reg={reg}: cv micro_f1 {cv_f1:.4f} "
+                      f"auc {cv_auc:.4f}", flush=True)
+                if best is None or cv_f1 > best[0]:
+                    best = (cv_f1, g, D, reg)
 
-    cv_star, d_star, reg_star = best
-    print(f"CV-selected: D={d_star} regParam={reg_star} (cv {cv_star:.4f})", flush=True)
+    cv_star, g_star, d_star, reg_star = best
+    print(f"CV-selected: gamma={g_star} D={d_star} regParam={reg_star} "
+          f"(cv {cv_star:.4f})", flush=True)
 
     # --- final serving fit, valid reported ONCE ---------------------------
     head = MLPipeline(stages=[
         assembler,
         RandomFourierFeatures(inputCol="features", outputCol="z",
-                              nComponents=d_star, gamma=0.0, seed=42),
+                              nComponents=d_star, gamma=g_star, seed=42),
         LinearSVC(featuresCol="z", labelCol="FINALIZED_LOAN",
-                  regParam=reg_star, maxIter=100),
+                  regParam=reg_star, maxIter=MAX_ITER),
     ]).fit(featured)
     sw = ServingWrapper(PipelineModel(stages=[proc, feat]), head)
     scored = sw.transform(
@@ -121,9 +132,10 @@ def main() -> None:
         "probe": "svc_rff_serving",
         "selection": "cv",
         "k_folds": K,
-        "gamma": gamma_used,
+        "max_iter": MAX_ITER,
+        "gamma_resolved": gamma_resolved,
         "grid": results,
-        "selected": {"nComponents": d_star, "regParam": reg_star,
+        "selected": {"gamma": g_star, "nComponents": d_star, "regParam": reg_star,
                      "cv_micro_f1": round(cv_star, 4)},
         "serving_valid": serving,
         "reference_tuned_svc": {"micro_f1": 0.88099, "roc_auc_hard": 0.70054},
