@@ -451,6 +451,93 @@ def t5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(docs)
 
 
+_CMS_D, _CMS_W, _CMS_PHI = 4, 16, 0.02
+
+_CMS_HASH_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || word), 1, 8)) "
+    f"AS BIGINT) % {_CMS_W}"
+)
+
+_CMS_SQL = f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    h AS (SELECT word, r, {_CMS_HASH_SQL} AS b
+          FROM w CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(r)),
+    sketch AS (SELECT r, b, COUNT(*) AS c FROM h GROUP BY r, b),
+    tot AS (SELECT SUM(c) AS n FROM sketch WHERE r = 0),
+    keys AS (SELECT word, COUNT(*) AS exact_n FROM w GROUP BY word),
+    kh AS (SELECT word, r, {_CMS_HASH_SQL} AS b
+           FROM keys CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(r)),
+    est AS (SELECT kh.word AS word, MIN(sketch.c) AS cms_count
+            FROM kh JOIN sketch USING (r, b) GROUP BY kh.word)
+    SELECT est.word AS word, est.cms_count AS cms_count,
+      keys.exact_n AS exact_n,
+      est.cms_count - keys.exact_n AS overcount
+    FROM est JOIN keys USING (word), tot
+    WHERE est.cms_count >= {_CMS_PHI} * tot.n
+"""
+
+
+@query("sk3_cms_heavy_hitters", oracle=_CMS_SQL)
+def sk3_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters over the corpus token stream
+    (Cormode & Muthukrishnan 2005): a d×w counter grid (here 4×16,
+    deliberately narrow so bucket collisions are real and the min-over-
+    rows estimate demonstrably exceeds the exact count), queried for
+    every token whose CMS estimate clears φ=2% of the stream.
+
+    The hash is the engine-portable md5 prefix (operators/text.py::
+    portable_hash), so the sketch — and therefore the ESTIMATES
+    themselves, overcounts included — are bit-reproducible in the DuckDB
+    oracle: unlike sk1/sk2 (library sketches, exact-side-only compare)
+    every output column here is hash-compared.
+
+    100 TB shape: the sketch build is one explode(d)+groupBy over a
+    bounded d·w key space — map-side combine collapses each partition to
+    ≤ d·w rows before the shuffle, and sketches merge by addition across
+    any sharding. The fitted sketch (64 counters) broadcasts to the
+    candidate-scoring join. Candidates here are the full vocabulary (31
+    words — exact counts are also computed to exhibit the CMS ≥ exact
+    one-sided guarantee); an unbounded-vocabulary deployment pairs the
+    same sketch with per-partition top-k candidate emission instead."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.words(F.col("text"))).alias("word"))
+
+    def coords():
+        return F.explode(F.array(*[
+            F.struct(
+                F.lit(r).alias("r"),
+                (text.portable_hash(F.col("word"), seed=r) % _CMS_W).alias("b"),
+            )
+            for r in range(_CMS_D)
+        ])).alias("x")
+
+    sketch = (
+        toks.select(coords())
+        .groupBy(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # stream length for the φ threshold comes FROM the sketch (every token
+    # increments exactly one bucket of row 0) — no third corpus scan
+    total = sketch.filter(F.col("r") == 0).agg(F.sum("c").alias("n"))
+    keys = toks.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+    kh = keys.select("word", "exact_n", coords()).select(
+        "word", "exact_n", F.col("x.r").alias("r"), F.col("x.b").alias("b")
+    )
+    return (
+        kh.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("c").alias("cms_count"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cms_count") >= F.lit(_CMS_PHI) * F.col("n"))
+        .select(
+            "word",
+            "cms_count",
+            "exact_n",
+            (F.col("cms_count") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
 # --- multimodal --------------------------------------------------------------
 
 @query(
