@@ -926,14 +926,24 @@ def test_extract_tree_from_save_bit_equal_to_py4j_walk(spark):
         subsamplingRate=1.0, featureSubsetStrategy="0.9", maxDepth=8, seed=2,
     ).fit(assembled)
 
-    for mod in (dt, rf.trees[0]):
+    # degenerate single-leaf tree (constant label — the shape late boosting
+    # rounds produce when residuals vanish): n=1 NodeData row, no splits
+    from pyspark.sql import functions as F
+
+    stump = DecisionTreeRegressor(
+        featuresCol="features", labelCol="label", maxDepth=3, seed=3
+    ).fit(assembled.select("features", F.lit(2.5).alias("label")))
+
+    for mod in (dt, rf.trees[0], stump):
         want = _extract_tree(mod._call_java("rootNode"), 0, False)
         got = _extract_tree_from_save(mod)
         assert got.keys() == want.keys()
         for key in want:
             assert got[key] == want[key], key
-        # sanity: the fixture actually exercised a categorical split
-        assert any(c is not None for c in want["cats"]), "no categorical split in fixture"
+    # sanity: the main fixture actually exercised a categorical split
+    want = _extract_tree(dt._call_java("rootNode"), 0, False)
+    assert any(c is not None for c in want["cats"]), "no categorical split in fixture"
+    assert _extract_tree_from_save(stump)["left"] == [-1], "stump fixture split"
 
 
 def test_rff_kernel_approximation_and_persistence(spark, tmp_path):
