@@ -193,3 +193,19 @@ def test_bloom_fast_path_is_exchange_and_join_free(spark, sf_dir, monkeypatch):
     # the slow branch DOES carry the exact anti-join (the verify sliver)
     slow = _plan(verified_new)
     assert "Join" in slow, slow
+
+
+def test_cms_sketch_joins_are_broadcast(spark, sf_dir):
+    """sk3: the candidate-scoring join against the d×w sketch and the
+    stream-total join must BOTH be broadcasts — if either side ever
+    becomes a sort-merge/shuffle join, the plan is moving the corpus to
+    the 64-row sketch instead of the sketch to the corpus."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    plan = _plan(registry.QUERIES["sk3_cms_heavy_hitters"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # the sketch build must partial-aggregate before its exchange
+    # (map-side combine collapses each partition to <= d*w rows)
+    assert "partial_count" in plan, plan
