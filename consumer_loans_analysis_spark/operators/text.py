@@ -708,3 +708,78 @@ def bpe_train(
             F.replace("state", F.lit(pat), F.lit(rep)).alias("state")
         ).localCheckpoint()
     return merges
+
+
+# --- Misra-Gries heavy-hitter candidates (mergeable summaries) ---------------
+
+def _mg_merge(summary: dict, counts, k: int) -> dict:
+    """Merge a batch's exact value counts into a Misra-Gries summary of
+    capacity ``k`` (Agarwal et al. 2013, "Mergeable Summaries": add the
+    two summaries, subtract the (k+1)-th largest resulting count, drop
+    non-positives). Preserves the MG guarantee: any item with true count
+    > N/(k+1) over everything merged so far survives with
+    ``summary count >= true count − N/(k+1)``.
+
+    The loop is per DISTINCT word in the batch (value_counts is the
+    vectorized part), not per token — bounded by batch vocabulary."""
+    for w, c in counts.items():
+        summary[w] = summary.get(w, 0) + int(c)
+    if len(summary) > k:
+        t = sorted(summary.values(), reverse=True)[k]  # (k+1)-th largest
+        summary = {w: c - t for w, c in summary.items() if c > t}
+    return summary
+
+
+def mg_heavy_hitters(
+    df: DataFrame, col: str = "word", phi: float = 0.02, k: int = 64
+) -> DataFrame:
+    """φ-heavy hitters over an unbounded-vocabulary token stream via
+    per-partition Misra-Gries summaries + exact verification — the
+    candidate-generation path ``sk3``'s CMS defers to.
+
+    Correctness does NOT depend on partitioning or MG internals. With
+    ``k ≥ 1/φ``: if an item kept count ≤ N_p/(k+1) in EVERY partition its
+    global count is ≤ N/(k+1) < φN, so every φ-heavy item exceeds the MG
+    retention floor in at least one partition and appears in that
+    partition's summary. The candidate union (≤ partitions·k rows) is
+    therefore a SUPERSET of the φ-heavy set; pass 2 counts candidates
+    EXACTLY and filters ≥ φN — output = exactly the φ-heavy items, a
+    deterministic, partition-independent (and SQL-expressible) answer.
+
+    100 TB shape: pass 1 is mapInPandas with O(k) driver-free state per
+    partition (summaries merge by the same rule across any sharding);
+    the exact pass shuffles only rows matching the ≤ P·k broadcast
+    candidate set; the stream length is one map-only count."""
+    import pandas as pd
+
+    if k < 1.0 / phi:
+        raise ValueError(f"k={k} must be >= 1/phi={1.0 / phi:.0f} for the "
+                         "superset guarantee")
+    toks = df.select(F.col(col).alias("word"))
+
+    def mg_partition(batches):
+        summary: dict = {}
+        for pdf in batches:
+            summary = _mg_merge(summary, pdf["word"].value_counts(), k)
+        yield pd.DataFrame(
+            {"word": list(summary), "mg_count": list(summary.values())}
+        )
+
+    candidates = (
+        toks.mapInPandas(mg_partition, "word string, mg_count long")
+        .select("word")
+        .distinct()
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact_n") >= F.lit(phi) * F.col("n"))
+        .select(
+            "word",
+            "exact_n",
+            F.round(F.col("exact_n") / F.col("n"), 6).alias("share"),
+        )
+    )

@@ -538,6 +538,31 @@ def sk3_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sk4_mg_heavy_hitters",
+    oracle=f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM w)
+    SELECT word, COUNT(*) AS exact_n,
+      ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6) AS share
+    FROM w GROUP BY word
+    HAVING COUNT(*) >= {_CMS_PHI} * (SELECT n FROM tot)
+    """,
+)
+def sk4_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries φ-heavy hitters (φ=2%, k=64 counters/partition) — the
+    candidate-free complement to sk3's CMS: per-partition mergeable MG
+    summaries (mapInPandas, O(k) state) generate a guaranteed SUPERSET of
+    the φ-heavy vocabulary, and an exact verification pass over the
+    broadcast candidate set makes the output partition-independent —
+    which is why a plain SQL frequency filter can oracle a
+    sketch-generated answer at full value fidelity (see
+    operators/text.py::mg_heavy_hitters for the superset argument)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.words(F.col("text"))).alias("word"))
+    return text.mg_heavy_hitters(toks, phi=_CMS_PHI, k=64)
+
+
 # --- multimodal --------------------------------------------------------------
 
 @query(

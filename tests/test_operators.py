@@ -873,3 +873,55 @@ def test_pq_recall(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_cos:
             assert abs(r["cos"] - exact_cos[key]) < 1e-9, key
+
+
+def test_mg_merge_rule_hand_case():
+    """The Agarwal et al. merge rule by hand: capacity 2, counts
+    {a:5, b:3, c:2} -> third-largest t=2 subtracted, c dropped."""
+    import pandas as pd
+
+    from consumer_loans_analysis_spark.operators.text import _mg_merge
+
+    out = _mg_merge({"a": 3, "b": 3}, pd.Series({"a": 2, "c": 2}), k=2)
+    assert out == {"a": 3, "b": 1}  # t = c's 2: a 5-2, b 3-2, c dropped
+
+
+def test_mg_heavy_hitters_partition_independent(spark):
+    """The φ-heavy output must equal the brute-force frequency filter at
+    EVERY partitioning — including an adversarial layout that spreads a
+    borderline-heavy word thinly across partitions (the superset
+    guarantee's worst case) and heavily skewed layouts."""
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.operators.text import mg_heavy_hitters
+
+    # 10_000 tokens: one word at exactly 2.5% (heavy), one at 1.5%
+    # (light), 96 fillers at ~1% each
+    toks = (
+        ["heavy"] * 250 + ["light"] * 150
+        + [f"w{i % 96}" for i in range(9600)]
+    )
+    df = spark.createDataFrame([(w,) for w in toks], "word string")
+    want = {
+        r["word"]: r["n"]
+        for r in df.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 0.02 * len(toks)).collect()
+    }
+    assert "heavy" in want and "light" not in want  # fixture sanity
+
+    for parts in (1, 8, 64):
+        # round-robin repartition spreads "heavy" evenly — its
+        # per-partition share stays near the global 2.5%, just above the
+        # N_p/(k+1) retention floor at k=64
+        got = {
+            r["word"]: r["exact_n"]
+            for r in mg_heavy_hitters(
+                df.repartition(parts), phi=0.02, k=64
+            ).collect()
+        }
+        assert got == want, parts
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="superset"):
+        mg_heavy_hitters(df, phi=0.02, k=10)
