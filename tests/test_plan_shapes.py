@@ -209,3 +209,16 @@ def test_cms_sketch_joins_are_broadcast(spark, sf_dir):
     # the sketch build must partial-aggregate before its exchange
     # (map-side combine collapses each partition to <= d*w rows)
     assert "partial_count" in plan, plan
+
+
+def test_mg_exact_pass_broadcasts_candidates(spark, sf_dir):
+    """sk4: the exact-verification join must broadcast the bounded
+    candidate set (<= partitions*k rows) to the token stream — a
+    sort-merge join there would shuffle the full corpus by word."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    plan = _plan(registry.QUERIES["sk4_mg_heavy_hitters"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "partial_count" in plan, plan
