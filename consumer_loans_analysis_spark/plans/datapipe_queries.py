@@ -1541,6 +1541,68 @@ def o11_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "o12_weighted_sample",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        (CAST(concat('0x', substr(md5('o12:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+          / 4294967296.0 AS u
+      FROM documents
+    ),
+    top AS (
+      SELECT doc_id, n_words,
+        ROW_NUMBER() OVER (
+          ORDER BY pow(u, 1.0 / GREATEST(n_words, 1)) DESC, doc_id
+        ) AS rk
+      FROM q
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(rk AS BIGINT) AS rk
+    FROM top WHERE rk <= 50
+    """,
+)
+def o12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, probability ∝ document
+    length (Efraimidis–Spirakis 2006: key = u^(1/w), keep the top-k
+    keys) — the data-mixing sampler that favors long documents without
+    ever materializing per-row multiplicities.
+
+    The u draw is the PORTABLE hash (md5-derived, in (0,1]), not an RNG:
+    like o4b/o11 and unlike o4/o5, the sampled SET is a pure function of
+    the data — resumable across retries/partitionings and exactly
+    oracle-checkable, which upgrades weighted sampling from the
+    rows-only check RNG sampling gets to a full hash compare.
+
+    Scale shape: the top-k compiles to TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows — no global sort, no
+    single-partition window); the rank is then assigned on the k-row
+    result."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_words = F.size(text.words(F.col("text")))
+    u = (
+        text.portable_hash(
+            F.concat(F.lit("o12:"), F.col("doc_id").cast("string"))
+        ) + F.lit(1)
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / F.greatest(n_words, F.lit(1)))
+    top = (
+        docs.select(
+            "doc_id", n_words.cast("long").alias("n_words"), key.alias("_k")
+        )
+        .orderBy(F.col("_k").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+    # unpartitioned window, but over the LIMIT-50 result only — bounded at
+    # k rows regardless of input size (the a4/a8/a14 bounded-global-window
+    # convention)
+    w = Window.orderBy(F.col("_k").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id", "n_words", F.row_number().over(w).cast("long").alias("rk")
+    )
+
+
+@query(
     "d9_canonical_per_group",
     oracle="""
     WITH q AS (

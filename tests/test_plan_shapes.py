@@ -222,3 +222,17 @@ def test_mg_exact_pass_broadcasts_candidates(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
     assert "partial_count" in plan, plan
+
+
+def test_weighted_sample_is_heap_topk(spark, sf_dir):
+    """o12: the Efraimidis-Spirakis top-k must compile to
+    TakeOrderedAndProject (per-partition heap + driver merge); the only
+    WindowExec allowed is the rank pass over the LIMIT-k result."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    plan = _plan(registry.QUERIES["o12_weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the window must sit ABOVE the TakeOrdered (operate on <= k rows),
+    # never directly on the scan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
