@@ -1,8 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
-- ``cosine_topk``: brute-force exact top-k. The query set is broadcast, so
-  the corpus never shuffles; per-partition partial top-k is merged by the
-  final window. Linear in corpus size — the correctness baseline.
+- ``cosine_topk``: brute-force exact top-k. The query batch closes over a
+  ``mapInPandas`` GEMM scan; per-batch partial top-k is merged by a final
+  window over survivors only. Linear in corpus size, no corpus shuffle —
+  the correctness baseline.
 - ``bucketed_topk``: sign-LSH (axis hyperplanes) variant — candidates are
   restricted to the query's bucket, an equi-join. The 100 TB path: recall
   trades against the number of probe buckets.
@@ -61,20 +62,71 @@ def cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector (broadcast join +
-    per-query window; ties broken by neighbor id)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    """Exact top-k cosine neighbors for each query vector (ties broken by
+    neighbor id).
+
+    Scale shape (r9 — replaces the broadcast-join + per-query row_number
+    window, which shuffled all |corpus|×|queries| scored rows and landed
+    each query's ENTIRE corpus score set on one partition): the query
+    batch is collected to the driver (queries are operationally small —
+    the same contract as ``pq_topk``) and closed over a ``mapInPandas``
+    GEMM scan of the corpus. Each Arrow batch computes its slice of the
+    cosine matrix with one numpy matmul and emits only its local top-k
+    per query under the exact tie-break (stable argsort of -cos over
+    id-sorted rows ≡ ORDER BY cos DESC, neighbor_id ASC), so the final
+    merge window sees ≤ batches·|q|·k survivor rows — the corpus itself
+    never shuffles and no corpus-sized WindowExec exists in the plan.
+    Exact: the union of per-batch top-k always contains the global top-k.
+
+    Zero-norm contract (same as ``ivf_topk``/``pq_topk``): zero-norm rows
+    are EXCLUDED from both sides up front — cosine is undefined for them —
+    so a zero-norm query produces no output rows.
+    """
+    import numpy as np
+
+    corpus = corpus.filter(_norm(F.col(vec_col)) > 0)
+    q_rows = (
+        queries.filter(_norm(F.col(vec_col)) > 0)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    scored = c.join(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
-    )
+    q_id_t = queries.schema[id_col].dataType.simpleString()
+    n_id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {q_id_t}, neighbor_id {n_id_t}, cos double"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema + ", rank int")
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    Q = np.asarray([r["q_vec"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["nid"].to_numpy()
+            M = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            # pre-sort rows by neighbor id so a STABLE argsort of -cos
+            # breaks score ties by ascending id — the exact tie-break
+            order = np.argsort(ids, kind="stable")
+            ids, M = ids[order], M[order]
+            S = (M / np.linalg.norm(M, axis=1, keepdims=True)) @ Qn.T  # (B, nq)
+            top = min(k, S.shape[0])
+            idx = np.argsort(-S, axis=0, kind="stable")[:top]  # (top, nq)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, top),
+                    "neighbor_id": ids[idx.T.ravel()],
+                    "cos": np.take_along_axis(S, idx, axis=0).T.ravel(),
+                }
+            )
+
+    parts = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("v")
+    ).mapInPandas(scan, out_schema)
+    # merge window over the ≤ batches·|q|·k survivors only
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        parts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

@@ -236,3 +236,23 @@ def test_weighted_sample_is_heap_topk(spark, sf_dir):
     # the window must sit ABOVE the TakeOrdered (operate on <= k rows),
     # never directly on the scan
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_cosine_topk_has_no_corpus_window(spark, sf_dir):
+    """sim1: the exact top-k must be a mapInPandas GEMM scan emitting
+    per-batch survivors, merged by a window over <= batches*|q|*k rows —
+    NOT the r8 shape (broadcast cross join + per-query row_number window
+    that lands each query's entire corpus score set on one partition).
+    The old shape carried a Join; the scan shape carries none."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    df = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=5
+    )
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    # one merge window over survivors; Spark additionally inserts a
+    # Partial WindowGroupLimit BEFORE the exchange (map-side top-k of the
+    # already-small survivor set)
+    assert plan.count("Window [") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
