@@ -44,11 +44,14 @@ def _driver_rotation(keys: list[str]) -> list[str]:
     been checked at least once. Pure reordering — keys, callables, and
     oracles are unchanged.
 
-    Only CLEAN passes (``hash_match: true``) count as checked: a query whose
-    last driver record was a failure or ``no_oracle`` re-enters the front of
-    the sample so a regression can't hide behind a stale check (r7 ADVICE).
-    The cycling offset counts only successfully PARSED files, so a corrupt
-    record can't silently shift which checked queries the driver re-sees.
+    Checked-ness is LAST-RECORD-WINS over rounds in sorted order: a clean
+    pass (``hash_match: true``) marks a query checked, and any LATER
+    failure or ``no_oracle`` record un-marks it, so both fail-then-pass
+    and pass-then-fail histories put the query where its most recent
+    driver evidence says it belongs — a regression can't hide behind a
+    stale early-round pass (r7+r8 ADVICE). The cycling offset counts only
+    successfully PARSED files, so a corrupt record can't silently shift
+    which checked queries the driver re-sees.
     """
     files = sorted(glob.glob(os.path.join(_CORRECTNESS_DIR, "CORRECTNESS_r*.json")))
     seen: set[str] = set()
@@ -63,6 +66,8 @@ def _driver_rotation(keys: list[str]) -> list[str]:
         for k, v in recs.items():
             if isinstance(v, dict) and v.get("hash_match") is True:
                 seen.add(k)
+            else:
+                seen.discard(k)
     unchecked = [k for k in keys if k not in seen]
     checked = [k for k in keys if k in seen]
     if checked:

@@ -126,6 +126,16 @@ def _extract_tree_from_save(model) -> dict:
     # impurity — element 0 via the list offsets (never empty)
     imp_off = imp.offsets.to_numpy()
     imp_val = imp.values.to_numpy()
+    # Guard against an empty impurityStats list: offsets-based first-
+    # element indexing (imp_val[imp_off[:-1]]) would silently read the
+    # NEXT row's value where the old per-row code raised IndexError
+    # (r8 ADVICE). Spark's current NodeData always writes [count, sum,
+    # sumSq]; a format drift must fail loudly, not corrupt trees.
+    if n and not (imp_off[1:] > imp_off[:-1]).all():
+        raise RuntimeError(
+            "tree extraction read an empty impurityStats list — the "
+            "MLlib NodeData format drifted; refusing to index across rows"
+        )
     cover = np.empty(n, dtype=np.float64)
     cover[ids] = imp_val[imp_off[:-1]]
 
@@ -144,6 +154,17 @@ def _extract_tree_from_save(model) -> dict:
     lcot_val = lcot.values.to_numpy()
     feat[ids[internal_rows]] = fidx[internal_rows]
     cont_rows = internal_rows & (ncat < 0)
+    # same offsets guard for continuous splits: an empty
+    # leftCategoriesOrThreshold on a continuous split would silently pull
+    # the next row's threshold (r8 ADVICE)
+    if cont_rows.any() and not (
+        lcot_off[1:][cont_rows] > lcot_off[:-1][cont_rows]
+    ).all():
+        raise RuntimeError(
+            "tree extraction read an empty leftCategoriesOrThreshold on a "
+            "continuous split — the MLlib NodeData format drifted; "
+            "refusing to index across rows"
+        )
     thr[ids[cont_rows]] = lcot_val[lcot_off[:-1][cont_rows]]
 
     cats: list = [None] * n

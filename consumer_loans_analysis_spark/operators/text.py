@@ -749,13 +749,19 @@ def mg_heavy_hitters(
     100 TB shape: pass 1 is mapInPandas with O(k) driver-free state per
     partition (summaries merge by the same rule across any sharding);
     the exact pass shuffles only rows matching the ≤ P·k broadcast
-    candidate set; the stream length is one map-only count."""
+    candidate set; the stream length is one map-only count.
+
+    Nulls are excluded from the STREAM itself (not just the output):
+    pandas ``value_counts`` drops NaN and the equi-join drops null keys,
+    so a null "item" could never be reported anyway — filtering up front
+    keeps candidates, exact counts, and the total n over the same stream
+    (otherwise shares use a null-inflated denominator; r8 ADVICE)."""
     import pandas as pd
 
     if k < 1.0 / phi:
         raise ValueError(f"k={k} must be >= 1/phi={1.0 / phi:.0f} for the "
                          "superset guarantee")
-    toks = df.select(F.col(col).alias("word"))
+    toks = df.select(F.col(col).alias("word")).filter(F.col("word").isNotNull())
 
     def mg_partition(batches):
         summary: dict = {}

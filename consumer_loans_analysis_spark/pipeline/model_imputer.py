@@ -375,8 +375,11 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
             # all members in flight at once: with the vectorized tree
             # extraction (r8) member fits are cluster-job-bound, not
             # driver-GIL-bound, so a 4-worker cap only added a serialized
-            # tail member (the r7 2115 s wall for bag=5)
-            with ThreadPoolExecutor(max_workers=bag) as pool:
+            # tail member (the r7 2115 s wall for bag=5). Bounded at 16
+            # (r8 ADVICE): each worker drives a full Spark job set, and an
+            # unbounded pool at pathological bag sizes (e.g. 50) would
+            # oversubscribe the scheduler; only bag<=5 is measured.
+            with ThreadPoolExecutor(max_workers=min(bag, 16)) as pool:
                 members = list(pool.map(
                     # 7919 (the 1000th prime) spaces member seeds so bags
                     # with nearby base seeds don't share members

@@ -105,6 +105,53 @@ def test_driver_rotation_failures_reenter_front(tmp_path, monkeypatch):
     assert set(rot2[6:]) == {"q0", "q1", "q2", "q4"}
 
 
+def test_driver_rotation_pass_then_fail_reenters_front(tmp_path, monkeypatch):
+    """LAST-RECORD-WINS (r8 ADVICE): a query that passed cleanly in an
+    early round but whose most recent driver record is a failure must NOT
+    stay hidden in the checked tail — the later failure un-marks it."""
+    import json
+
+    keys = [f"q{i}" for i in range(10)]
+    monkeypatch.setattr(entry_mod, "_CORRECTNESS_DIR", str(tmp_path))
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({k: {"hash_match": True} for k in keys})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q4": {"hash_match": False, "err": None}})
+    )
+    rot = entry_mod._driver_rotation(keys)
+    assert rot[0] == "q4"  # regressed query re-enters the front
+    clean = [k for k in keys if k != "q4"]
+    # checked tail: 2 parsed files -> offset (2*50) % 9 == 1
+    assert rot[1:] == clean[1:] + clean[:1]
+
+
+def test_driver_rotation_full_coverage_every_three_rounds(tmp_path, monkeypatch):
+    """With all 150 registry queries checked, the 50-per-parsed-round
+    cycling must put every query inside the driver's first-50 sample at
+    least once every ceil(150/50) = 3 consecutive rounds — the staleness
+    clock the r8 VERDICT asked to pin."""
+    import json
+
+    keys = [f"q{i:03d}" for i in range(150)]
+    monkeypatch.setattr(entry_mod, "_CORRECTNESS_DIR", str(tmp_path))
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({k: {"hash_match": True} for k in keys})
+    )
+    samples = []
+    for rnd in range(2, 8):
+        samples.append(set(entry_mod._driver_rotation(keys)[:50]))
+        # the offset must ADVANCE each parsed round
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps({k: {"hash_match": True} for k in samples[-1]})
+        )
+    for i in range(len(samples) - 2):
+        assert samples[i] | samples[i + 1] | samples[i + 2] == set(keys), i
+    # consecutive samples are disjoint (clean 50-cycling), not re-checks
+    assert samples[0] & samples[1] == set()
+
+
 def test_driver_rotation_edge_cases(tmp_path, monkeypatch):
     """Cycling arithmetic edges: empty key list, all-unchecked, offset wrap
     when checked-count divides the sample size unevenly."""

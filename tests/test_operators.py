@@ -925,3 +925,18 @@ def test_mg_heavy_hitters_partition_independent(spark):
 
     with _pytest.raises(ValueError, match="superset"):
         mg_heavy_hitters(df, phi=0.02, k=10)
+
+
+def test_mg_heavy_hitters_nulls_excluded_from_stream(spark):
+    """Null tokens must not inflate the share denominator (r8 ADVICE):
+    they can never be reported (value_counts and the equi-join both drop
+    them), so they must not be counted in the stream total either."""
+    from consumer_loans_analysis_spark.operators.text import mg_heavy_hitters
+
+    # 100 non-null tokens + 900 nulls; "hot" is 60/100 = 60% of the
+    # non-null stream but only 6% of the null-inflated one
+    rows = [("hot",)] * 60 + [(f"w{i}",) for i in range(40)] + [(None,)] * 900
+    df = spark.createDataFrame(rows, "word string")
+    got = {r["word"]: (r["exact_n"], r["share"])
+           for r in mg_heavy_hitters(df, phi=0.5, k=4).collect()}
+    assert got == {"hot": (60, 0.6)}
