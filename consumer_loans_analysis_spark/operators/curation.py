@@ -181,6 +181,38 @@ def ccnet_perplexity_buckets(docs: DataFrame, ref: Column) -> DataFrame:
     )
 
 
+def kmeans_assign(unit_vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id for a unit-normalized vector as a pure Column
+    expression over LITERAL centroids: min over (‖c_i‖² − 2·u·c_i, i) —
+    for unit u, argmin of squared L2 (the constant ‖u‖² drops out); the
+    struct-min breaks distance ties to the lowest cluster id. ‖c_i‖² is
+    precomputed driver-side so the per-row work is one dot product per
+    centroid, all inside codegen. SQL-portable: the same formula over the
+    same literals is the d11b DuckDB oracle's assignment."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(float(sum(x * x for x in c)))
+                    - 2.0
+                    * F.aggregate(
+                        F.zip_with(
+                            unit_vec,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("d"),
+                F.lit(i).alias("bucket"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["bucket"]
+
+
 def semantic_dedup(
     emb: DataFrame,
     *,
@@ -191,6 +223,7 @@ def semantic_dedup(
     blocker: str = "signlsh",
     n_clusters: int = 16,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023) over an
     embedding column, end to end: bucket → within-bucket cosine pairs →
@@ -210,6 +243,15 @@ def semantic_dedup(
       embeddings); NOT SQL-expressible (iterative fit), so its gate is the
       pytest recall bound vs the exact small-corpus answer, sim3-style.
       The fit is one KMeans training action at construction time.
+      With ``centroids`` given, the fit is SKIPPED and assignment runs as
+      pure Column expressions against the literal centroid arrays
+      (nearest = min (‖c‖² − 2·u·c, cluster_id) — unit-norm u makes the
+      dropped ‖u‖² constant irrelevant; struct-min ties break to the
+      lowest cluster id). That makes construction action-free AND the
+      whole query SQL-expressible — the d11b oracle pins the same
+      centroids as SQL literals. This is also the realistic 100 TB shape:
+      quantizers are fitted once on a sample and FROZEN, then assignment
+      is a deterministic scan-rate function shipped with the job.
 
     Cross-bucket near-dups are missed by design under either blocker —
     the same documented blind spot as cross-cluster pairs in the paper;
@@ -257,13 +299,20 @@ def semantic_dedup(
                 F.lit(0.0),
             ),
         )
-        feats = emb.select(
-            F.col(id_col), F.col(vec_col), array_to_vector(unit).alias("_f")
-        )
-        km = KMeans(
-            k=n_clusters, seed=seed, featuresCol="_f", predictionCol="bucket"
-        ).fit(feats)
-        b = km.transform(feats).select(id_col, vec_col, "bucket")
+        if centroids is not None:
+            b = emb.select(
+                F.col(id_col),
+                F.col(vec_col),
+                kmeans_assign(unit, centroids).alias("bucket"),
+            )
+        else:
+            feats = emb.select(
+                F.col(id_col), F.col(vec_col), array_to_vector(unit).alias("_f")
+            )
+            km = KMeans(
+                k=n_clusters, seed=seed, featuresCol="_f", predictionCol="bucket"
+            ).fit(feats)
+            b = km.transform(feats).select(id_col, vec_col, "bucket")
     else:
         raise ValueError(f"blocker must be signlsh | kmeans, got {blocker!r}")
     a = b.select(

@@ -940,3 +940,40 @@ def test_mg_heavy_hitters_nulls_excluded_from_stream(spark):
     got = {r["word"]: (r["exact_n"], r["share"])
            for r in mg_heavy_hitters(df, phi=0.5, k=4).collect()}
     assert got == {"hot": (60, 0.6)}
+
+
+def test_kmeans_assign_matches_mllib_transform(spark, sf_dir):
+    """The pinned-centroid Column-expression assignment (d11b's blocker
+    with frozen centroids) must reproduce MLlib's own transform() for the
+    SAME centroids on every row — pins that the ``kmeans_assign`` argmin
+    formula (‖c‖² − 2·u·c over unit vectors, ties to lowest id) is the
+    assignment k-means actually uses, independent of the pinned values."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from consumer_loans_analysis_spark.operators import curation
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    unit = F.transform(
+        F.col("embedding"),
+        lambda x: F.try_divide(
+            x.cast("double"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("embedding"), lambda y: y * y),
+                    F.lit(0.0),
+                    lambda a, y: a + y,
+                )
+            ),
+        ),
+    )
+    feats = emb.select("vec_id", unit.alias("uv"), array_to_vector(unit).alias("_f"))
+    km = KMeans(k=4, seed=7, featuresCol="_f", predictionCol="mllib_bucket").fit(feats)
+    cents = [[float(x) for x in c] for c in km.clusterCenters()]
+    both = km.transform(feats).select(
+        "vec_id",
+        "mllib_bucket",
+        curation.kmeans_assign(F.col("uv"), cents).alias("expr_bucket"),
+    )
+    assert both.filter(F.col("mllib_bucket") != F.col("expr_bucket")).count() == 0
