@@ -518,6 +518,38 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     return scale, qvec
 
 
+def _kmeanspp_lloyd(X, ks: int, seed: int, iters: int = 25):
+    """Deterministic seeded k-means++ init + Lloyd iterations in numpy —
+    the PQ sub-codebook trainer. Driver-side by design: codebooks need
+    thousands of points, not the corpus (FAISS trains PQ on bounded
+    samples), and 16 tiny numpy fits cost milliseconds where 16
+    distributed KMeans fits cost a job set each. Empty clusters keep
+    their previous center (deterministic, no reseeding randomness)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    centers = np.empty((ks, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.integers(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, ks):
+        tot = d2.sum()
+        if tot > 0:
+            centers[j] = X[rng.choice(n, p=d2 / tot)]
+        else:  # fewer distinct points than ks — duplicate centers are fine
+            centers[j] = X[rng.integers(n)]
+        d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(axis=1))
+    xsq = (X**2).sum(axis=1)[:, None]
+    for _ in range(iters):
+        d = xsq - 2.0 * (X @ centers.T) + (centers**2).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for j in range(ks):
+            m = assign == j
+            if m.any():
+                centers[j] = X[m].mean(axis=0)
+    return centers
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -528,15 +560,22 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample: int = 16384,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jégou, Douze & Schmid 2011
     — the FAISS IVFADC family's compression half; sits between sim1's
     exact scan and sim3's IVF pruning in the engine's ANN ladder).
 
     Train: the dim-D unit-normalized space splits into ``m_subs``
-    subspaces; one MLlib KMeans per subspace learns a ``ks``-centroid
-    codebook (distributed fits over subvector slices — training actions at
-    construction, like ``ivf_topk``). Encode: each corpus vector becomes
+    subspaces; one seeded numpy k-means++/Lloyd fit per subspace learns a
+    ``ks``-centroid codebook from a DETERMINISTIC bounded sample — the
+    ``fit_sample`` hash-smallest corpus rows (xxhash64 order, id
+    tie-break: one TakeOrdered job, partition-layout-independent). That
+    replaces r6-r8's 16 distributed MLlib fits, which dominated pq_topk
+    wall (34.5 s at sf0.01 in the r8 verify gate): codebooks need
+    thousands of points, not the corpus — FAISS trains PQ the same way —
+    so at ANY corpus scale training is one bounded sample job plus
+    milliseconds of driver numpy. Encode: each corpus vector becomes
     ``m_subs`` small codes via one Arrow-batched argmin — the corpus
     compresses to m_subs bytes/vector at ks≤256 (64-dim float32 → 8 B:
     32×), which is what lets a 100 TB embedding corpus live in cluster
@@ -560,44 +599,38 @@ def pq_topk(
     rows — callers may see fewer distinct ``query_id``s than input queries.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     def unit(vec: Column) -> Column:
         return F.transform(vec, lambda x: F.try_divide(x.cast("double"), _norm(vec)))
 
     # zero-norm vectors have no direction — not rankable by cosine, and
-    # their null unit-elements would crash the subspace KMeans fits;
-    # exclude both sides up front (same contract as ivf_topk; test
-    # corpora contain none, so the exact-twin oracle is unaffected)
+    # their null unit-elements would poison the codebook fits; exclude
+    # both sides up front (same contract as ivf_topk; test corpora
+    # contain none, so the exact-twin oracle is unaffected)
     corpus = corpus.filter(_norm(F.col(vec_col)) > 0)
     queries = queries.filter(_norm(F.col(vec_col)) > 0)
     c_unit = corpus.select(
         F.col(id_col).alias("neighbor_id"), unit(F.col(vec_col)).alias("v")
-    ).localCheckpoint(eager=True)  # reused by train + encode + re-rank
+    ).localCheckpoint(eager=True)  # reused by train(sample) + encode + re-rank
 
-    # --- train: one KMeans per subspace over the subvector slice ---------
-    dim = len(c_unit.select("v").head()["v"])
+    # --- train: numpy k-means++ per subspace on a bounded hash sample ----
+    samp_rows = (
+        c_unit.orderBy(F.pmod(F.xxhash64("neighbor_id"), F.lit(1_000_003)).asc(),
+                       F.col("neighbor_id").asc())
+        .limit(fit_sample)
+        .collect()
+    )  # TakeOrderedAndProject: per-partition heap, deterministic sample
+    Xs = np.asarray([r["v"] for r in samp_rows], dtype=np.float64)
+    dim = Xs.shape[1]
     if dim % m_subs != 0:
         raise ValueError(f"m_subs={m_subs} must divide dim={dim}")
     dsub = dim // m_subs
-    # the m_subs codebook fits are independent MLlib training actions over
-    # slices of the SAME checkpointed frame — run them thread-parallel
-    # (Spark schedules the jobs concurrently; each result is deterministic
-    # under its own seed, so parallelism does not change the codebooks).
-    # Sequentially these dominated pq_topk wall time (16 fits back-to-back).
-    from concurrent.futures import ThreadPoolExecutor
-
-    def fit_subspace(s: int):
-        sub = c_unit.select(
-            array_to_vector(F.slice("v", s * dsub + 1, dsub)).alias("features")
-        )
-        km = KMeans(k=ks, seed=seed + s, featuresCol="features").fit(sub)
-        return np.asarray(km.clusterCenters(), dtype=np.float64)
-
-    with ThreadPoolExecutor(min(m_subs, 8)) as pool:
-        codebooks = list(pool.map(fit_subspace, range(m_subs)))
-    cb = np.stack(codebooks)  # (m_subs, ks, dsub)
+    cb = np.stack(
+        [
+            _kmeanspp_lloyd(Xs[:, s * dsub:(s + 1) * dsub], ks, seed + s)
+            for s in range(m_subs)
+        ]
+    )  # (m_subs, ks, dsub)
 
     # --- encode: vec → m_subs argmin codes, one Arrow pass ---------------
     from pyspark.sql.functions import pandas_udf
