@@ -2333,3 +2333,111 @@ def d11b_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- pipe2: the pretrain data-prep flagship ----------------------------------
+
+def _pipe2_sql() -> str:
+    """DuckDB twin of pipe2: t14's full BPE tokenization as a nested CTE,
+    then id-sequence chunking (chunk1's 32/stride-24 shape over token ids)
+    and per-shard 512-token sequence packing (pack1's running-sum rule),
+    with an order-pinned md5 over each training sequence's chunk hashes."""
+    return f"""
+    WITH enc AS ({_bpe_sql()}),
+    ch AS (SELECT doc_id, string_split(token_str, ' ') AS ids FROM enc),
+    starts AS (
+      SELECT doc_id, ids,
+        UNNEST(range(1, GREATEST(len(ids) - 8, 1) + 1, 24)) AS s
+      FROM ch
+    ),
+    chunks AS (
+      SELECT doc_id,
+        CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+        CAST(LEAST(32, len(ids) - s + 1) AS BIGINT) AS n_ids,
+        md5(array_to_string(ids[s:LEAST(s + 31, len(ids))], ' ')) AS chunk_md5
+      FROM starts
+    ),
+    t AS (
+      SELECT c.doc_id, c.chunk_idx, c.n_ids, c.chunk_md5, d.source
+      FROM chunks c JOIN documents d USING (doc_id)
+    ),
+    c2 AS (
+      SELECT source, doc_id, chunk_idx, n_ids, chunk_md5,
+        COALESCE(CAST(SUM(n_ids) OVER (
+          PARTITION BY source ORDER BY doc_id, chunk_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS BIGINT), 0) AS cum_before
+      FROM t
+    )
+    SELECT source, CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS seq_id,
+      COUNT(*) AS n_chunks, CAST(SUM(n_ids) AS BIGINT) AS total_tokens,
+      md5(string_agg(chunk_md5, '' ORDER BY doc_id, chunk_idx)) AS seq_md5
+    FROM c2 GROUP BY 1, 2
+    """
+
+
+@query("pipe2_pretrain_prep", oracle=_pipe2_sql())
+def pipe2_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretrain data prep — the LLM-pipeline flagship (pipe1's
+    counterpart on the tokenize side): t10 regex pretokenization → t14
+    greedy BPE encode → chunk1-shaped context windows over the TOKEN-ID
+    sequence (32 ids, stride 24) → pack1-shaped deterministic packing of
+    chunks into 512-token training sequences per source shard. Output is
+    one row per training sequence: chunk count, token fill, and an md5
+    over the ordered chunk hashes, so the oracle pins the exact CONTENT
+    and LAYOUT of every training sequence, not just counts — the whole
+    four-operator composition sits under one hash compare.
+
+    Plan shape: the encode+chunk half is map-only (bpe_encode is literal
+    replaces, the chunk explode is per-row); the doc-level source join is
+    one equi-join (at 100 TB, carry the shard key through the encoder and
+    it disappears); packing is ONE window shuffle on the shard key (never
+    a global sort) and the final per-sequence aggregate reuses bounded
+    groups. Every stage is individually oracled (t10/t14/chunk1/pack1) —
+    this query proves they COMPOSE."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    enc = text.bpe_encode(docs)
+    ids = F.split(F.col("token_str"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(ids) - 8, F.lit(1)), F.lit(24)
+    )
+    n_ids = F.least(F.lit(32), F.size("ids") - F.col("s") + 1)
+    chunks = (
+        enc.select("doc_id", ids.alias("ids"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / 24).cast("long").alias("chunk_idx"),
+            n_ids.cast("long").alias("n_ids"),
+            F.md5(F.array_join(F.slice(F.col("ids"), F.col("s"), n_ids), " "))
+            .alias("chunk_md5"),
+        )
+    )
+    t = chunks.join(docs.select("doc_id", "source"), "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c2 = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_ids").over(w), F.lit(0)).cast("long")
+    )
+    ordered = F.sort_array(
+        F.collect_list(F.struct("doc_id", "chunk_idx", "chunk_md5"))
+    )
+    return (
+        c2.withColumn(
+            "seq_id", F.floor(F.col("cum_before") / F.lit(512.0)).cast("long")
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_ids").cast("long").alias("total_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(ordered, lambda x: x["chunk_md5"]), ""
+                )
+            ).alias("seq_md5"),
+        )
+    )
