@@ -670,6 +670,21 @@ def bpe_train(
     rows. At 100 TB each round is one scan-rate aggregation — the same
     cost class as a word-count — and rounds chain on a localCheckpoint'ed
     state so lineage stays flat.
+
+    JOB-COUNT BOUND AND THE BATCH-MERGE UPGRADE PATH: this exact loop
+    runs ONE Spark job set per merge rank (count + argmax + checkpoint),
+    so a production 50k-merge vocabulary is ~50k sequential jobs —
+    correct but driver-round-trip-bound (fine for the ≤ 21-rank fixtures
+    this repo oracles). The standard fix is batched merging with
+    pair-count REUSE (the fastBPE/Hugging-Face-trainer strategy): keep
+    the per-pair counts materialized, and after merging pair (l, r)
+    update only the counts of pairs ADJACENT to an (l, r) occurrence
+    (merging touches no other pair), so one scan amortizes over many
+    ranks and the corpus is re-read only when accumulated deltas exceed
+    a rescan budget. That turns 50k jobs into ~corpus-scans + cheap
+    delta aggregations, at the cost of exactly-Sennrich tie-order only
+    WITHIN a delta batch (re-sync each rescan). Not implemented here —
+    the oracle pins the canonical per-round semantics.
     """
     sep = "\x01"
     pretoks = F.regexp_extract_all(F.col(text_col), F.lit(pretoken_pattern), F.lit(0))
