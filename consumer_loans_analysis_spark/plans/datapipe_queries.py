@@ -2388,17 +2388,20 @@ def pipe2_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and LAYOUT of every training sequence, not just counts — the whole
     four-operator composition sits under one hash compare.
 
-    Plan shape: the encode+chunk half is map-only (bpe_encode is literal
-    replaces, the chunk explode is per-row); the doc-level source join is
-    one equi-join (at 100 TB, carry the shard key through the encoder and
-    it disappears); packing is ONE window shuffle on the shard key (never
-    a global sort) and the final per-sequence aggregate reuses bounded
-    groups. Every stage is individually oracled (t10/t14/chunk1/pack1) —
-    this query proves they COMPOSE."""
+    Plan shape: the encode+chunk half is map-only (the encoder is t14b's
+    Arrow-batched broadcast-merge-table path — the designated large-table
+    scale path, and ~20× faster than re-compiling t14's 21-round
+    when-chain per run; both are pinned to the same oracle); the
+    doc-level source join is one equi-join (at 100 TB, carry the shard
+    key through the encoder and it disappears); packing is ONE window
+    shuffle on the shard key (never a global sort) and the final
+    per-sequence aggregate reuses bounded groups. Every stage is
+    individually oracled (t10/t14/t14b/chunk1/pack1) — this query proves
+    they COMPOSE."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    enc = text.bpe_encode(docs)
+    enc = text.bpe_encode_broadcast(docs)
     ids = F.split(F.col("token_str"), " ")
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(ids) - 8, F.lit(1)), F.lit(24)
