@@ -408,6 +408,8 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
     regLambda = Param(Params._dummy(), "regLambda", "L2 leaf regularization (XGBoost lambda): Newton gamma = (K-1)/K * sum(r) / (sum|r|(1-|r|) + lambda)", TypeConverters.toFloat)
     featureSubsetStrategy = Param(Params._dummy(), "featureSubsetStrategy", "per-NODE feature subsampling for the residual trees ('all' = off; else any MLlib RandomForest strategy, e.g. '0.84', 'sqrt'). MLlib resamples the subset at every node — a stronger regularizer than XGBoost's per-tree colsample_bytree, closer to colsample_bynode.", TypeConverters.toString)
     dropoutRate = Param(Params._dummy(), "dropoutRate", "DART per-tree dropout probability (0.0 = plain boosting). Each round drops every prior tree-round independently with this probability before computing residuals; weights follow XGBoost dart normalize_type='tree': new round weight 1/(k+lr), dropped rounds scaled by k/(k+lr), k = #dropped (k=0 falls back to a standard shrinkage-lr round).", TypeConverters.toFloat)
+    validationFraction = Param(Params._dummy(), "validationFraction", "held-out fraction for out-of-fold deviance tracking (0.0 = off). The split is a DETERMINISTIC feature-hash (xxhash64 of the feature array + seed): identical feature rows land on the same side (no twin leakage) and the split replays under any partitioning. Held-out rows are excluded from tree fits AND Newton gammas; priors use all rows.", TypeConverters.toFloat)
+    earlyStoppingRounds = Param(Params._dummy(), "earlyStoppingRounds", "stop when held-out multinomial deviance has not improved for this many consecutive rounds, then truncate the model to the best round (XGBoost early_stopping_rounds semantics; prefix-nesting makes the truncation exact). 0 = never stop (validationFraction alone just tracks/holds out). Requires validationFraction > 0; incompatible with dropoutRate > 0.", TypeConverters.toInt)
 
     @keyword_only
     def __init__(self, featuresCol: str = "features", labelCol: str = "label",
@@ -417,7 +419,9 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                  subsamplingRate: float = 1.0, seed: int = 42,
                  parallelism: int = 16, regLambda: float = 0.0,
                  featureSubsetStrategy: str = "all",
-                 dropoutRate: float = 0.0):
+                 dropoutRate: float = 0.0,
+                 validationFraction: float = 0.0,
+                 earlyStoppingRounds: int = 0):
         super().__init__()
         self._set(featuresCol=featuresCol, labelCol=labelCol,
                   predictionCol=predictionCol, scoresCol=scoresCol,
@@ -426,7 +430,9 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                   subsamplingRate=subsamplingRate, seed=seed,
                   parallelism=parallelism, regLambda=regLambda,
                   featureSubsetStrategy=featureSubsetStrategy,
-                  dropoutRate=dropoutRate)
+                  dropoutRate=dropoutRate,
+                  validationFraction=validationFraction,
+                  earlyStoppingRounds=earlyStoppingRounds)
 
     def _fit(self, df: DataFrame) -> SoftmaxGBTModel:
         from pyspark.ml.functions import vector_to_array
@@ -463,6 +469,26 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
         dropout = g(self.dropoutRate)
         fss = g(self.featureSubsetStrategy)
         n_fit_threads = min(K, g(self.parallelism))
+        vf = g(self.validationFraction)
+        es_rounds = g(self.earlyStoppingRounds)
+        if es_rounds > 0 and vf <= 0.0:
+            raise ValueError("earlyStoppingRounds requires validationFraction > 0")
+        if vf > 0.0 and dropout > 0.0:
+            raise ValueError(
+                "early stopping is incompatible with DART (dropout rescales "
+                "prior rounds, so the incremental holdout F is invalid)"
+            )
+        extra = ["_holdout"] if vf > 0.0 else []
+        if vf > 0.0:
+            # deterministic feature-hash holdout: replays under any
+            # partitioning, and identical feature rows can't straddle the
+            # split (twin leakage). Excluded from tree fits AND gammas.
+            frame = frame.withColumn(
+                "_holdout",
+                F.pmod(F.xxhash64(F.col("_farr"), F.lit(seed)), F.lit(1_000_003))
+                < F.lit(int(vf * 1_000_003)),
+            )
+        best_dev, best_round = float("inf"), -1
         # opt-in per-phase wall breakdown (profiling deep configs); zero
         # cost when the env var is unset
         import os as _os
@@ -496,10 +522,10 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
             # 1. softmax + residuals, staged (lambda arrays are not CSE'd)
             mx = F.array_max(F.col("_F"))
             exps = F.transform(F.col("_F"), lambda v: F.exp(v - mx))
-            frame = frame.select("_feat", "_farr", "_y", "_F", exps.alias("_e"))
+            frame = frame.select("_feat", "_farr", "_y", "_F", *extra, exps.alias("_e"))
             z = F.aggregate(F.col("_e"), F.lit(0.0), lambda a, x: a + x)
             frame = frame.select(
-                "_feat", "_farr", "_y", "_F",
+                "_feat", "_farr", "_y", "_F", *extra,
                 F.zip_with("_y", "_e", lambda yy, e: yy - e / z).alias("_r"),
             )
             frame = frame.select(
@@ -510,8 +536,10 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                 _t = _time.perf_counter()
 
             # 2. K residual trees against the one materialized frame
+            # (held-out rows never reach the tree fits or the gammas)
+            fit_base = frame.filter(~F.col("_holdout")) if vf > 0.0 else frame
             fit_df = (
-                frame if sub >= 1.0 else frame.sample(sub, seed=seed + 1000 * m)
+                fit_base if sub >= 1.0 else fit_base.sample(sub, seed=seed + 1000 * m)
             )
 
             def fit_one(k: int):
@@ -551,7 +579,7 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
 
             # 3. Newton gammas, one distributed aggregation
             leaves = _leaves_udf(structs)
-            exploded = frame.select(
+            exploded = fit_base.select(
                 F.col("_r"), F.posexplode(leaves(F.col("_farr"))).alias("k", "leaf")
             ).select(
                 "k", "leaf", F.element_at("_r", F.col("k") + 1).alias("r")
@@ -605,12 +633,50 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
             if dropout == 0.0:
                 step = _scores_udf([structs], [0.0] * K, lr)
                 frame = frame.select(
-                    "_feat", "_farr", "_y",
+                    "_feat", "_farr", "_y", *extra,
                     F.zip_with("_F", step(F.col("_farr")), lambda a, b: a + b).alias("_F"),
                 )
             if _prof:
                 print(f"[gbt-prof] m={m} F-update {_time.perf_counter() - _t:.2f}s", flush=True)
 
+            # 5. OOF deviance on the held-out slice (one small agg per
+            # round); XGBoost early_stopping_rounds semantics — stop when
+            # no improvement for es_rounds consecutive rounds, truncate
+            # to the best round after the loop (exact: prefix-nesting)
+            if vf > 0.0:
+                _mx = F.array_max(F.col("_F"))
+                _lse = _mx + F.log(
+                    F.aggregate(
+                        F.transform(F.col("_F"), lambda v: F.exp(v - _mx)),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                )
+                _fy = F.aggregate(
+                    F.zip_with(F.col("_y"), F.col("_F"), lambda yy, ff: yy * ff),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                row = (
+                    frame.filter(F.col("_holdout"))
+                    .agg(F.avg(_lse - _fy).alias("d"))
+                    .first()
+                )
+                dev = row["d"] if row is not None else None
+                if _prof:
+                    print(f"[gbt-prof] m={m} oof-dev {dev}", flush=True)
+                if dev is not None and dev < best_dev - 1e-12:
+                    best_dev, best_round = dev, m
+                if es_rounds > 0 and m - best_round >= es_rounds:
+                    break
+
+        if es_rounds > 0 and 0 <= best_round < len(rounds) - 1:
+            # truncate to the best OOF round — identical to having fit
+            # maxIter=best_round+1 with the same params (prefix-nesting;
+            # pinned by test_early_stopping_equals_truncated_fit)
+            rounds = rounds[: best_round + 1]
+            weights = weights[: best_round + 1]
+            weight_history = weight_history[: best_round + 1]
         state = {
             "rounds": [
                 [
@@ -634,4 +700,10 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
             scoresCol=g(self.scoresCol),
         )
         model._resetUid(self.uid)
+        if vf > 0.0:
+            # probe-facing OOF metadata (ephemeral attrs — the persisted
+            # JSON stays byte-identical to the pre-ES format)
+            model._oof_best_round = best_round
+            model._oof_best_deviance = best_dev
+            model._oof_rounds_kept = len(rounds)
         return model

@@ -175,6 +175,8 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
     stepSize = Param(Params._dummy(), "stepSize", "gbt learning rate", TypeConverters.toFloat)
     regLambda = Param(Params._dummy(), "regLambda", "gbt_softmax L2 leaf regularization", TypeConverters.toFloat)
     dropoutRate = Param(Params._dummy(), "dropoutRate", "gbt_softmax DART per-tree dropout rate (0 = plain boosting)", TypeConverters.toFloat)
+    validationFraction = Param(Params._dummy(), "validationFraction", "gbt_softmax OOF holdout fraction (0 = off); see SoftmaxGBTClassifier.validationFraction", TypeConverters.toFloat)
+    earlyStoppingRounds = Param(Params._dummy(), "earlyStoppingRounds", "gbt_softmax OOF early-stopping patience (0 = off); requires validationFraction > 0", TypeConverters.toInt)
     hiddenLayers = Param(Params._dummy(), "hiddenLayers", "JSON [width] for mlp", TypeConverters.toString)
     seedBag = Param(Params._dummy(), "seedBag", "members in the seed-bagged soft vote (1 = single model)", TypeConverters.toInt)
 
@@ -188,6 +190,8 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                  elasticNetParam: float = 0.0, maxIter: int = 100,
                  stepSize: float = 0.1, regLambda: float = 0.0,
                  dropoutRate: float = 0.0,
+                 validationFraction: float = 0.0,
+                 earlyStoppingRounds: int = 0,
                  hiddenLayers: list[int] | None = None,
                  seedBag: int = 1):
         super().__init__()
@@ -199,7 +203,9 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                   classifierFamily=classifierFamily, regParam=regParam,
                   elasticNetParam=elasticNetParam, maxIter=maxIter,
                   stepSize=stepSize, regLambda=regLambda,
-                  dropoutRate=dropoutRate, seedBag=seedBag)
+                  dropoutRate=dropoutRate, seedBag=seedBag,
+                  validationFraction=validationFraction,
+                  earlyStoppingRounds=earlyStoppingRounds)
         self._set_json(self.excludePrefixes, excludePrefixes or [])
         self._set_json(self.hiddenLayers, hiddenLayers or [64])
 
@@ -318,6 +324,8 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                         else self.getOrDefault(self.featureSubsetStrategy)
                     ),
                     dropoutRate=self.getOrDefault(self.dropoutRate),
+                    validationFraction=self.getOrDefault(self.validationFraction),
+                    earlyStoppingRounds=self.getOrDefault(self.earlyStoppingRounds),
                     **extra,
                 )
             else:

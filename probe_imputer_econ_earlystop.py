@@ -1,0 +1,83 @@
+"""ECON seedBag fit with OOF early stopping (round 9, VERDICT r8 #8).
+
+The r8-measured ECONOMIC_SECTOR seedBag-5 fit is tree-compute-bound at
+~1368 s (sgbt d7_i100_lr02 × 5 members, all-in-flight). This probe runs
+the SAME config with the r9 native OOF early stopping
+(``SoftmaxGBTClassifier(validationFraction, earlyStoppingRounds)``):
+each member holds out 10% of present rows by deterministic feature hash,
+tracks held-out multinomial deviance per round, stops after 8 rounds
+without improvement, and truncates to its best round (exact under
+prefix-nesting — pinned by test_early_stopping_equals_truncated_fit).
+
+Config pre-committed before the run (selection-free, reported once):
+vf=0.1, patience=8, cap maxIter=100 — the r8 config's value. Expected:
+fewer than 100 rounds per member at an unchanged F1 level (the r8
+once-reported bar is 0.5097; single-seed band 0.5089 ± 0.0022).
+
+Appends {"probe": "econ_seedbag_earlystop"} to IMPUTER_TUNING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.ml import Pipeline
+
+from consumer_loans_analysis_spark.ml.cv import pin_layout
+from consumer_loans_analysis_spark.ml.imputer_eval import evaluate_imputer
+from consumer_loans_analysis_spark.pipeline.loans import build_processing_pipeline
+from consumer_loans_analysis_spark.pipeline.model_imputer import ModelImputer
+from consumer_loans_analysis_spark.session import get_spark
+from consumer_loans_analysis_spark.sources.readers import read_loans_csv
+
+TARGET = "ECONOMIC_SECTOR"
+PARAMS = {"maxDepth": 7, "maxIter": 100, "stepSize": 0.2}
+ES = {"validationFraction": 0.1, "earlyStoppingRounds": 8}
+BAG = 5
+BASE_SEED = 42
+
+
+def main() -> None:
+    spark = get_spark("probe_econ_earlystop",
+                      extra_configs={"spark.sql.shuffle.partitions": "8"})
+    train = read_loans_csv(spark, "/root/reference/data/orig_train.csv")
+    valid = read_loans_csv(spark, "/root/reference/data/orig_valid.csv")
+    base = build_processing_pipeline(with_model_imputers=False)
+    prep = Pipeline(stages=base.getStages()[:-1]).fit(train)
+    ptrain = pin_layout(prep.transform(train)).localCheckpoint(eager=True)
+    pvalid = prep.transform(valid).localCheckpoint(eager=True)
+
+    t0 = time.perf_counter()
+    fitted = ModelImputer(
+        targetCol=TARGET, sentinel="Missing",
+        classifierFamily="gbt_softmax", seed=BASE_SEED, seedBag=BAG,
+        **PARAMS, **ES,
+    ).fit(ptrain)
+    fit_sec = round(time.perf_counter() - t0)
+    rounds_kept = [
+        getattr(st, "_oof_rounds_kept", None) for st in fitted.inner.stages
+    ]
+    f1 = round(evaluate_imputer(fitted, pvalid, TARGET), 4)
+    print(
+        f"seedBag={BAG} + OOF-ES micro-F1: {f1} (fit {fit_sec}s, "
+        f"rounds kept per member: {rounds_kept})",
+        flush=True,
+    )
+
+    record = {
+        "probe": "econ_seedbag_earlystop",
+        "config": {**PARAMS, **ES, "seedBag": BAG, "seed": BASE_SEED},
+        "layout": "pin_layout(parts=8, seed=7) on prepared train",
+        "valid_micro_f1": f1,
+        "fit_wall_sec": fit_sec,
+        "rounds_kept_per_member": rounds_kept,
+        "r8_reference": {"valid_micro_f1": 0.5097, "fit_wall_sec": 1368},
+        "reference_tuned_xgb": 0.5,
+    }
+    with open("IMPUTER_TUNING.json", "a") as fh:
+        fh.write(json.dumps(record) + "\n")
+
+
+if __name__ == "__main__":
+    main()

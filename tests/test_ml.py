@@ -1062,3 +1062,48 @@ def test_rbf_svc_rff_zoo_entry_learns_toy(spark, toy):
     model = model_zoo()["rbf_svc_rff"]().fit(toy)
     m = binary_metrics(model.transform(toy))
     assert m["micro_f1"] > 0.85, m
+
+
+def test_early_stopping_equals_truncated_fit(spark):
+    """OOF early stopping (r9): (a) a fit with earlyStoppingRounds stops
+    before maxIter on an overfit-prone config and truncates to the best
+    OOF round; (b) the result is BIT-IDENTICAL to fitting the same params
+    with maxIter = rounds_kept and no stopping (prefix-nesting — the
+    truncation is exact, not approximate); (c) the param-contract errors
+    fire."""
+    import pytest as _pytest
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.ml.softmax_gbt import SoftmaxGBTClassifier
+
+    df = (
+        spark.range(400)
+        .select(
+            (F.rand(1) * 4 - 2).alias("x0"),
+            (F.rand(2) * 4 - 2).alias("x1"),
+        )
+        .withColumn(
+            "label",
+            # noisy labels -> holdout deviance bottoms out early
+            F.when(F.rand(3) < 0.25, (F.floor(F.rand(4) * 3)).cast("double"))
+            .when(F.col("x0") * F.col("x1") > 0.5, 2.0)
+            .when(F.col("x0") + F.col("x1") < -1, 1.0)
+            .otherwise(0.0),
+        )
+    )
+    data = VectorAssembler(inputCols=["x0", "x1"], outputCol="features").transform(df)
+    common = dict(maxDepth=4, stepSize=0.6, seed=11, validationFraction=0.3)
+    a = SoftmaxGBTClassifier(maxIter=20, earlyStoppingRounds=2, **common).fit(data)
+    kept = a._oof_rounds_kept
+    assert kept < 20, "expected the noisy fixture to stop early"
+    assert kept == a._oof_best_round + 1
+    b = SoftmaxGBTClassifier(maxIter=kept, earlyStoppingRounds=0, **common).fit(data)
+    assert a.getOrDefault(a.modelJson) == b.getOrDefault(b.modelJson)
+
+    with _pytest.raises(ValueError, match="validationFraction"):
+        SoftmaxGBTClassifier(earlyStoppingRounds=3).fit(data)
+    with _pytest.raises(ValueError, match="DART"):
+        SoftmaxGBTClassifier(
+            validationFraction=0.2, dropoutRate=0.5
+        ).fit(data)
