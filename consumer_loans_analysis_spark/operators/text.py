@@ -568,6 +568,46 @@ def bpe_encode(
     )
 
 
+def bpe_decode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    ids_col: str = "token_str",
+    id_col: str = "doc_id",
+    unknown: str = "?",
+) -> DataFrame:
+    """Detokenize: invert ``bpe_encode`` — map each token id back to its
+    vocabulary symbol and concatenate. The pipeline's inspect/debug
+    surface (sampling decoded training sequences is how a real corpus
+    pipeline is audited). Unknown ids (-1 from out-of-vocab symbols at
+    encode time, one per unknown CHARACTER) decode to ``unknown``, the
+    standard lossy-detokenize convention.
+
+    Exactness contract: on the known-vocab subset decode∘encode is the
+    identity on the pretoken concatenation; with unknowns it equals the
+    concatenation with every out-of-vocab character replaced by
+    ``unknown`` (encode wraps each character as one symbol, merges only
+    ever fire on in-vocab pairs). t16 pins this roundtrip under a DuckDB
+    hash oracle. Map-only Column expressions — the id→symbol table is a
+    plan-literal map; ``try_element_at``/``try_cast`` keep it ANSI-safe.
+    """
+    merges = DEFAULT_BPE_MERGES if merges is None else merges
+    inv = {tid: sym for sym, tid in bpe_vocab(merges).items()}
+    mapping = F.create_map(*[F.lit(v) for pair in inv.items() for v in pair])
+    ids = F.split(F.col(ids_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(
+                ids,
+                lambda s: F.coalesce(
+                    F.try_element_at(mapping, s.try_cast("int")), F.lit(unknown)
+                ),
+            ),
+            "",
+        ).alias("decoded"),
+    )
+
+
 def bpe_encode_broadcast(
     df: DataFrame,
     merges: list[tuple[str, str]] | None = None,

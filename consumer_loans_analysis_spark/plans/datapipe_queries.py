@@ -2444,3 +2444,74 @@ def pipe2_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq_md5"),
         )
     )
+
+
+def _t16_oracle() -> str:
+    """t16 oracle: t14's BPE tokenization (nested CTE), a literal
+    id→symbol decode CASE (the inverse of _bpe_sql's encode CASE), and
+    the lossy-roundtrip expectation — pretoken concatenation with every
+    out-of-vocab character replaced by '?'."""
+    from consumer_loans_analysis_spark.operators.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_vocab,
+    )
+
+    decode_cases = " ".join(
+        f"WHEN '{tid}' THEN '{sym}'"
+        for sym, tid in bpe_vocab(DEFAULT_BPE_MERGES).items()
+    )
+    return f"""
+    WITH enc AS ({_bpe_sql()}),
+    dec AS (
+      SELECT doc_id,
+        list_aggregate(
+          list_transform(string_split(token_str, ' '),
+                         s -> CASE s {decode_cases} ELSE '?' END),
+          'string_agg', '') AS decoded
+      FROM enc
+    ),
+    exp AS (
+      SELECT doc_id,
+        regexp_replace(
+          list_aggregate(regexp_extract_all(text, '{_T10_PATTERN}'),
+                         'string_agg', ''),
+          '[^a-z]', '?', 'g') AS expected
+      FROM documents
+    )
+    SELECT d.doc_id, md5(d.decoded) AS decoded_fp, md5(e.expected) AS expected_fp,
+      (d.decoded = e.expected) AS roundtrip_ok
+    FROM dec d JOIN exp e USING (doc_id)
+    """
+
+
+@query("t16_bpe_roundtrip", oracle=_t16_oracle())
+def t16_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detokenize + roundtrip integrity: decode(encode(doc)) must equal
+    the pretoken concatenation with out-of-vocab characters replaced by
+    '?' (encode wraps each character as a symbol, so each unknown char
+    becomes exactly one -1 id). ``text.bpe_decode`` is the inspect/debug
+    surface every training-corpus pipeline needs (audit by sampling
+    decoded sequences); this query pins that encode is invertible on the
+    in-vocab subset — a dropped/duplicated/misordered token anywhere in
+    the encode path breaks the fingerprint equality. Map-only both
+    halves; one doc-level equi-join."""
+    docs = read_table(spark, sf_dir, "documents")
+    enc = text.bpe_encode_broadcast(docs)
+    dec = text.bpe_decode(enc)
+    expected = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.array_join(
+                F.regexp_extract_all(F.col("text"), F.lit(_T10_PATTERN), F.lit(0)),
+                "",
+            ),
+            "[^a-z]",
+            "?",
+        ).alias("expected"),
+    )
+    return dec.join(expected, "doc_id").select(
+        "doc_id",
+        F.md5("decoded").alias("decoded_fp"),
+        F.md5("expected").alias("expected_fp"),
+        (F.col("decoded") == F.col("expected")).alias("roundtrip_ok"),
+    )

@@ -977,3 +977,18 @@ def test_kmeans_assign_matches_mllib_transform(spark, sf_dir):
         curation.kmeans_assign(F.col("uv"), cents).alias("expr_bucket"),
     )
     assert both.filter(F.col("mllib_bucket") != F.col("expr_bucket")).count() == 0
+
+
+def test_bpe_decode_inverts_encode(spark):
+    """decode(encode(x)) == pretoken concatenation with out-of-vocab
+    chars replaced by '?' — exact on the in-vocab subset, one '?' per
+    unknown CHARACTER (encode wraps each char as one symbol)."""
+    docs = spark.createDataFrame(
+        [(0, "the table tab ble"), (1, "ab7cd ef!gh"), (2, "zzz")],
+        "doc_id long, text string",
+    )
+    enc = text.bpe_encode_broadcast(docs)
+    got = {r["doc_id"]: r["decoded"] for r in text.bpe_decode(enc).collect()}
+    assert got[0] == "thetabletabble"
+    assert got[1] == "ab?cdef?gh"  # digit and '!' each -> one '?'
+    assert got[2] == "zzz"
