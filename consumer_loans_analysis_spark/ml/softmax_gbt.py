@@ -409,7 +409,8 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
     featureSubsetStrategy = Param(Params._dummy(), "featureSubsetStrategy", "per-NODE feature subsampling for the residual trees ('all' = off; else any MLlib RandomForest strategy, e.g. '0.84', 'sqrt'). MLlib resamples the subset at every node — a stronger regularizer than XGBoost's per-tree colsample_bytree, closer to colsample_bynode.", TypeConverters.toString)
     dropoutRate = Param(Params._dummy(), "dropoutRate", "DART per-tree dropout probability (0.0 = plain boosting). Each round drops every prior tree-round independently with this probability before computing residuals; weights follow XGBoost dart normalize_type='tree': new round weight 1/(k+lr), dropped rounds scaled by k/(k+lr), k = #dropped (k=0 falls back to a standard shrinkage-lr round).", TypeConverters.toFloat)
     validationFraction = Param(Params._dummy(), "validationFraction", "held-out fraction for out-of-fold deviance tracking (0.0 = off). The split is a DETERMINISTIC feature-hash (xxhash64 of the feature array + seed): identical feature rows land on the same side (no twin leakage) and the split replays under any partitioning. Held-out rows are excluded from tree fits AND Newton gammas; priors use all rows.", TypeConverters.toFloat)
-    earlyStoppingRounds = Param(Params._dummy(), "earlyStoppingRounds", "stop when held-out multinomial deviance has not improved for this many consecutive rounds, then truncate the model to the best round (XGBoost early_stopping_rounds semantics; prefix-nesting makes the truncation exact). 0 = never stop (validationFraction alone just tracks/holds out). Requires validationFraction > 0; incompatible with dropoutRate > 0.", TypeConverters.toInt)
+    earlyStoppingRounds = Param(Params._dummy(), "earlyStoppingRounds", "stop when the held-out validationMetric has not improved for this many consecutive rounds, then truncate the model to the best round (XGBoost early_stopping_rounds semantics; prefix-nesting makes the truncation exact). 0 = never stop (validationFraction alone just tracks/holds out). Requires validationFraction > 0; incompatible with dropoutRate > 0.", TypeConverters.toInt)
+    validationMetric = Param(Params._dummy(), "validationMetric", "'deviance' (multinomial NLL) or 'error' (1 - holdout accuracy, argmax F vs label). Deviance is the boosting objective but bottoms out EARLY on overfit-prone configs while accuracy still climbs (over-confidence inflates NLL without flipping argmaxes — measured on the ECON imputer: deviance stops at ~24 rounds and costs 0.028 micro-F1); use 'error' when the downstream metric is accuracy-like.", TypeConverters.toString)
 
     @keyword_only
     def __init__(self, featuresCol: str = "features", labelCol: str = "label",
@@ -421,7 +422,8 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                  featureSubsetStrategy: str = "all",
                  dropoutRate: float = 0.0,
                  validationFraction: float = 0.0,
-                 earlyStoppingRounds: int = 0):
+                 earlyStoppingRounds: int = 0,
+                 validationMetric: str = "deviance"):
         super().__init__()
         self._set(featuresCol=featuresCol, labelCol=labelCol,
                   predictionCol=predictionCol, scoresCol=scoresCol,
@@ -432,7 +434,8 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
                   featureSubsetStrategy=featureSubsetStrategy,
                   dropoutRate=dropoutRate,
                   validationFraction=validationFraction,
-                  earlyStoppingRounds=earlyStoppingRounds)
+                  earlyStoppingRounds=earlyStoppingRounds,
+                  validationMetric=validationMetric)
 
     def _fit(self, df: DataFrame) -> SoftmaxGBTModel:
         from pyspark.ml.functions import vector_to_array
@@ -471,6 +474,9 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
         n_fit_threads = min(K, g(self.parallelism))
         vf = g(self.validationFraction)
         es_rounds = g(self.earlyStoppingRounds)
+        es_metric = g(self.validationMetric)
+        if es_metric not in ("deviance", "error"):
+            raise ValueError(f"validationMetric must be deviance | error, got {es_metric!r}")
         if es_rounds > 0 and vf <= 0.0:
             raise ValueError("earlyStoppingRounds requires validationFraction > 0")
         if vf > 0.0 and dropout > 0.0:
@@ -644,22 +650,31 @@ class SoftmaxGBTClassifier(Estimator, DefaultParamsReadable, DefaultParamsWritab
             # no improvement for es_rounds consecutive rounds, truncate
             # to the best round after the loop (exact: prefix-nesting)
             if vf > 0.0:
-                _mx = F.array_max(F.col("_F"))
-                _lse = _mx + F.log(
-                    F.aggregate(
-                        F.transform(F.col("_F"), lambda v: F.exp(v - _mx)),
+                if es_metric == "error":
+                    # holdout error rate: argmax F (first max — the same
+                    # tie-break transform() uses) vs the one-hot label
+                    _crit = (
+                        F.array_position(F.col("_F"), F.array_max(F.col("_F")))
+                        != F.array_position(F.col("_y"), F.lit(1.0))
+                    ).cast("double")
+                else:
+                    _mx = F.array_max(F.col("_F"))
+                    _lse = _mx + F.log(
+                        F.aggregate(
+                            F.transform(F.col("_F"), lambda v: F.exp(v - _mx)),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                    )
+                    _fy = F.aggregate(
+                        F.zip_with(F.col("_y"), F.col("_F"), lambda yy, ff: yy * ff),
                         F.lit(0.0),
                         lambda a, x: a + x,
                     )
-                )
-                _fy = F.aggregate(
-                    F.zip_with(F.col("_y"), F.col("_F"), lambda yy, ff: yy * ff),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
+                    _crit = _lse - _fy
                 row = (
                     frame.filter(F.col("_holdout"))
-                    .agg(F.avg(_lse - _fy).alias("d"))
+                    .agg(F.avg(_crit).alias("d"))
                     .first()
                 )
                 dev = row["d"] if row is not None else None

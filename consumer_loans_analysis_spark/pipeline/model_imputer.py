@@ -177,6 +177,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
     dropoutRate = Param(Params._dummy(), "dropoutRate", "gbt_softmax DART per-tree dropout rate (0 = plain boosting)", TypeConverters.toFloat)
     validationFraction = Param(Params._dummy(), "validationFraction", "gbt_softmax OOF holdout fraction (0 = off); see SoftmaxGBTClassifier.validationFraction", TypeConverters.toFloat)
     earlyStoppingRounds = Param(Params._dummy(), "earlyStoppingRounds", "gbt_softmax OOF early-stopping patience (0 = off); requires validationFraction > 0", TypeConverters.toInt)
+    validationMetric = Param(Params._dummy(), "validationMetric", "gbt_softmax OOF stopping metric: deviance | error", TypeConverters.toString)
     hiddenLayers = Param(Params._dummy(), "hiddenLayers", "JSON [width] for mlp", TypeConverters.toString)
     seedBag = Param(Params._dummy(), "seedBag", "members in the seed-bagged soft vote (1 = single model)", TypeConverters.toInt)
 
@@ -192,6 +193,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                  dropoutRate: float = 0.0,
                  validationFraction: float = 0.0,
                  earlyStoppingRounds: int = 0,
+                 validationMetric: str = "deviance",
                  hiddenLayers: list[int] | None = None,
                  seedBag: int = 1):
         super().__init__()
@@ -205,7 +207,8 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                   stepSize=stepSize, regLambda=regLambda,
                   dropoutRate=dropoutRate, seedBag=seedBag,
                   validationFraction=validationFraction,
-                  earlyStoppingRounds=earlyStoppingRounds)
+                  earlyStoppingRounds=earlyStoppingRounds,
+                  validationMetric=validationMetric)
         self._set_json(self.excludePrefixes, excludePrefixes or [])
         self._set_json(self.hiddenLayers, hiddenLayers or [64])
 
@@ -326,6 +329,7 @@ class ModelImputer(Estimator, _JsonParamMixin, DefaultParamsReadable, DefaultPar
                     dropoutRate=self.getOrDefault(self.dropoutRate),
                     validationFraction=self.getOrDefault(self.validationFraction),
                     earlyStoppingRounds=self.getOrDefault(self.earlyStoppingRounds),
+                    validationMetric=self.getOrDefault(self.validationMetric),
                     **extra,
                 )
             else:

@@ -33,7 +33,11 @@ from consumer_loans_analysis_spark.sources.readers import read_loans_csv
 
 TARGET = "ECONOMIC_SECTOR"
 PARAMS = {"maxDepth": 7, "maxIter": 100, "stepSize": 0.2}
-ES = {"validationFraction": 0.1, "earlyStoppingRounds": 8}
+# wave 2 (pre-committed before the run): deviance stopping measured
+# 0.4819 @ 357 s (recorded) — deviance bottoms ~24 rounds while accuracy
+# still climbs; switch the criterion to holdout ERROR with patience 10
+ES = {"validationFraction": 0.1, "earlyStoppingRounds": 10,
+      "validationMetric": "error"}
 BAG = 5
 BASE_SEED = 42
 
@@ -66,7 +70,7 @@ def main() -> None:
     )
 
     record = {
-        "probe": "econ_seedbag_earlystop",
+        "probe": "econ_seedbag_earlystop_wave2",
         "config": {**PARAMS, **ES, "seedBag": BAG, "seed": BASE_SEED},
         "layout": "pin_layout(parts=8, seed=7) on prepared train",
         "valid_micro_f1": f1,

@@ -1107,3 +1107,40 @@ def test_early_stopping_equals_truncated_fit(spark):
         SoftmaxGBTClassifier(
             validationFraction=0.2, dropoutRate=0.5
         ).fit(data)
+
+
+def test_early_stopping_error_metric(spark):
+    """validationMetric='error' stops on holdout error rate instead of
+    deviance (the deviance/accuracy divergence fix — measured on the ECON
+    imputer, deviance bottoms ~24 rounds while accuracy still climbs).
+    Same exactness contract: truncation equals the shorter plain fit."""
+    import pytest as _pytest
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.ml.softmax_gbt import SoftmaxGBTClassifier
+
+    df = (
+        spark.range(400)
+        .select((F.rand(1) * 4 - 2).alias("x0"), (F.rand(2) * 4 - 2).alias("x1"))
+        .withColumn(
+            "label",
+            F.when(F.rand(3) < 0.25, (F.floor(F.rand(4) * 3)).cast("double"))
+            .when(F.col("x0") * F.col("x1") > 0.5, 2.0)
+            .when(F.col("x0") + F.col("x1") < -1, 1.0)
+            .otherwise(0.0),
+        )
+    )
+    data = VectorAssembler(inputCols=["x0", "x1"], outputCol="features").transform(df)
+    common = dict(maxDepth=4, stepSize=0.6, seed=11, validationFraction=0.3,
+                  validationMetric="error")
+    a = SoftmaxGBTClassifier(maxIter=15, earlyStoppingRounds=3, **common).fit(data)
+    kept = a._oof_rounds_kept
+    assert 1 <= kept <= 15
+    b = SoftmaxGBTClassifier(maxIter=kept, earlyStoppingRounds=0, **common).fit(data)
+    assert a.getOrDefault(a.modelJson) == b.getOrDefault(b.modelJson)
+
+    with _pytest.raises(ValueError, match="deviance \\| error"):
+        SoftmaxGBTClassifier(
+            validationFraction=0.2, validationMetric="f1"
+        ).fit(data)
