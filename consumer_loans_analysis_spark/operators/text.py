@@ -765,6 +765,90 @@ def bpe_train(
     return merges
 
 
+def bpe_train_incremental(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    pretoken_pattern: str = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+",
+) -> list[tuple[str, str, int]]:
+    """``bpe_train`` with pair-count REUSE — the batch-merge upgrade path
+    its docstring describes, implemented (the fastBPE / HF-trainer
+    strategy). Output is IDENTICAL to ``bpe_train`` (same objective, same
+    (count desc, l, r) tie-break — pinned by pytest equality and by t15b
+    sharing t15's full-value DuckDB oracle).
+
+    Why it scales where ``bpe_train`` doesn't: the per-rank full pair
+    count is an explode+groupBy over EVERY adjacent symbol pair in the
+    corpus — a corpus-token-scale shuffle per merge rank, ~50k of them
+    for a production vocab. Merging pair (l, r) only changes counts of
+    pairs ADJACENT to an (l, r) occurrence, so this trainer materializes
+    the pair-count table ONCE and then per rank:
+
+    1. argmax from the COUNTS table (tiny TakeOrdered — no corpus scan);
+    2. delta-aggregate over the AFFECTED rows only
+       (``contains(state, pat)`` filter — a predicate scan, no shuffle of
+       unaffected rows): new-state pairs minus old-state pairs;
+    3. fold the delta into the counts table (bounded-vocabulary shuffle)
+       and apply the merge to the state with one map-side replace.
+
+    Per-rank shuffle volume drops from O(corpus tokens) to O(affected
+    pairs) + O(vocab²-bounded counts) — on skewed rank-frequency corpora
+    (all real text) affected rows shrink rapidly with rank. Exactness is
+    structural, not sampled: the counts table is exact bookkeeping, so
+    the argmax sequence — and therefore the merge table — is the
+    canonical Sennrich one at every rank.
+    """
+    sep = "\x01"
+    pretoks = F.regexp_extract_all(F.col(text_col), F.lit(pretoken_pattern), F.lit(0))
+    state = df.select(F.explode(pretoks).alias("w")).select(
+        F.concat(
+            F.lit(sep), F.array_join(F.split("w", ""), sep + sep), F.lit(sep)
+        ).alias("state")
+    ).localCheckpoint()
+
+    def pair_counts(frame: DataFrame, sign: int) -> DataFrame:
+        syms = F.split(F.btrim(F.col("state"), F.lit(sep)), sep + sep)
+        staged = frame.select(syms.alias("_syms"))
+        pairs = staged.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("_syms", 1, F.size("_syms") - 1),
+                    F.slice("_syms", 2, F.size("_syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p")
+        )
+        return pairs.groupBy("p.l", "p.r").agg(
+            (F.count(F.lit(1)) * sign).alias("n")
+        )
+
+    counts = pair_counts(state, 1).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = counts.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((l, r, int(n)))
+        pat, rep = f"{sep}{l}{sep}{sep}{r}{sep}", f"{sep}{l}{r}{sep}"
+        affected = state.filter(F.contains(F.col("state"), F.lit(pat)))
+        replaced = affected.select(
+            F.replace("state", F.lit(pat), F.lit(rep)).alias("state")
+        )
+        counts = (
+            counts.unionByName(pair_counts(replaced, 1))
+            .unionByName(pair_counts(affected, -1))
+            .groupBy("l", "r")
+            .agg(F.sum("n").alias("n"))
+            .filter(F.col("n") > 0)
+            .localCheckpoint()
+        )
+        state = state.select(
+            F.replace("state", F.lit(pat), F.lit(rep)).alias("state")
+        ).localCheckpoint()
+    return merges
+
+
 # --- Misra-Gries heavy-hitter candidates (mergeable summaries) ---------------
 
 def _mg_merge(summary: dict, counts, k: int) -> dict:

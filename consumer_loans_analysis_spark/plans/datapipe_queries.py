@@ -2515,3 +2515,22 @@ def t16_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("expected").alias("expected_fp"),
         (F.col("decoded") == F.col("expected")).alias("roundtrip_ok"),
     )
+
+
+@query("t15b_bpe_train_incremental", oracle=_bpe_train_sql())
+def t15b_bpe_train_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t15's scale path: BPE training with pair-count REUSE
+    (``text.bpe_train_incremental``) — the counts table is materialized
+    once, each rank argmaxes it and folds in a delta aggregated over the
+    AFFECTED rows only, instead of re-counting every adjacent pair in
+    the corpus per rank (t15's per-rank corpus-scale shuffle; ~50k of
+    them for a production vocabulary). Exact bookkeeping, so the merge
+    table is the canonical Sennrich one — the SAME full-value oracle as
+    t15 hash-checks every (rank, lhs, rhs, pair_count) row, and pytest
+    pins trainer-vs-trainer equality."""
+    docs = read_table(spark, sf_dir, "documents")
+    merges = text.bpe_train_incremental(docs, n_merges=_T15_ROUNDS)
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )

@@ -992,3 +992,15 @@ def test_bpe_decode_inverts_encode(spark):
     assert got[0] == "thetabletabble"
     assert got[1] == "ab?cdef?gh"  # digit and '!' each -> one '?'
     assert got[2] == "zzz"
+
+
+def test_bpe_train_incremental_equals_full_recount(spark, sf_dir):
+    """The pair-count-reuse trainer must produce the IDENTICAL merge
+    table (ranks, pairs, counts) to the per-rank full recount — the
+    delta bookkeeping is exact, not approximate."""
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    full = text.bpe_train(docs, n_merges=6)
+    inc = text.bpe_train_incremental(docs, n_merges=6)
+    assert inc == full
