@@ -721,10 +721,13 @@ def bpe_train(
     update only the counts of pairs ADJACENT to an (l, r) occurrence
     (merging touches no other pair), so one scan amortizes over many
     ranks and the corpus is re-read only when accumulated deltas exceed
-    a rescan budget. That turns 50k jobs into ~corpus-scans + cheap
-    delta aggregations, at the cost of exactly-Sennrich tie-order only
-    WITHIN a delta batch (re-sync each rescan). Not implemented here —
-    the oracle pins the canonical per-round semantics.
+    a rescan budget. IMPLEMENTED as ``bpe_train_incremental`` (t15b) in
+    the exact rank-by-rank form — counts maintained incrementally,
+    argmax per rank, affected-rows-only deltas — which keeps canonical
+    Sennrich tie-order at every rank (same oracle as t15, pytest
+    equality) while dropping the per-rank shuffle from corpus-scale to
+    affected-pairs-scale. This full-recount variant stays as the
+    oracle-shaped reference implementation.
     """
     sep = "\x01"
     pretoks = F.regexp_extract_all(F.col(text_col), F.lit(pretoken_pattern), F.lit(0))
