@@ -2534,3 +2534,90 @@ def t15b_bpe_train_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "merge_rank int, lhs string, rhs string, pair_count bigint",
     )
+
+
+@query(
+    "sk5_streaming_mg_heavy_hitters",
+    oracle=f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM w)
+    SELECT word, COUNT(*) AS exact_n,
+      ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6) AS share
+    FROM w GROUP BY word
+    HAVING COUNT(*) >= {_CMS_PHI} * (SELECT n FROM tot)
+    """,
+)
+def sk5_streaming_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sk4 STREAMED: the same φ-heavy answer produced with the corpus
+    arriving as three micro-batches through per-group Misra-Gries STATE
+    (``streaming/stateful.py::streaming_mg_candidates`` — vocabulary
+    hash-sharded into 8 groups, O(k)=64 counters per group maintained
+    across batches by the mergeable-summaries rule). The final candidate
+    union is a guaranteed superset of the φ-heavy vocabulary regardless
+    of arrival order (the sharded retention floor N_g/(k+1) ≤ N/(k+1) <
+    φN for k ≥ 1/φ), so one exact verification pass recovers EXACTLY the
+    brute-force heavy set — which is why the same plain-SQL frequency
+    filter that oracles sk4 oracles a stateful-streaming answer at full
+    value fidelity. Heavy-hitters-on-ingest is the production shape for
+    corpus vocabulary monitoring: state is n_groups·k counters, constant
+    in stream length."""
+    import shutil
+    import tempfile
+
+    from consumer_loans_analysis_spark.streaming.events import run_foreach_batch
+    from consumer_loans_analysis_spark.streaming.stateful import (
+        streaming_mg_candidates,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="stream_mg_")
+    try:
+        src = f"{work}/chunks"
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        latest: dict[int, tuple[int, dict]] = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                n, cand = latest.get(r["grp"], (0, {}))
+                if r["stream_n"] >= n:
+                    if r["stream_n"] > n:
+                        cand = {}
+                    cand[r["word"]] = r["mg_count"]
+                    latest[r["grp"]] = (r["stream_n"], cand)
+
+        run_foreach_batch(
+            streaming_mg_candidates(stream, k=64, n_groups=8),
+            sink,
+            checkpoint_dir=f"{work}/ckpt",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    cands = sorted(set().union(*[set(c) for _, c in latest.values()]) or set())
+    if not cands:
+        return spark.createDataFrame(
+            [], "word string, exact_n bigint, share double"
+        )
+    toks = docs.select(F.explode(text.words(F.col("text"))).alias("word"))
+    cand_df = spark.createDataFrame([(w,) for w in cands], "word string")
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cand_df), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact_n") >= F.lit(_CMS_PHI) * F.col("n"))
+        .select(
+            "word",
+            "exact_n",
+            F.round(F.col("exact_n") / F.col("n"), 6).alias("share"),
+        )
+    )

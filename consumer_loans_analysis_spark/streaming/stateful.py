@@ -17,8 +17,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -186,3 +188,92 @@ def run_transform_with_state(events: DataFrame, k: int = 3):
         "RocksDBStateStoreProvider",
     )
     return user_recent_mean(events, k)
+
+
+# --- streaming Misra-Gries heavy-hitter candidates ---------------------------
+
+MG_CANDIDATES_SCHEMA = StructType(
+    [
+        StructField("grp", LongType()),
+        StructField("word", StringType()),
+        StructField("mg_count", LongType()),
+        StructField("stream_n", LongType()),
+    ]
+)
+
+_MG_STATE_SCHEMA = StructType(
+    [
+        StructField("words", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def streaming_mg_candidates(
+    docs: DataFrame, k: int = 64, n_groups: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """sk4's streaming twin: φ-heavy-hitter CANDIDATES over an unbounded
+    document stream via per-group Misra-Gries state (the continuous
+    complement of ``text.mg_heavy_hitters``' per-partition pass).
+
+    Tokens are hash-salted into ``n_groups`` disjoint vocabulary shards
+    (every occurrence of a word lands in ONE group), and each group
+    maintains an O(k) MG summary across micro-batches with the same
+    Agarwal et al. merge rule as the batch operator. The superset
+    guarantee strengthens under sharding: a φ-heavy word (count ≥ φN)
+    survives its group's retention floor N_g/(k+1) ≤ N/(k+1) < φN for
+    k ≥ 1/φ, so the final candidate union (≤ n_groups·k words) contains
+    every φ-heavy word of the WHOLE stream — exact verification is then
+    one bounded batch join, exactly as in sk4. Each update also emits the
+    group's running token total (``stream_n``), so a consumer can both
+    select the LATEST summary per group (max stream_n) and assemble the
+    global φ threshold (Σ_g stream_n) without a second pass.
+
+    State is n_groups × O(k) rows — constant in stream length; groups
+    hash-partition across executors like any keyed state.
+    """
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.operators.text import _mg_merge, words
+
+    toks = (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.col("word").isNotNull())
+        .withColumn("grp", F.pmod(F.xxhash64("word"), F.lit(n_groups)))
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (grp,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout below
+            state.remove()
+            return
+        if state.exists:
+            ws, cs, n = state.get
+            summary = dict(zip(ws, cs))
+        else:
+            summary, n = {}, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            summary = _mg_merge(summary, pdf["word"].value_counts(), k)
+        state.update(
+            (list(summary), [int(c) for c in summary.values()], int(n))
+        )
+        yield pd.DataFrame(
+            {
+                "grp": grp,
+                "word": list(summary),
+                "mg_count": [int(c) for c in summary.values()],
+                "stream_n": int(n),
+            }
+        )
+
+    return toks.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType=MG_CANDIDATES_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

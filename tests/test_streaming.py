@@ -393,3 +393,68 @@ def test_corpus_out_of_order_replay_safe(spark, sf_dir, tmp_path):
     )
     assert pairs_after.count() == n_before
     assert pairs_after.distinct().count() == n_before
+
+
+def test_streaming_mg_candidates_superset_across_batches(spark, sf_dir, tmp_path):
+    """sk4's streaming twin: per-group MG state maintained across
+    MULTIPLE micro-batches must end with a candidate union that is a
+    superset of the whole corpus's φ-heavy words, so one exact batch
+    join recovers exactly the brute-force heavy set — the same
+    partition-independence contract as the batch operator, now over
+    arrival order. Documents are re-written as 4 parquet files and
+    streamed one file per trigger to force real cross-batch state."""
+    from consumer_loans_analysis_spark.operators.text import words
+    from consumer_loans_analysis_spark.sources.readers import read_table
+    from consumer_loans_analysis_spark.streaming.stateful import (
+        streaming_mg_candidates,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    latest: dict[int, tuple[int, dict]] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            n, cand = latest.get(r["grp"], (0, {}))
+            if r["stream_n"] >= n:
+                if r["stream_n"] > n:
+                    cand = {}
+                cand[r["word"]] = r["mg_count"]
+                latest[r["grp"]] = (r["stream_n"], cand)
+
+    run_foreach_batch(
+        streaming_mg_candidates(stream, k=64, n_groups=8),
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt_mg"),
+    )
+
+    toks = docs.select(F.explode(words(F.col("text"))).alias("word"))
+    total = toks.count()
+    phi = 0.005
+    want = {
+        r["word"]: r["n"]
+        for r in toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= phi * total)
+        .collect()
+    }
+    assert want, "fixture sanity: some phi-heavy words exist"
+    candidates = set().union(*[set(c) for _, c in latest.values()])
+    assert set(want) <= candidates, set(want) - candidates
+    # exact verification over the bounded candidate set == brute force
+    got = {
+        r["word"]: r["n"]
+        for r in toks.filter(F.col("word").isin(*candidates))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= phi * total)
+        .collect()
+    }
+    assert got == want
+    # state stayed bounded: <= n_groups * k candidate words
+    assert len(candidates) <= 8 * 64
