@@ -295,9 +295,17 @@ def ivf_topk(
 
     Scale shape: the corpus is scored against ~n_probe/n_lists of its rows
     (an equi-join on list id) instead of all of them; centroids (n_lists ×
-    dim floats) are driver-small and broadcast inside the probe-assignment
-    expressions. Recall rises with n_probe → n_lists gives exact search.
-    Train cost is one MLlib KMeans fit (sampled at true scale).
+    dim floats) are driver-small and live inside BOTH the corpus
+    assignment and the query probe as literal expressions. Train cost is
+    one bounded deterministic sample (the ``fit_sample`` hash-smallest
+    rows, one TakeOrdered job) + a seeded driver-side numpy
+    k-means++/Lloyd fit — the same sample-fit contract as ``pq_topk``
+    (r9; replaces the full-corpus MLlib fit, which cost a distributed
+    job set per construction and would re-cluster 100 TB to learn a
+    16KB quantizer). Recall rises with n_probe → n_lists gives exact
+    search. Past ~64 lists move the assignment argmin from the
+    expression form to an Arrow-batched pandas UDF (expression size
+    grows linearly with n_lists).
 
     Spherical variant: vectors are L2-normalized before clustering and
     probing, so euclidean-nearest-list == cosine-nearest-list (plain L2
@@ -310,12 +318,11 @@ def ivf_topk(
     """
     import math
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     if n_lists is None:
         # √n default needs one count() action; pass n_lists explicitly to
-        # skip it (the KMeans fit below is a training action either way —
+        # skip it (the sample fit below is a training action either way —
         # this function is a fit+query, not a pure plan builder).
         n_lists = max(2, int(math.sqrt(corpus.count())))
 
@@ -324,24 +331,35 @@ def ivf_topk(
 
     # zero-norm vectors have no direction: their cosine to anything is
     # undefined, so they can neither be ranked nor rank others — exclude
-    # them up front (also keeps null unit-elements out of KMeans.fit,
-    # which would otherwise crash opaquely). Test corpora contain none,
-    # so the SQL oracles (where a zero-norm row would surface as a
-    # NULL-cos candidate sorted last) are unaffected.
+    # them up front (also keeps null unit-elements out of the quantizer
+    # fit). Test corpora contain none, so the SQL oracles (where a
+    # zero-norm row would surface as a NULL-cos candidate sorted last)
+    # are unaffected.
     corpus = corpus.filter(_norm(F.col(vec_col)) > 0)
     queries = queries.filter(_norm(F.col(vec_col)) > 0)
-    c_vec = corpus.select(
+
+    # spherical coarse quantizer fitted on a bounded deterministic sample
+    # (hash-smallest ids; partition-layout-independent — see pq_topk)
+    fit_sample = 16384
+    samp = (
+        corpus.select(F.col(id_col).alias("sid"), unit(F.col(vec_col)).alias("u"))
+        .orderBy(F.pmod(F.xxhash64("sid"), F.lit(1_000_003)).asc(),
+                 F.col("sid").asc())
+        .limit(fit_sample)
+        .collect()
+    )
+    Xs = np.asarray([r["u"] for r in samp], dtype=np.float64)
+    centroids = [
+        [float(x) for x in c] for c in _kmeanspp_lloyd(Xs, n_lists, seed)
+    ]
+
+    from consumer_loans_analysis_spark.operators.curation import kmeans_assign
+
+    assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        array_to_vector(unit(F.col(vec_col))).alias("features"),
+        kmeans_assign(unit(F.col(vec_col)), centroids).alias("list_id"),
     )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id")
-    model = km.fit(c_vec)
-    assigned = model.transform(c_vec).select("neighbor_id", "c_vec", "list_id")
-
-    # nearest n_probe centroids per query, as expressions over the (small)
-    # broadcastable centroid literal array
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     dists = F.array(
         *[

@@ -256,3 +256,21 @@ def test_cosine_topk_has_no_corpus_window(spark, sf_dir):
     # already-small survivor set)
     assert plan.count("Window [") == 1, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_ann_merge_windows_have_group_limit(spark, sf_dir):
+    """sim2/sim3/sim5's rank<=k merge windows must carry WindowGroupLimit
+    (Spark's partial per-partition top-k before the exchange) — without
+    it every scored candidate row shuffles and sorts in full. Pins the
+    optimizer shape so a refactor that breaks the row_number()<=k
+    rewrite pattern (e.g. ranking on a derived column the optimizer
+    can't see through) is caught structurally."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus, queries = emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5)
+    plans = {
+        "bucketed": _plan(similarity.bucketed_topk(corpus, queries, k=3)),
+        "ivf": _plan(similarity.ivf_topk(corpus, queries, k=5, n_lists=4, n_probe=2)),
+        "pq": _plan(similarity.pq_topk(corpus, queries, k=5, m_subs=16, ks=16)),
+    }
+    for name, plan in plans.items():
+        assert "WindowGroupLimit" in plan, (name, plan)
