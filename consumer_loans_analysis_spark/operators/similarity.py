@@ -289,6 +289,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse quantizer over
     the corpus, then each query probes only its ``n_probe`` nearest lists.
@@ -315,12 +316,23 @@ def ivf_topk(
     from both corpus and queries (cosine is undefined for them), so the
     output may contain fewer distinct ``query_id``s than the input — a
     zero-norm query produces no rows rather than null-cosine rows.
+
+    Pinned-quantizer mode: pass ``centroids`` to skip the fit entirely and
+    route with a FROZEN coarse quantizer (the production shape — quantizers
+    are trained once and shipped; FAISS's index_factory does the same).
+    With literal centroids every step of the query — assignment, probe
+    ranking, pruning — is a deterministic, SQL-expressible function of the
+    data, which is what gives ``sim3b_ivf_pinned_topk`` a full DuckDB hash
+    oracle over the APPROXIMATE 3-of-8-probe path (sim4 only oracles the
+    exhaustive-probe twin).
     """
     import math
 
     import numpy as np
 
-    if n_lists is None:
+    if centroids is not None:
+        n_lists = len(centroids)
+    elif n_lists is None:
         # √n default needs one count() action; pass n_lists explicitly to
         # skip it (the sample fit below is a training action either way —
         # this function is a fit+query, not a pure plan builder).
@@ -338,20 +350,21 @@ def ivf_topk(
     corpus = corpus.filter(_norm(F.col(vec_col)) > 0)
     queries = queries.filter(_norm(F.col(vec_col)) > 0)
 
-    # spherical coarse quantizer fitted on a bounded deterministic sample
-    # (hash-smallest ids; partition-layout-independent — see pq_topk)
-    fit_sample = 16384
-    samp = (
-        corpus.select(F.col(id_col).alias("sid"), unit(F.col(vec_col)).alias("u"))
-        .orderBy(F.pmod(F.xxhash64("sid"), F.lit(1_000_003)).asc(),
-                 F.col("sid").asc())
-        .limit(fit_sample)
-        .collect()
-    )
-    Xs = np.asarray([r["u"] for r in samp], dtype=np.float64)
-    centroids = [
-        [float(x) for x in c] for c in _kmeanspp_lloyd(Xs, n_lists, seed)
-    ]
+    if centroids is None:
+        # spherical coarse quantizer fitted on a bounded deterministic sample
+        # (hash-smallest ids; partition-layout-independent — see pq_topk)
+        fit_sample = 16384
+        samp = (
+            corpus.select(F.col(id_col).alias("sid"), unit(F.col(vec_col)).alias("u"))
+            .orderBy(F.pmod(F.xxhash64("sid"), F.lit(1_000_003)).asc(),
+                     F.col("sid").asc())
+            .limit(fit_sample)
+            .collect()
+        )
+        Xs = np.asarray([r["u"] for r in samp], dtype=np.float64)
+        centroids = [
+            [float(x) for x in c] for c in _kmeanspp_lloyd(Xs, n_lists, seed)
+        ]
 
     from consumer_loans_analysis_spark.operators.curation import kmeans_assign
 
@@ -361,10 +374,18 @@ def ivf_topk(
         kmeans_assign(unit(F.col(vec_col)), centroids).alias("list_id"),
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # probe ranking uses the SAME ‖c‖² − 2·u·c form as the assignment (for
+    # unit u it equals sq_l2 minus the constant 1, so the ranking is
+    # identical) — one portable formula for both sides is what the sim3b
+    # DuckDB oracle restates verbatim over the same literals.
     dists = F.array(
         *[
             F.struct(
-                sq_l2(unit(F.col("q_vec")), F.array(*[F.lit(x) for x in c])).alias("d"),
+                (
+                    F.lit(float(sum(x * x for x in c)))
+                    - 2.0
+                    * _dot(unit(F.col("q_vec")), F.array(*[F.lit(float(x)) for x in c]))
+                ).alias("d"),
                 F.lit(i).alias("list_id"),
             )
             for i, c in enumerate(centroids)

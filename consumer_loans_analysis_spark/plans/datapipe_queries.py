@@ -698,6 +698,86 @@ def sim4_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos", F.round(F.col("cos"), 6))
 
 
+def _sim3b_oracle() -> str:
+    """sim3b oracle with the PINNED IVF centroids as SQL literals: corpus
+    assignment (argmin over ‖c‖² − 2·u·c, ties to lowest list id — d11b's
+    proven form), the query's 3-of-8 probe ranking (same distances, ROW_NUMBER
+    over d ASC, list ASC ≡ Spark's array_sort of (d, list_id) structs), the
+    pruned list equi-join, and the exact-cosine top-5 window. repr() round-
+    trips doubles, so both engines evaluate the identical IEEE754 values."""
+    from consumer_loans_analysis_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    n = len(IVF_CENTROIDS)
+    dist = []
+    for i, c in enumerate(IVF_CENTROIDS):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        cn = repr(float(sum(x * x for x in c)))
+        dist.append(f"{cn} - 2 * list_dot_product(uv, {lit}) AS d{i}")
+    case = " ".join(
+        f"WHEN d{i} <= LEAST({', '.join(f'd{j}' for j in range(i + 1, n))}) "
+        f"THEN {i}"
+        for i in range(n - 1)
+    )
+    dlist = "[" + ", ".join(f"d{i}" for i in range(n)) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (
+      SELECT vec_id, v,
+        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS uv
+      FROM e
+    ),
+    dd AS (SELECT vec_id, v, {", ".join(dist)} FROM u),
+    c AS (
+      SELECT vec_id, v, CASE {case} ELSE {n - 1} END AS list_id
+      FROM dd WHERE vec_id >= 5
+    ),
+    qp AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT vec_id, v, i - 1 AS list_id,
+          ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY {dlist}[CAST(i AS INTEGER)] ASC, i ASC
+          ) AS pr
+        FROM (SELECT * FROM dd WHERE vec_id < 5) CROSS JOIN range(1, {n + 1}) t(i)
+      ) WHERE pr <= 5
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.v, c.v)
+          / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))) AS cos
+      FROM qp q JOIN c USING (list_id)
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("sim3b_ivf_pinned_topk", oracle=_sim3b_oracle())
+def sim3b_ivf_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim3's approximate pruned-probe (5-of-8) IVF search with a FROZEN coarse
+    quantizer (``operators/ivf_centroids.py`` — ivf_topk's own sample fit,
+    pinned once on sf0.01; the production shape: quantizers are trained
+    once and shipped with the index). With literal centroids the PRUNING
+    itself — which lists each query probes, which corpus rows are never
+    scored — is deterministic and SQL-expressible, so unlike sim3
+    (rows-only: live fit) and sim4 (full probe ≡ exact), this puts the
+    approximate path's exact behavior under a full DuckDB hash compare.
+    Recall of the pruned search vs the exact scan stays gated in
+    tests/test_operators.py::test_ivf_pinned_recall."""
+    from consumer_loans_analysis_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=5,
+        centroids=IVF_CENTROIDS,
+    )
+    return out.withColumn("cos", F.round(F.col("cos"), 6))
+
+
 @query("sim5b_pq_full_rerank_topk", oracle=_COSINE_SQL + _EXACT_TOPK_TAIL)
 def sim5b_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ with ``rerank·k ≥ |corpus|`` re-ranks EVERY candidate exactly, so

@@ -270,6 +270,43 @@ def test_ivf_recall(spark, sf_dir):
     assert full == exact
 
 
+def test_ivf_pinned_recall(spark, sf_dir):
+    """The sim3b pinned-quantizer path: 5-of-8 probes with the FROZEN
+    centroids still recover most exact neighbors, and pinned full probe
+    equals the exact scan (routing can hide candidates, never invent or
+    mis-rank them). 5 probes, not 3: these near-random test embeddings
+    (cos margins 0.45 vs 0.4497 — see d5) have weak cluster structure, so
+    8-list routing at 3 probes sits near 0.56 recall at every SF —
+    measured, a data property."""
+    from consumer_loans_analysis_spark.operators import similarity
+    from consumer_loans_analysis_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from consumer_loans_analysis_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            corpus, queries, k=5, n_probe=5, centroids=IVF_CENTROIDS
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.7
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            corpus, queries, k=5, n_probe=len(IVF_CENTROIDS),
+            centroids=IVF_CENTROIDS,
+        ).collect()
+    }
+    assert full == exact
+
+
 def test_seeded_samples_deterministic(spark, sf_dir):
     """o4/o5 have no SQL oracle (Spark RNG); pin their contract instead:
     same seed + same partitioning → identical sample, twice."""
