@@ -132,6 +132,67 @@ def cosine_topk(
     )
 
 
+def prefix_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_dim: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Progressive (funnel) retrieval: coarse top-R scan on the first
+    ``prefix_dim`` dimensions, exact full-dimension re-rank of the R =
+    ``rerank·k`` survivors — the Matryoshka-representation adaptive-
+    retrieval recipe (Kusupati et al. 2022: shortlist with a cheap prefix
+    embedding, fix the ranking with the full one).
+
+    Unlike IVF/PQ this path has NO trained state at all: the candidate
+    set is a pure function of the data, so the approximate search itself
+    (not a full-probe twin) carries a full SQL oracle.
+
+    Scale shape: the coarse pass reuses ``cosine_topk``'s mapInPandas
+    GEMM scan — but on a prefix_dim-wide slice, cutting scan FLOPs and
+    (on a prefix-ordered columnar layout) scan bytes by dim/prefix_dim;
+    per batch only the local top-R survives. The re-rank is one
+    broadcast-candidates join back onto the corpus (|q|·R rows — tiny),
+    full-dim cosine in pure Column expressions, final bounded window.
+    The corpus never shuffles.
+
+    Zero-norm contract: ``cosine_topk`` excludes zero-norm PREFIX slices
+    from the coarse scan (cosine undefined), so a vector whose first
+    prefix_dim dims are all zero is unfindable by design — the funnel's
+    standard failure mode, absent from the test corpora.
+    """
+    prefix = F.slice(F.col(vec_col), 1, prefix_dim)
+    cands = cosine_topk(
+        corpus.select(F.col(id_col), prefix.alias(vec_col)),
+        queries.select(F.col(id_col), prefix.alias(vec_col)),
+        k=max(k, rerank * k),
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def sign_bucket(vec: Column, n_bits: int = 6) -> Column:
     """Axis-aligned sign-LSH bucket: one bit per leading dimension."""
     bucket = F.lit(0)

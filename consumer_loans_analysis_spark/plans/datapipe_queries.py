@@ -698,6 +698,49 @@ def sim4_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos", F.round(F.col("cos"), 6))
 
 
+@query(
+    "sim6_prefix_rerank_topk",
+    oracle=_COSINE_SQL + """
+    , p AS (SELECT vec_id, v, v[1:16] AS pv FROM e),
+    coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv,
+        ROW_NUMBER() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY list_dot_product(q.pv, c.pv)
+            / (SQRT(list_dot_product(q.pv, q.pv)) * SQRT(list_dot_product(c.pv, c.pv)))
+            DESC, c.vec_id ASC
+        ) AS r
+      FROM p q JOIN p c ON q.vec_id < 5 AND c.vec_id >= 5
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_dot_product(qv, cv)
+          / (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))) AS cos
+      FROM coarse WHERE r <= 20
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim6_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (funnel) retrieval — Matryoshka-style adaptive search
+    (Kusupati et al. 2022): coarse top-20 scan on the FIRST 16 of 64
+    dimensions (4× fewer scan FLOPs/bytes), exact full-dim re-rank of the
+    survivors. The ANN ladder's trained-state-free rung: unlike sim3/sim5
+    the candidate set is a pure function of the data, so the approximate
+    path itself sits under the full DuckDB hash compare — no pinning, no
+    twin. Funnel recall vs the exact scan is gated in
+    tests/test_operators.py::test_prefix_rerank_recall."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.prefix_rerank_topk(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5),
+        k=5, prefix_dim=16, rerank=4,
+    )
+    return out.withColumn("cos", F.round(F.col("cos"), 6))
+
+
 def _sim3b_oracle() -> str:
     """sim3b oracle with the PINNED IVF centroids as SQL literals: corpus
     assignment (argmin over ‖c‖² − 2·u·c, ties to lowest list id — d11b's

