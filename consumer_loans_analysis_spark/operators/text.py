@@ -89,6 +89,84 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher's quality-filter stopword list (Rae et al. 2021, §A1.1: a document
+# must contain ≥ 2 of these "must-have" function words).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rule battery (Rae et al. 2021, §A1.1) as one
+    named per-rule boolean battery — the per-document audit trail real
+    curation pipelines keep (which rule killed a document matters as much
+    as whether it was killed).
+
+    Rules, each a pure Column expression (map-only, whole-stage codegen;
+    at 100 TB this runs at scan rate and composes with o9/dq2/pipe1):
+    word count in [min,max]; mean word length in [3,10]; symbol-to-word
+    ratio ('#' and '...' occurrences) ≤ 0.1; ≥ 80% of words contain an
+    alphabetic character; ≥ 2 Gopher stopwords. The paper's line-shape
+    rules (bullet-start/ellipsis-end line fractions) are omitted: this
+    corpus is single-line (no newlines in any document — measured), so
+    they are vacuously true and would pad the output.
+
+    Defaults are the PAPER's thresholds; callers on short-document
+    corpora (like this testdata) pass rescaled word-count bounds the way
+    d5/d11 rescale their cosine thresholds.
+    """
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    # sum of word lengths stays integer (exact); the mean divides once at
+    # the end — identical IEEE division in any engine. try_divide: NULL
+    # on a pathological empty document rather than an ANSI abort.
+    sum_wl = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    mean_wl = F.try_divide(sum_wl.cast("double"), n_words.cast("double"))
+    txt = F.col(text_col)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.try_divide(
+        (n_hash + n_ellipsis).cast("double"), n_words.cast("double")
+    )
+    alpha_ratio = F.try_divide(
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).cast("double"),
+        n_words.cast("double"),
+    )
+    stop = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+    ok_words = n_words.between(min_words, max_words)
+    ok_mean = mean_wl.between(min_mean_word_len, max_mean_word_len)
+    ok_symbol = symbol_ratio <= max_symbol_ratio
+    ok_alpha = alpha_ratio >= min_alpha_word_ratio
+    ok_stop = n_stop >= min_stopwords
+    return df.select(
+        "*",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_symbol & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
 # Marker vocabularies for the n-gram/stopword language-ID heuristic. On real
 # corpora these are the top function words per language; scoring is
 # count-of-markers-present, argmax with lexicographic tie-break.

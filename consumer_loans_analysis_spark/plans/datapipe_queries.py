@@ -1456,6 +1456,58 @@ def dq2_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ3_STOPLIST = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+@query(
+    "dq3_gopher_rules",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    f AS (
+      SELECT doc_id, len(w) AS n_words,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+          / len(w) AS mean_word_len,
+        (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+          + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+          / len(w) AS symbol_ratio,
+        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+          / len(w) AS alpha_word_ratio,
+        len(list_filter(w, x -> list_contains({_DQ3_STOPLIST}, x))) AS n_stopwords
+      FROM d
+    )
+    SELECT doc_id,
+      CAST(n_words AS BIGINT) AS n_words, mean_word_len, symbol_ratio,
+      alpha_word_ratio, CAST(n_stopwords AS BIGINT) AS n_stopwords,
+      n_words BETWEEN 20 AND 60 AS ok_word_count,
+      mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+      symbol_ratio <= 0.1 AS ok_symbol_ratio,
+      alpha_word_ratio >= 0.8 AS ok_alpha_words,
+      n_stopwords >= 2 AS ok_stopwords,
+      (n_words BETWEEN 20 AND 60) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        AND n_stopwords >= 2 AS keep
+    FROM f
+    """,
+)
+def dq3_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021 §A1.1) with the
+    per-rule audit columns curation pipelines keep — WHICH rule killed a
+    document, not just that it died. Word-count bounds rescaled 50–100k →
+    20–60 for this short-document corpus (the d5/d11 threshold-rescaling
+    convention; 241/500 docs pass at sf0.01 — both branches exercised);
+    all other thresholds are the paper's. Map-only Column expressions —
+    composes with o9/dq2 in pipe1-style curation at scan rate.
+    See ``operators/text.py::gopher_quality_rules``."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = text.gopher_quality_rules(docs, min_words=20, max_words=60)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_ratio", "n_stopwords", "ok_word_count",
+        "ok_mean_word_len", "ok_symbol_ratio", "ok_alpha_words",
+        "ok_stopwords", "keep",
+    )
+
+
 @query(
     "drift1_token_kl",
     oracle="""

@@ -469,6 +469,40 @@ def test_group_reservoir_is_pure_function_of_data(spark, sf_dir):
     assert all(len(v) <= 5 for v in per_group.values())
 
 
+def test_gopher_rules_hand_computed(spark):
+    """Each Gopher rule fires on exactly the document planted to violate
+    it (paper defaults except word-count bounds, rescaled to the tiny
+    fixture)."""
+    from consumer_loans_analysis_spark.operators.text import gopher_quality_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps with all of that have energy"),
+            (2, "the of"),                                   # too few words
+            (3, "the extraordinarily incomprehensible "      # mean word len > 10
+                + "internationalization of anthropomorphized "
+                + "characteristically overrepresented have"),
+            (4, "# # # the ## of # stuff ... #"),            # symbol ratio
+            (5, "1 2 3 4 5 6 7 8 the of"),                   # alpha ratio < 0.8
+            (6, "cat dog bird fish mouse horse cow hen"),    # 0 stopwords
+        ],
+        schema="doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_rules(df, min_words=3, max_words=60).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["ok_stopwords"] is True
+    assert out[3]["ok_mean_word_len"] is False
+    assert out[4]["ok_symbol_ratio"] is False
+    assert out[5]["ok_alpha_words"] is False and out[5]["ok_word_count"] is True
+    assert out[6]["ok_stopwords"] is False
+    # only the planted rule (plus keep) fails per row
+    assert out[4]["n_words"] == 10 and out[4]["n_stopwords"] == 2
+    assert abs(out[5]["alpha_word_ratio"] - 0.2) < 1e-12
+
+
 def test_quality_audit_detects_seeded_violations(spark):
     from consumer_loans_analysis_spark.operators import quality as dq
 
