@@ -650,6 +650,22 @@ def _kmeanspp_lloyd(X, ks: int, seed: int, iters: int = 25):
     return centers
 
 
+def _ltr_dot(A, B):
+    """Left-to-right dot product over the LAST axis of two broadcastable
+    numpy arrays — explicit elementwise multiply + add chain, NO BLAS and
+    no FMA, so every intermediate is a correctly-rounded IEEE754 double in
+    strict left-to-right order. This makes ADC scores bit-identical to
+    any engine that accumulates dot products sequentially (DuckDB's
+    list_dot_product — proven against Spark's ltr ``aggregate`` by the
+    d11b/sim oracles), which is what lets sim5c put the PQ pruning itself
+    under a full hash compare. Cost: dsub(=4) elementwise ops per call —
+    negligible next to the Arrow transfer."""
+    acc = A[..., 0] * B[..., 0]
+    for i in range(1, A.shape[-1]):
+        acc = acc + A[..., i] * B[..., i]
+    return acc
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -661,6 +677,7 @@ def pq_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_sample: int = 16384,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jégou, Douze & Schmid 2011
     — the FAISS IVFADC family's compression half; sits between sim1's
@@ -697,6 +714,16 @@ def pq_topk(
     Zero-norm contract (same as ``ivf_topk``): zero-norm rows are EXCLUDED
     from both corpus and queries, so a zero-norm query yields no output
     rows — callers may see fewer distinct ``query_id``s than input queries.
+
+    Pinned-codebook mode: pass ``codebooks`` (m_subs × ks × dsub) to skip
+    the fit and quantize with a FROZEN codebook (the production shape —
+    FAISS trains PQ once and ships the index). All ADC arithmetic —
+    sub-centroid norms, encode argmin, LUT dots, the per-candidate
+    LUT-sum — is strict left-to-right double arithmetic (``_ltr_dot`` +
+    explicit add chains, no BLAS/FMA/pairwise reduction), so with literal
+    codebooks every approximate score is an engine-portable IEEE754 value
+    and ``sim5c_pq_pinned_topk``'s DuckDB oracle restates the ENTIRE
+    pruned ADC search, not just an exact twin.
     """
     import numpy as np
 
@@ -713,24 +740,41 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"), unit(F.col(vec_col)).alias("v")
     ).localCheckpoint(eager=True)  # reused by train(sample) + encode + re-rank
 
-    # --- train: numpy k-means++ per subspace on a bounded hash sample ----
-    samp_rows = (
-        c_unit.orderBy(F.pmod(F.xxhash64("neighbor_id"), F.lit(1_000_003)).asc(),
-                       F.col("neighbor_id").asc())
-        .limit(fit_sample)
-        .collect()
-    )  # TakeOrderedAndProject: per-partition heap, deterministic sample
-    Xs = np.asarray([r["v"] for r in samp_rows], dtype=np.float64)
-    dim = Xs.shape[1]
-    if dim % m_subs != 0:
-        raise ValueError(f"m_subs={m_subs} must divide dim={dim}")
-    dsub = dim // m_subs
-    cb = np.stack(
+    if codebooks is not None:
+        cb = np.asarray(codebooks, dtype=np.float64)  # (m_subs, ks, dsub)
+        if cb.shape[0] != m_subs or cb.shape[1] != ks:
+            raise ValueError(
+                f"pinned codebooks shape {cb.shape} != ({m_subs}, {ks}, dsub)"
+            )
+        dsub = cb.shape[2]
+        dim = m_subs * dsub
+    else:
+        # --- train: numpy k-means++ per subspace on a bounded hash sample
+        samp_rows = (
+            c_unit.orderBy(F.pmod(F.xxhash64("neighbor_id"), F.lit(1_000_003)).asc(),
+                           F.col("neighbor_id").asc())
+            .limit(fit_sample)
+            .collect()
+        )  # TakeOrderedAndProject: per-partition heap, deterministic sample
+        Xs = np.asarray([r["v"] for r in samp_rows], dtype=np.float64)
+        dim = Xs.shape[1]
+        if dim % m_subs != 0:
+            raise ValueError(f"m_subs={m_subs} must divide dim={dim}")
+        dsub = dim // m_subs
+        cb = np.stack(
+            [
+                _kmeanspp_lloyd(Xs[:, s * dsub:(s + 1) * dsub], ks, seed + s)
+                for s in range(m_subs)
+            ]
+        )  # (m_subs, ks, dsub)
+    # ‖codeword‖² via plain python left-to-right sums — the exact doubles
+    # the sim5c oracle builder embeds as literals (repr round-trips)
+    cnorm = np.array(
         [
-            _kmeanspp_lloyd(Xs[:, s * dsub:(s + 1) * dsub], ks, seed + s)
+            [float(sum(float(x) * float(x) for x in cw)) for cw in cb[s]]
             for s in range(m_subs)
         ]
-    )  # (m_subs, ks, dsub)
+    )  # (m_subs, ks)
 
     # --- encode: vec → m_subs argmin codes, one Arrow pass ---------------
     from pyspark.sql.functions import pandas_udf
@@ -741,12 +785,14 @@ def pq_topk(
             return pd.Series([], dtype=object)
         X = np.asarray(vecs.tolist(), dtype=np.float64)
         X = X.reshape(X.shape[0], m_subs, dsub)
-        # ||x - c||² argmin == argmax(2x·c - ||c||²) per subspace
-        cnorm = (cb**2).sum(axis=2)  # (m, ks)
+        # ||x - c||² argmin == argmin(||c||² - 2x·c) per subspace (the
+        # constant ||x||² drops out); numpy argmin takes the FIRST minimum
+        # == SQL's ORDER BY d, code tie-break. _ltr_dot keeps the scores
+        # engine-portable.
         codes = np.empty((X.shape[0], m_subs), dtype=np.int32)
         for s in range(m_subs):
-            scores = 2 * X[:, s, :] @ cb[s].T - cnorm[s]
-            codes[:, s] = scores.argmax(axis=1)
+            d = cnorm[s] - 2.0 * _ltr_dot(X[:, s, None, :], cb[s][None, :, :])
+            codes[:, s] = d.argmin(axis=1)
         return pd.Series(list(codes))
 
     coded = c_unit.select("neighbor_id", encode(F.col("v")).alias("codes"))
@@ -759,7 +805,12 @@ def pq_topk(
     Q = np.asarray([r["v"] for r in q_rows], dtype=np.float64)
     Qs = Q.reshape(len(q_rows), m_subs, dsub)
     # LUT[q, m, c] = q_sub · centroid  →  approx cos = Σ_m LUT[q, m, code_m]
-    lut = np.einsum("qmd,mcd->qmc", Qs, cb)
+    # (_ltr_dot, not einsum: each entry must be the same IEEE754 double
+    # DuckDB's list_dot_product produces for the sim5c oracle)
+    lut = np.stack(
+        [_ltr_dot(Qs[:, s, None, :], cb[s][None, :, :]) for s in range(m_subs)],
+        axis=1,
+    )  # (nq, m, ks)
     R = max(k, rerank * k)
 
     def scan(batches):
@@ -769,8 +820,12 @@ def pq_topk(
             C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
             ids = pdf["neighbor_id"].to_numpy()
             # gather: S[q, b] = Σ_m lut[q, m, C[b, m]] — arange(m) ⊗ C(B,m)
-            # broadcast to (B, m), slice dim0 keeps q → (nq, B, m)
-            S = lut[:, np.arange(m_subs), C].sum(axis=2)
+            # broadcast to (B, m), slice dim0 keeps q → (nq, B, m); the sum
+            # over m is an explicit left-to-right add chain (oracle-portable)
+            G = lut[:, np.arange(m_subs), C]
+            S = G[..., 0]
+            for s in range(1, m_subs):
+                S = S + G[..., s]
             top = min(R, S.shape[1])
             idx = np.argpartition(-S, top - 1, axis=1)[:, :top]
             out = {

@@ -666,6 +666,110 @@ def sim5_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn("cos", F.round(F.col("cos"), 6))
 
+def _sim5c_oracle() -> str:
+    """sim5c oracle: the ENTIRE pruned ADC search restated in SQL over the
+    pinned codebook literals — per-subspace encode argmin (ties to lowest
+    code), the query×codeword LUT, the per-candidate LUT-sum (an explicit
+    left-to-right add chain over the 16 pivoted subspace values, matching
+    pq_topk's ltr accumulation bit for bit), the top-R cut, and the exact
+    re-rank of survivors. repr() round-trips doubles, so both engines
+    evaluate identical IEEE754 values at every step."""
+    from consumer_loans_analysis_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    m_subs = len(PQ_CODEBOOKS)
+    dsub = len(PQ_CODEBOOKS[0][0])
+    vals = []
+    for s, book in enumerate(PQ_CODEBOOKS):
+        for cidx, cw in enumerate(book):
+            lit = "[" + ", ".join(repr(x) for x in cw) + "]"
+            cn = repr(float(sum(float(x) * float(x) for x in cw)))
+            vals.append(f"({s}, {cidx}, {lit}, {cn})")
+    cb_values = ",\n      ".join(vals)
+    lsum = "l0"
+    for s in range(1, m_subs):
+        lsum = f"({lsum} + l{s})"
+    piv = ", ".join(
+        f"MAX(CASE WHEN m = {s} THEN val END) AS l{s}" for s in range(m_subs)
+    )
+    return f"""
+    WITH cb(m, code, cw, cn) AS (VALUES
+      {cb_values}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (
+      SELECT vec_id,
+        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS uv
+      FROM e
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT c.vec_id, cb.m, cb.code,
+          ROW_NUMBER() OVER (
+            PARTITION BY c.vec_id, cb.m
+            ORDER BY cb.cn - 2 * list_dot_product(
+              list_slice(c.uv, cb.m * {dsub} + 1, cb.m * {dsub} + {dsub}), cb.cw
+            ) ASC, cb.code ASC
+          ) AS rn
+        FROM u c CROSS JOIN cb WHERE c.vec_id >= 5
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.m, cb.code,
+        list_dot_product(
+          list_slice(q.uv, cb.m * {dsub} + 1, cb.m * {dsub} + {dsub}), cb.cw
+        ) AS val
+      FROM u q CROSS JOIN cb WHERE q.vec_id < 5
+    ),
+    piv AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, {piv}
+      FROM codes c JOIN lut l USING (m, code)
+      GROUP BY l.query_id, c.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY {lsum} DESC, neighbor_id ASC
+          ) AS r
+        FROM piv
+      ) WHERE r <= 20
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        list_dot_product(q.uv, c.uv) AS cos
+      FROM cand
+      JOIN u q ON q.vec_id = cand.query_id
+      JOIN u c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("sim5c_pq_pinned_topk", oracle=_sim5c_oracle())
+def sim5c_pq_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim5's approximate rerank=4 ADC search with FROZEN codebooks
+    (``operators/pq_codebooks.py`` — pq_topk's own per-subspace fit,
+    pinned once on sf0.01; the production shape: FAISS trains PQ once and
+    ships the index). With literal codebooks and pq_topk's strictly
+    left-to-right ADC arithmetic (see ``similarity._ltr_dot``), encoding,
+    LUT scores, candidate pruning and the exact re-rank are ALL
+    engine-portable — so unlike sim5 (rows-only: live fit) and sim5b
+    (rerank ≥ corpus ≡ exact), this puts the pruned approximate search
+    itself under a full DuckDB hash compare. Recall of the pinned pruned
+    path stays gated in tests/test_operators.py::test_pq_pinned_recall."""
+    from consumer_loans_analysis_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.pq_topk(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5),
+        k=5, m_subs=16, ks=64, rerank=4, codebooks=PQ_CODEBOOKS,
+    )
+    return out.withColumn("cos", F.round(F.col("cos"), 6))
+
+
 _EXACT_TOPK_TAIL = """
     , scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -307,6 +307,36 @@ def test_ivf_pinned_recall(spark, sf_dir):
     assert full == exact
 
 
+def test_pq_pinned_recall(spark, sf_dir):
+    """The sim5c pinned-codebook path matches live-fit sim5's recall
+    profile (0.88 @ rerank 4 measured; 1.0 @ rerank 16), and a rerank
+    budget ≥ corpus degenerates to the exact scan."""
+    from consumer_loans_analysis_spark.operators import similarity
+    from consumer_loans_analysis_spark.operators.pq_codebooks import PQ_CODEBOOKS
+    from consumer_loans_analysis_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+
+    def approx(rerank: int) -> set:
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.pq_topk(
+                corpus, queries, k=5, m_subs=16, ks=64, rerank=rerank,
+                codebooks=PQ_CODEBOOKS,
+            ).collect()
+        }
+
+    assert len(exact & approx(4)) / len(exact) >= 0.8
+    assert approx(400) == exact  # R = 2000 ≥ corpus at every test sf
+
+
 def test_prefix_rerank_recall(spark, sf_dir):
     """sim6's funnel: (a) degenerate funnel (full-dim prefix, rerank ≥
     corpus) EQUALS the exact scan; (b) a larger rerank budget never loses
