@@ -429,10 +429,31 @@ def ivf_topk(
 
     from consumer_loans_analysis_spark.operators.curation import kmeans_assign
 
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        kmeans_assign(unit(F.col(vec_col)), centroids).alias("list_id"),
+    # stage the norm, then the unit vector, as projected columns so each is
+    # evaluated ONCE per row: inlining `unit(vec)` into kmeans_assign
+    # re-evaluates the 64-element norm per element AND per centroid (8 ×
+    # 64 × 64 ops/row) and the resulting expression tree is big enough to
+    # fall out of whole-stage codegen — staging cut sim4/sim3b wall ~5×
+    # at sf0.1. Same IEEE754 ops in the same order, so oracles are
+    # unaffected.
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("_n"),
+        )
+        .select(
+            "neighbor_id",
+            "c_vec",
+            F.transform(
+                F.col("c_vec"), lambda x: F.try_divide(x.cast("double"), F.col("_n"))
+            ).alias("_u"),
+        )
+        .select(
+            "neighbor_id",
+            "c_vec",
+            kmeans_assign(F.col("_u"), centroids).alias("list_id"),
+        )
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     # probe ranking uses the SAME ‖c‖² − 2·u·c form as the assignment (for
