@@ -1820,6 +1820,49 @@ def o11_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "o13_exact_stratified_split",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY CAST(concat('0x', substr(md5(concat('o13:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT),
+                   doc_id
+        ) AS rn,
+        COUNT(*) OVER (PARTITION BY lang) AS n_g
+      FROM documents
+    ) WHERE rn * 5 <= n_g + 4
+    """,
+)
+def o13_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified split: EXACTLY ceil(n_g/5) documents
+    per language stratum (the standard 20% eval split with proportional
+    allocation — what sklearn's train_test_split(stratify=...) guarantees
+    and rate-based o5/o7 only approximate in expectation), chosen by
+    portable-hash order so the split is a pure function of the data.
+    The ceil test is pure INTEGER arithmetic (rn·5 ≤ n_g+4 ⇔ rn ≤
+    ceil(n_g/5)) — no float rounding for engines to disagree on.
+    Scale shape: one window shuffle on the stratum key; the per-group
+    count rides the same window, no second pass."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = text.portable_hash(F.concat(F.lit("o13:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    cnt = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(cnt).alias("n_g"),
+        )
+        .filter(F.col("rn") * 5 <= F.col("n_g") + 4)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
     "o12_weighted_sample",
     oracle="""
     WITH q AS (
