@@ -300,10 +300,40 @@ def semantic_dedup(
             ),
         )
         if centroids is not None:
-            b = emb.select(
-                F.col(id_col),
-                F.col(vec_col),
-                kmeans_assign(unit, centroids).alias("bucket"),
+            # stage the norm, then the unit vector, as projected columns so
+            # each is evaluated once per row — inlining `unit` into
+            # kmeans_assign re-evaluates the 64-element norm per element
+            # AND per centroid through interpreted higher-order
+            # expressions (the ivf_topk staging fix; ~2× on d11b). Same
+            # IEEE754 ops in the same order, oracle unaffected.
+            b = (
+                emb.select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    F.sqrt(
+                        F.aggregate(
+                            F.transform(F.col(vec_col), lambda y: y * y),
+                            F.lit(0.0),
+                            lambda a, y: a + y,
+                        )
+                    ).alias("_n"),
+                )
+                .select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    F.transform(
+                        F.col(vec_col),
+                        lambda x: F.coalesce(
+                            F.try_divide(x.cast("double"), F.col("_n")),
+                            F.lit(0.0),
+                        ),
+                    ).alias("_u"),
+                )
+                .select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    kmeans_assign(F.col("_u"), centroids).alias("bucket"),
+                )
             )
         else:
             feats = emb.select(
