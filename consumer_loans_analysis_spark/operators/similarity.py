@@ -392,6 +392,11 @@ def ivf_topk(
     import numpy as np
 
     if centroids is not None:
+        if n_lists is not None and n_lists != len(centroids):
+            raise ValueError(
+                f"n_lists={n_lists} conflicts with {len(centroids)} pinned "
+                "centroids — pass one or the other"
+            )
         n_lists = len(centroids)
     elif n_lists is None:
         # √n default needs one count() action; pass n_lists explicitly to

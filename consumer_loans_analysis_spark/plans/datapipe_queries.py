@@ -241,6 +241,62 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(docs, pairs)
 
 
+@query(
+    "d13_source_overlap",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM d, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+      GREATEST(da.source, db.source) AS source_b,
+      COUNT(*) AS n_pairs
+    FROM dup
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    GROUP BY 1, 2
+    """,
+)
+def d13_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: d3's exact-verified near-dup pairs
+    (MinHash-LSH candidates, Jaccard ≥ 0.8) aggregated by unordered source
+    pair — the curation diagnostic that tells you WHICH shards duplicate
+    which (mirror detection, scraper overlap, license-pool reuse) before
+    deciding what to drop. Diagonal entries are within-source duplication.
+
+    Plan shape: the pair table is tiny relative to the corpus, so the two
+    source lookups are joins on the doc key; at 100 TB carry `source`
+    through the dedup signature pipeline instead (it rides the 8-byte
+    band keys for free) and both joins disappear."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dupes(docs, threshold=0.8).select("id_a", "id_b")
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("s_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("s_b"))
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            F.least("s_a", "s_b").alias("source_a"),
+            F.greatest("s_a", "s_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 # --- similarity search -------------------------------------------------------
 
 @query(
@@ -2155,6 +2211,64 @@ def t14b_bpe_encode_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_operators.py::test_bpe_golden_fixture_hand_derived)."""
     docs = read_table(spark, sf_dir, "documents")
     return text.bpe_encode_broadcast(docs)
+
+
+@query(
+    "t17_bpe_fertility",
+    oracle=f"""
+    WITH enc AS ({_bpe_sql()}),
+    j AS (
+      SELECT d.lang,
+        len(string_split(d.text, ' ')) AS n_words,
+        e.n_tokens,
+        octet_length(encode(d.text)) AS n_bytes
+      FROM enc e JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+      CAST(SUM(n_words) AS BIGINT) AS total_words,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+      ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_tokens), 6) AS bytes_per_token
+    FROM j GROUP BY lang
+    """,
+)
+def t17_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE tokens per whitespace
+    word and bytes per token — THE metrics tokenizer teams track across
+    languages (high fertility = the vocabulary under-serves that language
+    and its documents pay more sequence length per content). Uses t14b's
+    broadcast merge-table encoder (same oracle-pinned id sequences), so
+    this doubles as a composition check: encode → doc-level join →
+    bounded per-language aggregate. Map-only encode + one equi-join + a
+    #langs-group aggregate; sums are exact integers, the two ratios
+    divide once at the end."""
+    docs = read_table(spark, sf_dir, "documents")
+    enc = text.bpe_encode_broadcast(docs).select("doc_id", "n_tokens")
+    j = enc.join(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        ),
+        "doc_id",
+    )
+    return j.groupBy("lang").agg(
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.try_divide(
+                F.sum("n_tokens").cast("double"), F.sum("n_words").cast("double")
+            ),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.try_divide(
+                F.sum("n_bytes").cast("double"), F.sum("n_tokens").cast("double")
+            ),
+            6,
+        ).alias("bytes_per_token"),
+    )
 
 
 _T15_ROUNDS = 8
