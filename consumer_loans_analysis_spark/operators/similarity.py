@@ -97,7 +97,7 @@ def cosine_topk(
         return corpus.sparkSession.createDataFrame([], out_schema + ", rank int")
     q_ids = np.array([r["query_id"] for r in q_rows])
     Q = np.asarray([r["q_vec"] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qn = np.sqrt(_ltr_dot(Q, Q))  # (nq,)
 
     def scan(batches):
         for pdf in batches:
@@ -109,7 +109,16 @@ def cosine_topk(
             # breaks score ties by ascending id — the exact tie-break
             order = np.argsort(ids, kind="stable")
             ids, M = ids[order], M[order]
-            S = (M / np.linalg.norm(M, axis=1, keepdims=True)) @ Qn.T  # (B, nq)
+            # raw ltr dot / (ltr-norm product) — the EXACT structure and
+            # accumulation order of the oracle's list_dot_product(q, c) /
+            # (SQRT(ldp(q,q)) * SQRT(ldp(c,c))), so every score is a
+            # bit-identical IEEE754 double in both engines (no BLAS
+            # GEMM/pairwise-norm, whose ulp-level drift could flip the
+            # per-batch top-k cut on near-tied scores)
+            cn = np.sqrt(_ltr_dot(M, M))  # (B,)
+            S = _ltr_dot(M[:, None, :], Q[None, :, :]) / (
+                cn[:, None] * qn[None, :]
+            )  # (B, nq)
             top = min(k, S.shape[0])
             idx = np.argsort(-S, axis=0, kind="stable")[:top]  # (top, nq)
             yield pd.DataFrame(
@@ -384,7 +393,7 @@ def ivf_topk(
     With literal centroids every step of the query — assignment, probe
     ranking, pruning — is a deterministic, SQL-expressible function of the
     data, which is what gives ``sim3b_ivf_pinned_topk`` a full DuckDB hash
-    oracle over the APPROXIMATE 3-of-8-probe path (sim4 only oracles the
+    oracle over its PRUNED 5-of-8-probe path (sim4 only oracles the
     exhaustive-probe twin).
     """
     import math
@@ -845,6 +854,14 @@ def pq_topk(
                 continue
             C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
             ids = pdf["neighbor_id"].to_numpy()
+            # pre-sort by neighbor id: the per-batch cut below must break
+            # approx-score ties to the LOWEST id (two vectors with the
+            # same 16 codes have bit-identical ADC sums), matching the
+            # global merge window and the sim5c oracle's ORDER BY approx
+            # DESC, neighbor_id ASC — argpartition alone resolved such
+            # ties arbitrarily
+            order = np.argsort(ids, kind="stable")
+            ids, C = ids[order], C[order]
             # gather: S[q, b] = Σ_m lut[q, m, C[b, m]] — arange(m) ⊗ C(B,m)
             # broadcast to (B, m), slice dim0 keeps q → (nq, B, m); the sum
             # over m is an explicit left-to-right add chain (oracle-portable)
@@ -853,7 +870,7 @@ def pq_topk(
             for s in range(1, m_subs):
                 S = S + G[..., s]
             top = min(R, S.shape[1])
-            idx = np.argpartition(-S, top - 1, axis=1)[:, :top]
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :top]
             out = {
                 "query_id": np.repeat(q_ids, top),
                 "neighbor_id": ids[idx].ravel(),

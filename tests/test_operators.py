@@ -378,6 +378,9 @@ def test_prefix_rerank_recall(spark, sf_dir):
 
     r4, r8 = recall(4), recall(8)
     assert r8 >= r4 >= 0.3, (r4, r8)
+
+
+def test_seeded_samples_deterministic(spark, sf_dir):
     """o4/o5 have no SQL oracle (Spark RNG); pin their contract instead:
     same seed + same partitioning → identical sample, twice."""
     from consumer_loans_analysis_spark.plans import registry
