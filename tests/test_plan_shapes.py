@@ -267,10 +267,28 @@ def test_ann_merge_windows_have_group_limit(spark, sf_dir):
     can't see through) is caught structurally."""
     emb = read_table(spark, sf_dir, "embeddings")
     corpus, queries = emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5)
+    from consumer_loans_analysis_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from consumer_loans_analysis_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
     plans = {
         "bucketed": _plan(similarity.bucketed_topk(corpus, queries, k=3)),
         "ivf": _plan(similarity.ivf_topk(corpus, queries, k=5, n_lists=4, n_probe=2)),
         "pq": _plan(similarity.pq_topk(corpus, queries, k=5, m_subs=16, ks=16)),
+        "ivf_pinned": _plan(
+            similarity.ivf_topk(corpus, queries, k=5, n_probe=5,
+                                centroids=IVF_CENTROIDS)
+        ),
+        "pq_pinned": _plan(
+            similarity.pq_topk(corpus, queries, k=5, m_subs=16, ks=64,
+                               codebooks=PQ_CODEBOOKS)
+        ),
+        "prefix_rerank": _plan(
+            similarity.prefix_rerank_topk(corpus, queries, k=5, prefix_dim=16)
+        ),
     }
     for name, plan in plans.items():
         assert "WindowGroupLimit" in plan, (name, plan)
+    # the funnel's rerank joins must be broadcasts (candidates and the
+    # query batch are tiny) — a shuffle join here would exchange the
+    # corpus for a |q|*R-row lookup
+    assert "BroadcastHashJoin" in plans["prefix_rerank"], plans["prefix_rerank"]
