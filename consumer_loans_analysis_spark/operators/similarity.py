@@ -541,6 +541,17 @@ def embedding_near_dupes_blocked(
     corpus, the price of exact Θ(n²). Zero vectors get NaN rows (cos
     undefined) and can never qualify, matching the Column path's
     try_divide → NULL.
+
+    Engine-parity note: scores here come from BLAS GEMM (pairwise/FMA
+    accumulation), which can drift ~1 ulp from the d5 oracle's
+    left-to-right ``list_dot_product`` arithmetic. That is safe for THIS
+    operator because membership is thresholded and the corpus's measured
+    margin around 0.45 is ~4·10⁻⁴ (matches ≥ 0.4501, non-matches ≤
+    0.4497) — 12 orders of magnitude above ulp drift. A top-k cut has no
+    such margin (near-ties at the boundary are routine), which is why
+    ``cosine_topk``/``pq_topk`` use the strict-ltr ``_ltr_dot`` path
+    instead. If you repoint this at a corpus whose pair cosines crowd the
+    threshold, switch the GEMM to the ltr pattern.
     """
     import numpy as np
 
