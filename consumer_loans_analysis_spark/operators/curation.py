@@ -181,14 +181,15 @@ def ccnet_perplexity_buckets(docs: DataFrame, ref: Column) -> DataFrame:
     )
 
 
-def kmeans_assign(unit_vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id for a unit-normalized vector as a pure Column
-    expression over LITERAL centroids: min over (‖c_i‖² − 2·u·c_i, i) —
-    for unit u, argmin of squared L2 (the constant ‖u‖² drops out); the
-    struct-min breaks distance ties to the lowest cluster id. ‖c_i‖² is
-    precomputed driver-side so the per-row work is one dot product per
-    centroid, all inside codegen. SQL-portable: the same formula over the
-    same literals is the d11b DuckDB oracle's assignment."""
+def kmeans_assign_full(unit_vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid assignment WITH its distance, as a struct Column
+    ``(d, bucket)``: min over (‖c_i‖² − 2·u·c_i, i) — for unit u, argmin
+    of squared L2 (the constant ‖u‖² drops out); the struct-min breaks
+    distance ties to the lowest cluster id. ‖c_i‖² is precomputed
+    driver-side so the per-row work is one dot product per centroid.
+    SQL-portable twice over: ``bucket`` is the d11b oracle's CASE-chain
+    assignment, and ``d`` is simply LEAST(d_0..d_{k-1}) over the same
+    literals (dq4 uses both)."""
     scored = F.array(
         *[
             F.struct(
@@ -210,7 +211,12 @@ def kmeans_assign(unit_vec: Column, centroids: list[list[float]]) -> Column:
             for i, c in enumerate(centroids)
         ]
     )
-    return F.array_min(scored)["bucket"]
+    return F.array_min(scored)
+
+
+def kmeans_assign(unit_vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id only — see ``kmeans_assign_full``."""
+    return kmeans_assign_full(unit_vec, centroids)["bucket"]
 
 
 def semantic_dedup(

@@ -2693,11 +2693,12 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.semantic_dedup(emb, threshold=0.45, n_bits=4)
 
 
-def _d11b_oracle() -> str:
-    """d11b oracle with the PINNED k-means centroids as SQL literals: the
-    assignment (argmin over ‖c‖² − 2·u·c, ties to lowest cluster id) is
-    stated with the exact doubles the Spark expression path uses — repr()
-    round-trips, so both engines parse the identical IEEE754 values."""
+def _semdedup_sql_parts() -> tuple[str, str, str, int]:
+    """The d11b-family SQL building blocks over the PINNED SemDeDup
+    centroids: (per-centroid distance exprs `d0..`, the argmin CASE chain
+    with ties to the lowest cluster id, the assigned-distance LEAST expr,
+    k). repr() round-trips doubles, so both engines parse the identical
+    IEEE754 values the Spark expression path uses."""
     from consumer_loans_analysis_spark.operators.semdedup_centroids import (
         SEMDEDUP_CENTROIDS,
     )
@@ -2713,6 +2714,17 @@ def _d11b_oracle() -> str:
         f"THEN {i}"
         for i in range(n - 1)
     )
+    least = "LEAST(" + ", ".join(f"d{i}" for i in range(n)) + ")"
+    return ", ".join(dist), case, least, n
+
+
+def _d11b_oracle() -> str:
+    """d11b oracle with the PINNED k-means centroids as SQL literals: the
+    assignment (argmin over ‖c‖² − 2·u·c, ties to lowest cluster id) is
+    stated with the exact doubles the Spark expression path uses — repr()
+    round-trips, so both engines parse the identical IEEE754 values."""
+    dist_joined, case, _, n = _semdedup_sql_parts()
+    dist = [dist_joined]  # pre-joined; keep the f-string below unchanged
     return f"""
     WITH RECURSIVE
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2769,6 +2781,220 @@ def d11b_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _assigned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with their pinned-SemDeDup-centroid assignment as a
+    ``_a = (d, bucket)`` struct: the staged norm→unit→assign projection
+    chain (each evaluated once per row — the ivf_topk staging pattern;
+    same unit expression as semantic_dedup's pinned blocker, so the d11b
+    oracle's u/dd CTEs restate it exactly)."""
+    from consumer_loans_analysis_spark.operators.curation import kmeans_assign_full
+    from consumer_loans_analysis_spark.operators.semdedup_centroids import (
+        SEMDEDUP_CENTROIDS,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("embedding"), lambda y: y * y),
+                    F.lit(0.0),
+                    lambda a, y: a + y,
+                )
+            ).alias("_n"),
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.coalesce(
+                    F.try_divide(x.cast("double"), F.col("_n")), F.lit(0.0)
+                ),
+            ).alias("_u"),
+        )
+        .select(
+            "vec_id",
+            kmeans_assign_full(F.col("_u"), SEMDEDUP_CENTROIDS).alias("_a"),
+        )
+    )
+
+
+def _o14_oracle() -> str:
+    dist, case, _, n = _semdedup_sql_parts()
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (
+      SELECT vec_id,
+        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS uv
+      FROM e
+    ),
+    dd AS (SELECT vec_id, {dist} FROM u),
+    b AS (SELECT vec_id, CASE {case} ELSE {n - 1} END AS cluster_id FROM dd)
+    SELECT vec_id, cluster_id, pick FROM (
+      SELECT vec_id, cluster_id,
+        ROW_NUMBER() OVER (
+          PARTITION BY cluster_id
+          ORDER BY CAST(concat('0x', substr(md5(concat('o14:', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT),
+                   vec_id
+        ) AS pick
+      FROM b
+    ) WHERE pick <= 10
+    """
+
+
+@query("o14_cluster_balanced_sample", oracle=_o14_oracle())
+def o14_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced data selection: 10 deterministic picks per
+    semantic cluster (pinned SemDeDup centroids, hash-smallest ids) — the
+    diversity-preserving sampling step of D4/DiverseEvol-style curation,
+    where uniform sampling over-represents dense regions and per-cluster
+    quotas don't. o11's reservoir pattern applied to LEARNED strata
+    instead of a metadata column; fully deterministic, so the whole
+    query — assignment included — sits under the hash oracle.
+    Scale shape: assignment is a scan-rate literal-centroid projection;
+    ONE window shuffle on the cluster key."""
+    from pyspark.sql import Window
+
+    assigned = _assigned_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("_a")["bucket"].alias("cluster_id")
+    )
+    h = text.portable_hash(F.concat(F.lit("o14:"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        assigned.select(
+            "vec_id", "cluster_id", F.row_number().over(w).alias("pick")
+        )
+        .filter(F.col("pick") <= 10)
+    )
+
+
+def _dq4_oracle() -> str:
+    dist, case, least, n = _semdedup_sql_parts()
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (
+      SELECT vec_id,
+        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS uv
+      FROM e
+    ),
+    dd AS (SELECT vec_id, {dist} FROM u),
+    b AS (
+      SELECT vec_id, CASE {case} ELSE {n - 1} END AS cluster_id,
+        {least} AS d
+      FROM dd
+    )
+    SELECT vec_id, cluster_id, ROUND(d, 6) AS centroid_dist, far_rank FROM (
+      SELECT vec_id, cluster_id, d,
+        ROW_NUMBER() OVER (
+          PARTITION BY cluster_id ORDER BY d DESC, vec_id ASC
+        ) AS far_rank,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS n_c
+      FROM b
+    ) WHERE far_rank * 10 <= n_c + 9
+    """
+
+
+@query("dq4_embedding_outliers", oracle=_dq4_oracle())
+def dq4_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: the ceil(10%) farthest-from-centroid
+    vectors per semantic cluster (pinned SemDeDup centroids) — the
+    'far from any prototype' half of D4-style embedding pruning (the
+    near-duplicate half is d11/d11b). RANK-based, not quantile-based, by
+    design: the assigned distance is the portable ‖c‖²−2·u·c double (==
+    the oracle's LEAST over the same literals), and a row_number cut with
+    integer ceil arithmetic (rank·10 ≤ n_c+9) has no percentile
+    interpolation for engines to disagree on. One window shuffle on the
+    cluster key; assignment is scan-rate."""
+    from pyspark.sql import Window
+
+    assigned = _assigned_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.col("_a")["bucket"].alias("cluster_id"),
+        F.col("_a")["d"].alias("d"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("d"), F.asc("vec_id"))
+    cnt = Window.partitionBy("cluster_id")
+    return (
+        assigned.select(
+            "vec_id",
+            "cluster_id",
+            "d",
+            F.row_number().over(w).alias("far_rank"),
+            F.count(F.lit(1)).over(cnt).alias("n_c"),
+        )
+        .filter(F.col("far_rank") * 10 <= F.col("n_c") + 9)
+        .select(
+            "vec_id", "cluster_id",
+            F.round("d", 6).alias("centroid_dist"), "far_rank",
+        )
+    )
+
+
+@query(
+    "o15_token_budget_select",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, source, len(w) AS n_words,
+        ROUND(
+          LEAST(len(w) / 200.0, 1.0) * 0.4
+          + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+          + LEAST((CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+                   / len(w)) * 5.0, 1.0) * 0.2
+        , 6) AS quality_score
+      FROM f
+    ), c AS (
+      SELECT doc_id, source, n_words, quality_score,
+        COALESCE(CAST(SUM(n_words) OVER (
+          PARTITION BY source ORDER BY quality_score DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS BIGINT), 0) AS words_before
+      FROM s
+    )
+    SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+      quality_score, words_before
+    FROM c WHERE words_before < 600
+    """,
+)
+def o15_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained selection: greedily fill each source
+    shard's 600-word budget with its highest-quality documents (t2's
+    composite score, rounded to 6 — pipe1's proven-portable ordering key)
+    — the 'best data that fits the budget' step of compute-constrained
+    pretraining (a 10B-token run doesn't take all of a 15T-token corpus;
+    it takes the best slice). A document is admitted iff the budget is
+    not exhausted BEFORE it (words_before < budget), so exactly one doc
+    may straddle the boundary — the standard greedy-knapsack relaxation.
+    Per-SOURCE budgets keep the running-sum window partitioned (pack1's
+    shape); a global budget would be a single-partition window — the
+    scalable global variant thresholds quality by quantile instead.
+    Sums are exact integers; the only float ordering key is bit-portable."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = text.quality_features(docs, "text").select(
+        "doc_id", "source",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        q.select(
+            "doc_id", "source", "n_words", "quality_score",
+            F.coalesce(F.sum("n_words").over(w), F.lit(0))
+            .cast("long").alias("words_before"),
+        )
+        .filter(F.col("words_before") < 600)
+    )
 
 
 # --- pipe2: the pretrain data-prep flagship ----------------------------------
