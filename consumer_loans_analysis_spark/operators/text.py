@@ -671,7 +671,11 @@ def bpe_decode(
     merges = DEFAULT_BPE_MERGES if merges is None else merges
     inv = {tid: sym for sym, tid in bpe_vocab(merges).items()}
     mapping = F.create_map(*[F.lit(v) for pair in inv.items() for v in pair])
-    ids = F.split(F.col(ids_col), " ")
+    # drop empty fragments: split("", " ") yields [""], which would decode
+    # an EMPTY document (whitespace-only → token_str "") to one spurious
+    # ``unknown`` instead of "" (caught by the hypothesis roundtrip
+    # property; valid space-joined id strings never contain empty tokens)
+    ids = F.filter(F.split(F.col(ids_col), " "), lambda s: s != "")
     return df.select(
         F.col(id_col),
         F.array_join(

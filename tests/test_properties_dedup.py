@@ -229,3 +229,38 @@ def test_bloom_incremental_dedupe_equals_exact_anti_join(spark):
         P = np.asarray(r["pos"], dtype=np.int64)
         hits = (words[P >> 6] & (np.uint64(1) << (P.astype(np.uint64) & np.uint64(63)))) != 0
         assert hits.all()
+
+
+bpe_text_strategy = st.lists(
+    st.text(alphabet="table quryscnjoin09#Z ", min_size=0, max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=bpe_text_strategy)
+@settings(**_SETTINGS)
+def test_bpe_roundtrip_property(spark, texts):
+    """For ARBITRARY text (in-vocab letters, digits, symbols, uppercase,
+    whitespace-only and empty docs): (a) the when-chain and broadcast
+    encoders produce identical id sequences; (b) decode∘encode equals the
+    pretoken concatenation with every out-of-vocab character replaced by
+    '?' — the documented exactness contract, beyond t16's fixed-corpus
+    oracle. Found the empty-document decode bug (split("", " ") → [""] →
+    spurious '?') that corpus data could never reach."""
+    from consumer_loans_analysis_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), schema="doc_id long, text string"
+    )
+    enc = text_ops.bpe_encode(df)
+    enc_b = text_ops.bpe_encode_broadcast(df)
+    a = sorted((r["doc_id"], r["token_str"]) for r in enc.collect())
+    b = sorted((r["doc_id"], r["token_str"]) for r in enc_b.collect())
+    assert a == b
+    decoded = {r["doc_id"]: r["decoded"] for r in text_ops.bpe_decode(enc).collect()}
+    for i, t in enumerate(texts):
+        expected = "".join(
+            c if "a" <= c <= "z" else "?" for c in t if not c.isspace()
+        )
+        assert decoded[i] == expected, (t, decoded[i], expected)
