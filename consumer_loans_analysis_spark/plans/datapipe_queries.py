@@ -2856,7 +2856,10 @@ def o14_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a metadata column; fully deterministic, so the whole
     query — assignment included — sits under the hash oracle.
     Scale shape: assignment is a scan-rate literal-centroid projection;
-    ONE window shuffle on the cluster key."""
+    ONE window shuffle on the cluster key. k clusters bound window
+    parallelism to k — at extreme per-cluster sizes swap the window for
+    o11's two-level partial-top-k-then-merge (hash-smallest survives
+    merging), or raise k."""
     from pyspark.sql import Window
 
     assigned = _assigned_embeddings(spark, sf_dir).select(
@@ -2908,7 +2911,10 @@ def dq4_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's LEAST over the same literals), and a row_number cut with
     integer ceil arithmetic (rank·10 ≤ n_c+9) has no percentile
     interpolation for engines to disagree on. One window shuffle on the
-    cluster key; assignment is scan-rate."""
+    cluster key; assignment is scan-rate. Like o14, window parallelism is
+    bounded by k clusters — at extreme per-cluster sizes the farthest-10%
+    cut becomes a two-level partial top-(ceil(n_c/10)) merge (largest-d
+    survives merging, and n_c is one count aggregate)."""
     from pyspark.sql import Window
 
     assigned = _assigned_embeddings(spark, sf_dir).select(
