@@ -536,6 +536,37 @@ def test_gopher_rules_hand_computed(spark):
     assert abs(out[5]["alpha_word_ratio"] - 0.2) < 1e-12
 
 
+def test_token_budget_select_straddle_semantics(spark, tmp_path):
+    """o15's greedy-knapsack relaxation on a crafted shard: a document is
+    admitted iff the budget is not exhausted BEFORE it, so exactly one
+    document may straddle the 600-word boundary and everything after it
+    is cut — and ordering is (quality DESC, doc_id ASC)."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    # quality score is monotone in doc order here: doc 0 richest vocab.
+    # word counts: 550, 40, 30 → cum_before = 0, 550, 590; all < 600?
+    # doc2 cum_before 590 < 600 admitted (straddles to 620), doc3 would
+    # see 620 ≥ 600 → cut.
+    texts = [
+        " ".join(f"w{i}" for i in range(550)),          # distinct: high TTR
+        " ".join(["the", "a"] * 20),                     # 40 words
+        " ".join(["x"] * 30),                            # 30 words, low TTR
+        " ".join(["y"] * 25),                            # 25 words — cut
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "srcA", len(t)) for i, t in enumerate(texts)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = registry.QUERIES["o15_token_budget_select"](spark, str(tmp_path))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # quality ordering on this fixture: doc0 (TTR 1.0) > doc1 > doc2/3
+    assert set(rows) == {0, 1, 2}, rows
+    assert rows[2]["words_before"] == 590  # admitted: 590 < 600, straddles
+    assert 0 in rows and rows[0]["words_before"] == 0
+
+
 def test_quality_audit_detects_seeded_violations(spark):
     from consumer_loans_analysis_spark.operators import quality as dq
 
