@@ -3003,6 +3003,96 @@ def o15_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipe3_audited_curation",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, source, lang, text, len(w) AS n_words,
+        ROUND(
+          LEAST(len(w) / 200.0, 1.0) * 0.4
+          + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+          + LEAST((CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+                   / len(w)) * 5.0, 1.0) * 0.2
+        , 6) AS quality_score
+      FROM d
+      WHERE len(w) BETWEEN 20 AND 60
+        AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+            BETWEEN 3.0 AND 10.0
+        AND (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+             + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+            / len(w) <= 0.1
+        AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+            / len(w) >= 0.8
+        AND len(list_filter(w, x -> list_contains({_DQ3_STOPLIST}, x))) >= 2
+    ),
+    u AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        FROM g
+      ) WHERE rk = 1
+    ),
+    c AS (
+      SELECT doc_id, source, lang, n_words, quality_score,
+        COALESCE(CAST(SUM(n_words) OVER (
+          PARTITION BY source ORDER BY quality_score DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS BIGINT), 0) AS words_before
+      FROM u
+    )
+    SELECT doc_id, source, lang, CAST(n_words AS BIGINT) AS n_words,
+      quality_score, words_before
+    FROM c WHERE words_before < 600
+    """,
+)
+def pipe3_audited_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 curation flagship — this round's new operators composed
+    end to end under ONE hash oracle: dq3's Gopher rule battery (audited
+    per-rule filtering) → pipe1's exact dedup (lowest doc_id per content
+    fingerprint) → o15's per-shard 600-word budget fill ranked by t2's
+    composite quality. pipe1 proved curation-v1 composes and pipe2 the
+    tokenize side; pipe3 proves the AUDITED curation path (paper-rule
+    filter + dedup + compute-budget selection) is one pipeline a
+    pretraining-data team runs verbatim.
+
+    Plan shape: the rule filter and quality scoring are map-only and run
+    BEFORE both shuffles (shrinking them); then exactly TWO window
+    shuffles end-to-end — the 32-byte md5 fingerprint key (bodies never
+    shuffle; the filter already dropped ~half the corpus) and the shard
+    key for the budget window."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    rules = text.gopher_quality_rules(docs, min_words=20, max_words=60)
+    kept = rules.filter(F.col("keep")).select(
+        "doc_id", "source", "lang", "text", "n_words"
+    )
+    q = text.quality_features(kept, "text").select(
+        "doc_id", "source", "lang", "text",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        q.withColumn("rk", F.row_number().over(wdup))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "text")
+    )
+    wbud = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        uniq.select(
+            "doc_id", "source", "lang", "n_words", "quality_score",
+            F.coalesce(F.sum("n_words").over(wbud), F.lit(0))
+            .cast("long").alias("words_before"),
+        )
+        .filter(F.col("words_before") < 600)
+    )
+
+
 # --- pipe2: the pretrain data-prep flagship ----------------------------------
 
 def _pipe2_sql() -> str:
