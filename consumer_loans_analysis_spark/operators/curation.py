@@ -364,3 +364,62 @@ def semantic_dedup(
         .select("id_a", "id_b")
     )
     return dedup.duplicate_clusters(emb, pairs, id_col=id_col)
+
+
+def pca_whiten_score(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Whitened PCA projection + Mahalanobis outlier score over the PINNED
+    transform (``operators/pca_components.py`` — fitted once driver-side,
+    frozen as literals; re-pin with ``probe_refit_pca_components.py``).
+    The covariance-aware companion to dq4's per-cluster distance rank:
+    ``maha2 = Σ_j ((v·w_j − c_j)·inv_sd_j)²`` is the squared Mahalanobis
+    distance in the top-k principal subspace, and ``is_outlier`` flags
+    rows beyond ``threshold`` (default: the chi²₈ 0.99 quantile — the
+    classical whitening-then-threshold embedding audit; the registered
+    query pins the 0.90 quantile instead because this corpus's tails are
+    sub-Gaussian, see ``probe_refit_pca_components.py``).
+
+    Numerics are SQL-portable BY CONSTRUCTION: each dot is the same
+    left-to-right accumulation (Spark ``aggregate`` / DuckDB
+    ``list_dot_product`` — the d11b-proven pairing), the centering
+    offset ``c_j = ltr_dot(mean, w_j)`` is pinned rather than re-derived
+    per row, and whitening multiplies by a pinned ``1/σ`` literal
+    (multiply, not divide — one rounding on both engines). The eight
+    projections are STAGED as columns before the score (the sim3b/sim4
+    unit-staging lesson: inlining each pc into maha2 would re-evaluate
+    the 64-term dots). Map-only — zero shuffles, scan-rate at 100 TB.
+    """
+    from consumer_loans_analysis_spark.operators.pca_components import (
+        PCA_C,
+        PCA_CHI2_99_8,
+        PCA_INV_SD,
+        PCA_W,
+    )
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pcs = []
+    for j, (w, c, s) in enumerate(zip(PCA_W, PCA_C, PCA_INV_SD), 1):
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in w]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        pcs.append(((dot - F.lit(float(c))) * F.lit(float(s))).alias(f"pc{j}"))
+    staged = df.select(F.col(id_col), *pcs)
+    maha2 = F.col("pc1") * F.col("pc1")
+    for j in range(2, len(PCA_W) + 1):
+        maha2 = maha2 + F.col(f"pc{j}") * F.col(f"pc{j}")
+    if threshold is None:
+        threshold = PCA_CHI2_99_8
+    scored = staged.select("*", maha2.alias("maha2"))
+    return scored.select(
+        "*", (F.col("maha2") > F.lit(float(threshold))).alias("is_outlier")
+    )

@@ -167,6 +167,90 @@ def gopher_quality_rules(
     )
 
 
+def c4_line_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    line_words: int = 10,
+    min_line_words: int = 5,
+    denylist: tuple[str, ...] = ("dup",),
+    min_mean_word_len_x10: int = 42,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020, §2.2): filter a page
+    LINE BY LINE, re-join the survivors in order, and keep the page only
+    if enough lines survive — the rule family behind C4/RealNews and the
+    line-granular half of most web-corpus cleaners (Gopher's document
+    rules are ``gopher_quality_rules``).
+
+    Adaptations for this corpus (no newlines or punctuation in any
+    document — measured): a "line" is a fixed ``line_words``-word chunk
+    (the chunk1 convention), and C4's terminal-punctuation rule is
+    replaced by a mean-word-length floor stated in EXACT integer
+    arithmetic (``10·Σlen(word) ≥ min_mean_word_len_x10·n_words`` — no
+    float division for engines to disagree on). Per-line rules:
+    ≥ ``min_line_words`` words (C4 drops lines under 5 words), no
+    denylist token (C4's bad-word / "lorem ipsum" / "javascript" rule),
+    and the mean-word-length floor. Page rule: keep the document iff
+    ≥ ``min_kept_lines`` lines survive (C4 keeps pages with ≥ 3
+    sentences). C4's cross-corpus three-sentence-span dedup is the
+    separate ``duplicate_spans`` operator (d7). Exact duplicate LINES
+    within a page are statistically impossible on this corpus (random
+    10-word chunks over a 31-word vocab), so that rule is omitted
+    rather than shipped untestable.
+
+    Scale shape: the whole battery — chunking, per-line rules, audit
+    counts, in-order reassembly — is higher-order array Column
+    expressions over ONE scan: map-only, zero shuffles, no explode (the
+    per-doc line list never leaves the row), so at 100 TB it runs at
+    scan rate and composes with dq3/o9/pipe1. Cleaned text is returned
+    both verbatim (``cleaned_text``) and as ``cleaned_md5`` so
+    downstream dedup can shuffle the 32 B fingerprint instead of bodies.
+    """
+    w = words(F.col(text_col))
+    # ceil(n/line_words) via exact double floor ((n+9)/10 < 2^53 — exact).
+    n_lines = F.floor((F.size(w) + F.lit(line_words - 1)) / F.lit(line_words))
+    lines = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_lines - 1),
+        lambda i: F.slice(w, (i * line_words + 1).cast("int"), line_words),
+    )
+    deny = F.array(*[F.lit(d) for d in denylist])
+
+    def _sum_len(line: Column) -> Column:
+        return F.aggregate(
+            line, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+        )
+
+    def _short(line: Column) -> Column:
+        return F.size(line) < min_line_words
+
+    def _denied(line: Column) -> Column:
+        return F.arrays_overlap(line, deny)
+
+    def _low_mwl(line: Column) -> Column:
+        return F.lit(10) * _sum_len(line) < F.lit(min_mean_word_len_x10) * F.size(
+            line
+        ).cast("long")
+
+    kept = F.filter(
+        lines, lambda L: ~_short(L) & ~_denied(L) & ~_low_mwl(L)
+    )
+    n_kept = F.size(kept)
+    cleaned = F.array_join(
+        F.transform(kept, lambda L: F.array_join(L, " ")), " "
+    )
+    return df.select(
+        "*",
+        n_lines.cast("long").alias("n_lines"),
+        F.size(F.filter(lines, _short)).cast("long").alias("n_short_lines"),
+        F.size(F.filter(lines, _denied)).cast("long").alias("n_denylist_lines"),
+        F.size(F.filter(lines, _low_mwl)).cast("long").alias("n_low_mwl_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        cleaned.alias("cleaned_text"),
+        F.md5(cleaned).alias("cleaned_md5"),
+        (n_kept >= min_kept_lines).alias("keep"),
+    )
+
+
 # Marker vocabularies for the n-gram/stopword language-ID heuristic. On real
 # corpora these are the top function words per language; scoring is
 # count-of-markers-present, argmax with lexicographic tie-break.

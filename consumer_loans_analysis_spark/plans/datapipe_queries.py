@@ -1669,6 +1669,64 @@ def dq3_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq5_c4_line_rules",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    l AS (
+      SELECT doc_id,
+        list_transform(
+          generate_series(0, CAST(floor((len(w) + 9) / 10.0) AS BIGINT) - 1, 1),
+          i -> w[CAST(i*10+1 AS INT) : CAST(i*10+10 AS INT)]
+        ) AS lines
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id, lines,
+        list_filter(lines, L ->
+          NOT (len(L) < 5)
+          AND NOT list_has_any(L, ['dup'])
+          AND NOT (10 * CAST(list_sum(list_transform(L, x -> length(x))) AS BIGINT)
+                   < 42 * CAST(len(L) AS BIGINT))
+        ) AS kept
+      FROM l
+    )
+    SELECT doc_id,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(lines, L -> len(L) < 5)) AS BIGINT) AS n_short_lines,
+      CAST(len(list_filter(lines, L -> list_has_any(L, ['dup']))) AS BIGINT)
+        AS n_denylist_lines,
+      CAST(len(list_filter(lines, L ->
+        10 * CAST(list_sum(list_transform(L, x -> length(x))) AS BIGINT)
+        < 42 * CAST(len(L) AS BIGINT))) AS BIGINT) AS n_low_mwl_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      -- DuckDB's array_to_string is NULL on an empty list; Spark's
+      -- array_join is ''. COALESCE so zero-survivor docs hash alike.
+      md5(COALESCE(
+        array_to_string(list_transform(kept, L -> array_to_string(L, ' ')), ' '),
+        '')) AS cleaned_md5,
+      len(kept) >= 3 AS keep
+    FROM f
+    """,
+)
+def dq5_c4_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning battery (Raffel et al. 2020 §2.2) with
+    per-rule line-kill audit counts and the order-preserving cleaned
+    text's md5 — the line-granular companion to dq3's document-level
+    Gopher rules. Thresholds tuned so every rule fires at sf0.01 (218
+    short / 25 denylist / 614 low-mean-word-length lines; 380/500 docs
+    clear the ≥3-kept-lines page rule — both branches exercised).
+    Map-only higher-order array expressions: chunking, rules, audit and
+    reassembly all happen inside the row — zero shuffles, no explode
+    (plan-pinned). See ``operators/text.py::c4_line_rules``."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = text.c4_line_rules(docs)
+    return out.select(
+        "doc_id", "n_lines", "n_short_lines", "n_denylist_lines",
+        "n_low_mwl_lines", "n_kept_lines", "cleaned_md5", "keep",
+    )
+
+
+@query(
     "drift1_token_kl",
     oracle="""
     WITH tok AS (
@@ -3379,3 +3437,138 @@ def sk5_streaming_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.col("exact_n") / F.col("n"), 6).alias("share"),
         )
     )
+
+
+# -- Data layout: Z-order clustering ledger -----------------------------------
+
+
+def _zorder_sql(bits: int = 8, n_files: int = 64) -> str:
+    """z1 oracle with the Morton interleave unrolled to plain integer
+    arithmetic (bit i of each bucket -> position 2i / 2i+1, the exact sum
+    ``sources/layout._spread_bits`` computes). All-integer until the two
+    final span divisions, so both engines agree value-for-value. DuckDB's
+    ``//`` truncates toward zero, which equals floor here because every
+    numerator is non-negative by construction (v >= vmin)."""
+    w = 1 << bits  # buckets per dim
+    z_space = 1 << (2 * bits)
+
+    def spread(v: str) -> str:
+        return " + ".join(f"((({v}) >> {i}) & 1) * {4 ** i}" for i in range(bits))
+
+    return f"""
+    WITH o AS (
+      SELECT o_custkey AS x,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS y
+      FROM orders
+    ),
+    s AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+                 MIN(y) AS ymin, MAX(y) AS ymax FROM o),
+    k AS (
+      SELECT x, y, xmin, xmax, ymin, ymax,
+        ((x - xmin) * {w}) // (xmax - xmin + 1) AS xb,
+        ((y - ymin) * {w}) // (ymax - ymin + 1) AS yb
+      FROM o, s
+    ),
+    z AS (
+      SELECT x, y, xmin, xmax, ymin, ymax, yb,
+        ({spread('xb')}) + 2 * ({spread('yb')}) AS zc
+      FROM k
+    ),
+    p AS (
+      SELECT 'zorder' AS layout, (zc * {n_files}) // {z_space} AS file_id,
+             x, y, xmin, xmax, ymin, ymax FROM z
+      UNION ALL
+      SELECT 'linear_y' AS layout, (yb * {n_files}) // {w} AS file_id,
+             x, y, xmin, xmax, ymin, ymax FROM z
+    )
+    SELECT layout, file_id, COUNT(*) AS n_rows,
+      MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max,
+      CAST(MAX(x) - MIN(x) + 1 AS DOUBLE)
+        / CAST(MAX(xmax) - MIN(xmin) + 1 AS DOUBLE) AS x_span_frac,
+      CAST(MAX(y) - MIN(y) + 1 AS DOUBLE)
+        / CAST(MAX(ymax) - MIN(ymin) + 1 AS DOUBLE) AS y_span_frac
+    FROM p GROUP BY layout, file_id
+    """
+
+
+@query("z1_zorder_layout_stats", oracle=_zorder_sql())
+def z1_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `OPTIMIZE ZORDER BY` skipping ledger over orders
+    (custkey × order-day): per output file, row count + per-dimension
+    (min, max) + span fractions, for the Z-order layout AND the
+    single-dim linear layout side by side — the span fractions are
+    precisely what parquet min/max pruning scans in expectation, so this
+    query IS the measured benefit of multi-dimensional clustering
+    (Z-order: tight on both dims; linear: tight on order-day, ~1.0 on
+    custkey). One scalar min/max pass broadcast back, then both layouts'
+    file ids computed map-side (pure integer Morton arithmetic in
+    codegen) and exploded into ONE groupBy shuffle.
+    See ``sources/layout.py::zorder_file_stats`` (the write-path twin is
+    ``zorder_write``, pytest-verified to tighten real parquet footers)."""
+    from consumer_loans_analysis_spark.sources.layout import zorder_file_stats
+
+    orders = read_table(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("order_day"),
+    )
+    return zorder_file_stats(df, ("custkey", "order_day"), bits=8, n_files=64)
+
+
+# -- Pinned PCA whitening + Mahalanobis audit ---------------------------------
+
+
+def _pca1_sql() -> str:
+    """pca1 oracle over the PINNED whitening transform: each projection is
+    ``(list_dot_product(v, w_j) - c_j) * inv_sd_j`` with the exact repr()
+    literals the Spark expression path uses (the d11b ltr pairing), staged
+    in a CTE before the left-to-right Mahalanobis sum — the same staging
+    and association order as the Spark side, so values match exactly."""
+    from consumer_loans_analysis_spark.operators.pca_components import (
+        PCA_C,
+        PCA_CHI2_90_8,
+        PCA_INV_SD,
+        PCA_W,
+    )
+
+    pcs = []
+    for j, (w, c, s) in enumerate(zip(PCA_W, PCA_C, PCA_INV_SD), 1):
+        lit = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+        pcs.append(
+            f"(list_dot_product(v, {lit}) - {repr(float(c))})"
+            f" * {repr(float(s))} AS pc{j}"
+        )
+    maha2 = " + ".join(f"pc{j} * pc{j}" for j in range(1, len(PCA_W) + 1))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id, {", ".join(pcs)} FROM e),
+    m AS (SELECT *, {maha2} AS maha2 FROM p)
+    SELECT *, maha2 > {PCA_CHI2_90_8!r} AS is_outlier FROM m
+    """
+
+
+@query("pca1_pinned_whiten", oracle=_pca1_sql())
+def pca1_pinned_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened top-8 PCA projection of every embedding + squared
+    Mahalanobis score + chi²₈(0.90) outlier flag, under the pinned
+    transform — the covariance-aware embedding audit (dq4 ranks within
+    k-means clusters; this whitens against the fitted principal
+    subspace). Flag threshold is the chi²₈ 0.90 quantile, not 0.99:
+    this corpus's whitened tails are sub-Gaussian (measured — zero rows
+    ever cross 0.99), so 0.90 keeps both branches exercised at every
+    gate SF (1/32/5 outliers at sf0.001/0.01/0.1 — the dq3/dq5
+    threshold-rescaling convention). Map-only Column expressions
+    (plan-pinned in tests); full hash oracle via the d11b ltr-dot
+    pairing.
+    See ``operators/curation.py::pca_whiten_score`` and
+    ``operators/pca_components.py`` for provenance/re-pin."""
+    from consumer_loans_analysis_spark.operators.curation import pca_whiten_score
+
+    from consumer_loans_analysis_spark.operators.pca_components import (
+        PCA_CHI2_90_8,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_whiten_score(emb, threshold=PCA_CHI2_90_8)

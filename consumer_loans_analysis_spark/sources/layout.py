@@ -84,3 +84,90 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def fixed_width_bucket(v: Column, vmin: Column, vmax: Column, bits: int) -> Column:
+    """Fixed-width bucket id in [0, 2^bits) from EXACT integer arithmetic:
+    ``(v - vmin) * 2^bits // (vmax - vmin + 1)``. The deterministic
+    normalizer for the oracled layout query — ``quantile_rank``'s ntile is
+    the better balancer for skewed dims but its global window and
+    tie-ordering aren't engine-portable. ``floor`` over the double
+    quotient is exact while the numerator stays below 2^53 (here:
+    key-range × 2^bits ≪ 2^53; the same bound the dq5 chunk count relies
+    on), so Spark and any SQL engine agree bucket-for-bucket."""
+    num = (v.cast("long") - vmin.cast("long")) * F.lit(1 << bits).cast("long")
+    den = vmax.cast("long") - vmin.cast("long") + F.lit(1).cast("long")
+    return F.floor(num / den).cast("long")
+
+
+def zorder_file_stats(
+    df: DataFrame,
+    dims: tuple[str, str],
+    bits: int = 8,
+    n_files: int = 64,
+) -> DataFrame:
+    """The data-skipping ledger behind `OPTIMIZE ZORDER BY`: assign every
+    row to a file under (a) Z-order range partitioning on both dims and
+    (b) linear partitioning on the second dim only, then report each
+    file's row count, per-dimension (min, max), and span fractions —
+    exactly the parquet footer stats a reader prunes with. A predicate on
+    dim x scans ``x_span_frac`` of each file in expectation, so the two
+    layouts' fractions side by side ARE the skipping benefit (Z-order:
+    tight on both dims; linear: tight on y, ~1.0 on x).
+
+    Scale shape: one scalar min/max aggregate broadcast back (the
+    t8/t13 idiom), then ONE shuffle — both layouts' file assignments are
+    computed map-side and exploded as (layout, file_id) pairs into a
+    single groupBy. Everything is integer Column arithmetic inside
+    whole-stage codegen; at 100 TB the scalar pass comes free from table
+    metadata. File boundaries are fixed-width in Z space (deterministic;
+    production writers range-partition on sampled quantiles instead —
+    same files, different boundary source)."""
+    a, b = dims
+    z_bits = 2 * bits
+    scalars = df.agg(
+        F.min(a).alias("_amin"),
+        F.max(a).alias("_amax"),
+        F.min(b).alias("_bmin"),
+        F.max(b).alias("_bmax"),
+    )
+    keyed = df.crossJoin(F.broadcast(scalars))
+    xb = fixed_width_bucket(F.col(a), F.col("_amin"), F.col("_amax"), bits)
+    yb = fixed_width_bucket(F.col(b), F.col("_bmin"), F.col("_bmax"), bits)
+    z = morton_code(xb, yb, bits)
+    fid_z = F.floor(z * F.lit(n_files).cast("long") / F.lit(1 << z_bits)).cast("long")
+    fid_y = F.floor(yb * F.lit(n_files).cast("long") / F.lit(1 << bits)).cast("long")
+    pairs = F.explode(
+        F.array(
+            F.struct(F.lit("zorder").alias("layout"), fid_z.alias("file_id")),
+            F.struct(F.lit("linear_y").alias("layout"), fid_y.alias("file_id")),
+        )
+    ).alias("p")
+    exploded = keyed.select(
+        F.col(a).alias("_x"), F.col(b).alias("_y"),
+        "_amin", "_amax", "_bmin", "_bmax", pairs,
+    )
+    agg = exploded.groupBy(F.col("p.layout").alias("layout"),
+                           F.col("p.file_id").alias("file_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("_x").alias("x_min"),
+        F.max("_x").alias("x_max"),
+        F.min("_y").alias("y_min"),
+        F.max("_y").alias("y_max"),
+        F.max("_amin").alias("_amin"),
+        F.max("_amax").alias("_amax"),
+        F.max("_bmin").alias("_bmin"),
+        F.max("_bmax").alias("_bmax"),
+    )
+    # one division of exact integers per fraction — bit-identical anywhere
+    return agg.select(
+        "layout", "file_id", "n_rows", "x_min", "x_max", "y_min", "y_max",
+        (
+            (F.col("x_max") - F.col("x_min") + 1).cast("double")
+            / (F.col("_amax") - F.col("_amin") + 1).cast("double")
+        ).alias("x_span_frac"),
+        (
+            (F.col("y_max") - F.col("y_min") + 1).cast("double")
+            / (F.col("_bmax") - F.col("_bmin") + 1).cast("double")
+        ).alias("y_span_frac"),
+    )

@@ -90,3 +90,35 @@ def test_zorder_write_preserves_rows(spark, sf_dir, tmp_path):
     a = ev.agg(F.sum("event_id"), F.sum("user_id")).collect()[0]
     b = back.agg(F.sum("event_id"), F.sum("user_id")).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_zorder_file_stats_ledger_shows_skipping(spark, sf_dir):
+    """z1's ledger semantics: both layouts partition ALL rows; the
+    Z-order layout's per-file x-spans are dramatically tighter than the
+    linear-by-y layout's (which must cover ~the full x range per file),
+    while staying bounded on y — the measured two-dimensional skipping
+    benefit. Also pins the plan: ONE hash-partition Exchange (the file
+    aggregate); the scalar min/max attach is a broadcast."""
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["z1_zorder_layout_stats"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    rows = df.collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r["layout"], []).append(r)
+    for layout, files in by_layout.items():
+        assert sum(f["n_rows"] for f in files) == n_orders, layout
+    mean_x = {
+        lay: sum(f["x_span_frac"] for f in fs) / len(fs)
+        for lay, fs in by_layout.items()
+    }
+    # linear-by-date files span essentially the whole custkey range;
+    # Z-order files cover a compact slice of it.
+    assert mean_x["linear_y"] > 0.9, mean_x
+    assert mean_x["zorder"] < mean_x["linear_y"] / 2, mean_x

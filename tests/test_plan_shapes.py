@@ -56,6 +56,18 @@ def test_chunking_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_c4_line_rules_is_map_only(spark, sf_dir):
+    """dq5: the whole C4 battery — chunking, per-line rules, audit counts,
+    in-order reassembly — must run inside the row: no Exchange AND no
+    Generate (the line list never explodes; higher-order functions only)."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    plan = _plan(registry.QUERIES["dq5_c4_line_rules"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
 def test_blocked_gemm_join_is_not_forced_broadcast(spark, sf_dir):
     """d5: the block-pair join must be a (block_a, block_b) equi-join with
     no plan-mandated corpus broadcast. AQE may still CHOOSE broadcast at
@@ -292,3 +304,13 @@ def test_ann_merge_windows_have_group_limit(spark, sf_dir):
     # query batch are tiny) — a shuffle join here would exchange the
     # corpus for a |q|*R-row lookup
     assert "BroadcastHashJoin" in plans["prefix_rerank"], plans["prefix_rerank"]
+
+
+def test_pca_whiten_is_map_only(spark, sf_dir):
+    """pca1: the pinned projection + Mahalanobis audit must be pure
+    scan-rate Column arithmetic — no Exchange of any kind."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    plan = _plan(registry.QUERIES["pca1_pinned_whiten"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
