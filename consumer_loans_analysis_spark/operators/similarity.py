@@ -664,6 +664,58 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     return scale, qvec
 
 
+def quantize_int4_block(vec: Column, dim: int, block: int = 16) -> Column:
+    """Blockwise symmetric int4 quantization (the GPTQ/bitsandbytes
+    block-absmax convention): split the vector into ``dim/block`` blocks,
+    scale each by its own absmax so codes use the full [-7, 7] range
+    per block — one outlier coordinate no longer flattens the whole
+    vector the way it does under sq1's per-vector int8 scale. Returns
+    the per-block absmax array (scale_b = amax_b/7 is the dequantize
+    step); ``recon_int4_block`` builds the dequantized reconstruction
+    ``floor(v_i·(7/amax_b) + 0.5)·(amax_b/7)`` on top of it — explicit
+    floor(+0.5) half-up and multiply-by-quotient on both engines (no
+    engine-native ROUND ties, no second division). |v_i·7/amax_b| ≤ 7
+    by construction, so no clamp is needed (floor(±7 + 0.5) stays in
+    range).
+
+    Callers must STAGE ``amax`` as a projected column before building
+    ``recon`` on top of it (the sim3b/ivf staging lesson — inlining
+    re-evaluates the 16-element absmax per element). Map-only Column
+    arithmetic; 8× storage cut at 100 TB with per-block fidelity.
+    """
+    n_blocks = dim // block
+    amax = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda b: F.array_max(
+            F.transform(
+                F.slice(vec, (b * block + 1).cast("int"), block),
+                lambda x: F.abs(x.cast("double")),
+            )
+        ),
+    )
+    return amax
+
+
+def recon_int4_block(
+    vec: Column, amax: Column, dim: int, block: int = 16
+) -> Column:
+    """The dequantized int4 reconstruction over a STAGED ``amax`` column —
+    see ``quantize_int4_block``."""
+    def _r(i: Column) -> Column:
+        b = F.floor(i / F.lit(block)).cast("int") + 1
+        s = F.element_at(amax, b)
+        return (
+            F.floor(
+                F.element_at(vec, i.cast("int") + 1).cast("double")
+                * (F.lit(7.0) / s)
+                + F.lit(0.5)
+            )
+            * (s / F.lit(7.0))
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _r)
+
+
 def _kmeanspp_lloyd(X, ks: int, seed: int, iters: int = 25):
     """Deterministic seeded k-means++ init + Lloyd iterations in numpy —
     the PQ sub-codebook trainer. Driver-side by design: codebooks need

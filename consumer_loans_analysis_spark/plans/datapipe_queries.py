@@ -3572,3 +3572,189 @@ def pca1_pinned_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return pca_whiten_score(emb, threshold=PCA_CHI2_90_8)
+
+
+@query(
+    "sq2_int4_block_quantization",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (
+      SELECT vec_id, v,
+        list_transform(generate_series(0, 3, 1),
+          b -> list_max(list_transform(v[b*16+1 : b*16+16], x -> abs(x)))
+        ) AS amax
+      FROM e
+    ),
+    r AS (
+      SELECT vec_id, v, amax,
+        list_transform(generate_series(0, 63, 1),
+          i -> floor(v[i+1] * (7.0 / amax[i//16 + 1]) + 0.5)
+               * (amax[i//16 + 1] / 7.0)
+        ) AS rv
+      FROM a
+    )
+    SELECT vec_id,
+      ROUND(amax[1] / 7.0, 6) AS scale_b0,
+      ROUND(amax[2] / 7.0, 6) AS scale_b1,
+      ROUND(amax[3] / 7.0, 6) AS scale_b2,
+      ROUND(amax[4] / 7.0, 6) AS scale_b3,
+      ROUND(list_dot_product(v, rv)
+            / (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(rv, rv))), 6)
+        AS recon_cos
+    FROM r
+    """,
+)
+def sq2_int4_block_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blockwise symmetric int4 quantization (block absmax = the
+    GPTQ/bitsandbytes storage convention) of the embedding column: four
+    16-dim blocks, each scaled to the full [-7, 7] code range, reported
+    as the per-block dequantize scales + the reconstruction cosine
+    (which does NOT cancel scales here, unlike sq1 — each block
+    dequantizes differently, so the cosine measures real blockwise
+    fidelity). Map-only Column arithmetic over one scan; the absmax
+    array is STAGED before the reconstruction builds on it (the sim3b
+    staging lesson). 8× storage cut vs float32 at 100 TB.
+    See ``operators/similarity.py::quantize_int4_block``."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim, block = 64, 16
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    staged = emb.select(
+        "vec_id",
+        v.alias("v"),
+        similarity.quantize_int4_block(v, dim=dim, block=block).alias("amax"),
+    )
+    recon = staged.select(
+        "vec_id", "v", "amax",
+        similarity.recon_int4_block(
+            F.col("v"), F.col("amax"), dim=dim, block=block
+        ).alias("rv"),
+    )
+    return recon.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("amax", b + 1) / F.lit(7.0), 6).alias(f"scale_b{b}")
+            for b in range(dim // block)
+        ],
+        F.round(
+            similarity.cosine(F.col("v"), F.col("rv")), 6
+        ).alias("recon_cos"),
+    )
+
+
+@query(
+    "d14_minhash_estimate_audit",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM d, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard_exact
+      FROM cand
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    ),
+    mh AS (
+      SELECT id, k,
+        MIN(CAST(concat('0x',
+              substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 8)) AS BIGINT))
+          AS m
+      FROM sh, UNNEST(generate_series(0, 31, 1)) AS g(k)
+      GROUP BY id, k
+    ),
+    agree AS (
+      SELECT p.id_a, p.id_b, p.jaccard_exact,
+        COUNT(*) FILTER (ma.m = mb.m) AS n_match
+      FROM pairs p
+      JOIN mh ma ON ma.id = p.id_a
+      JOIN mh mb ON mb.id = p.id_b AND mb.k = ma.k
+      GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, jaccard_exact, n_match,
+      n_match / 32.0 AS jaccard_est,
+      ABS(n_match / 32.0 - jaccard_exact) AS abs_err
+    FROM agree
+    """,
+)
+def d14_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATE itself under a full hash oracle — the sketch-
+    accuracy ledger sk3 keeps for CMS, here for MinHash: for every
+    exact-verified near-dup pair (Jaccard ≥ 0.5), the 32-component
+    signature agreement count, the estimate n_match/32, and its absolute
+    error against the exact Jaccard. d3 oracles the exact answer (its
+    estimates ride xxhash64, which no other engine can restate); this
+    audit builds a PORTABLE 32-hash signature instead (md5 of 'k:shingle'
+    — the o7/o4b seeded-portable-hash idiom), so both the estimator and
+    its error are value-compared against DuckDB, collisions and all.
+
+    Scale shape: the exact pair set reuses d2's inverted-index
+    machinery; the 32-hash signatures are map-only higher-order
+    expressions (the shingle array is STAGED, then 32 array_min's over
+    it) computed ONLY for documents that appear in a candidate pair —
+    the tiny pair-id set broadcast-semi-joins the corpus first, so the
+    32-md5s-per-shingle portability price is paid on |pairs| documents,
+    never the corpus (sf0.1: ~500 of 5000 docs). The pair table then
+    broadcasts into two map-side signature joins — nothing corpus-sized
+    ever shuffles. Production keeps xxhash64 (d3) and audits on a
+    sampled pair set exactly like this."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = text.words(F.col("text"))
+    sh = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.array_join(F.slice(w, i.cast("int"), 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = dedup.jaccard_near_dupes(docs, threshold=0.5).select(
+        "id_a", "id_b", F.col("jaccard").alias("jaccard_exact")
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    staged = docs.select(
+        F.col("doc_id").alias("id"), F.array_distinct(sh).alias("shd")
+    ).join(F.broadcast(cand_ids), "id")
+    sig = staged.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda k: F.array_min(
+                F.transform(
+                    F.col("shd"),
+                    lambda s: F.conv(
+                        F.substring(
+                            F.md5(F.concat(k.cast("string"), F.lit(":"), s)), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                )
+            ),
+        ).alias("sig"),
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    joined = sa.join(F.broadcast(pairs), "id_a").join(F.broadcast(sb), "id_b")
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    return joined.select(
+        "id_a", "id_b", "jaccard_exact",
+        n_match.cast("long").alias("n_match"),
+        (n_match / F.lit(32.0)).alias("jaccard_est"),
+        (F.abs(n_match / F.lit(32.0) - F.col("jaccard_exact"))).alias("abs_err"),
+    )

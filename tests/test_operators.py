@@ -1271,3 +1271,81 @@ def test_pca_whiten_matches_numpy_ltr_bit_exact(spark, sf_dir):
     # per-row equality above is the real numerical pin
     mean_m = float(np.mean([r["maha2"] for r in got.values()]))
     assert 3.0 < mean_m < 12.0, mean_m
+
+
+def test_int4_block_quantization_outlier_robustness(spark):
+    """The point of blockwise scaling: one outlier coordinate destroys a
+    per-vector int8-style scale's resolution everywhere, but only inside
+    its own block under block-absmax. Hand-check: codes stay in [-7, 7],
+    reconstruction is exact for values on the code grid, and the blocked
+    reconstruction cosine beats a single-scale int4 reconstruction on an
+    outlier vector."""
+    from consumer_loans_analysis_spark.operators.similarity import (
+        quantize_int4_block,
+        recon_int4_block,
+    )
+
+    # block 0 carries a 100x outlier; blocks 1-3 are small values
+    vec = [100.0] + [0.5] * 15 + [0.4, -0.3] * 24
+    df = spark.createDataFrame([(0, vec)], "vec_id int, v array<double>")
+    staged = df.select(
+        "vec_id", "v", quantize_int4_block(F.col("v"), dim=64).alias("amax")
+    )
+    row = staged.select(
+        "v", "amax",
+        recon_int4_block(F.col("v"), F.col("amax"), dim=64).alias("rv"),
+    ).collect()[0]
+    amax, rv, v = row["amax"], row["rv"], row["v"]
+    assert amax == [100.0, 0.4, 0.4, 0.4]
+    # codes in range: |r_i| <= amax_b
+    for i, r in enumerate(rv):
+        assert abs(r) <= amax[i // 16] + 1e-12, (i, r)
+    # grid-exact: the outlier itself reconstructs exactly (code 7 * 100/7)
+    assert rv[0] == 100.0
+    # blockwise reconstruction error beats one global int4 scale by a
+    # huge factor on this vector: under the global scale g = 100/7 every
+    # small coordinate quantizes to code 0 (|x| < g/2), so the global
+    # error is the whole small-coordinate energy
+    import math
+
+    g = max(abs(x) for x in v) / 7.0
+    rv_global = [math.floor(x / g + 0.5) * g for x in v]
+    assert all(r == 0.0 for r in rv_global[1:])
+    # the outlier flattens ONLY its own block: blocks 1-3 reconstruct
+    # near-exactly under their own scales, vs total loss globally
+    tail_block = sum((x - r) ** 2 for x, r in zip(v[16:], rv[16:]))
+    tail_global = sum((x - r) ** 2 for x, r in zip(v[16:], rv_global[16:]))
+    assert tail_global > 5.0 and tail_block < tail_global / 100, (
+        tail_block, tail_global)
+    # and the total error still improves
+    err_block = sum((x - r) ** 2 for x, r in zip(v, rv))
+    err_global = sum((x - r) ** 2 for x, r in zip(v, rv_global))
+    assert err_block < err_global / 2, (err_block, err_global)
+
+
+def test_minhash_estimate_audit_statistics(spark, sf_dir):
+    """d14's estimates behave like 32-trial binomial draws around the
+    exact Jaccard: every agreement count is a legal 0..32, the pair set
+    matches the exact >= 0.5 pair set, and errors sit within binomial
+    noise (max |err| under ~4 sigma at p=0.5, mean under ~1 sigma)."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["d14_minhash_estimate_audit"](spark, sf_dir).collect()
+    assert rows, "expected candidate pairs at this SF"
+    from consumer_loans_analysis_spark.operators import dedup
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_near_dupes(docs, threshold=0.5).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in rows} == exact_pairs
+    sigma = (0.25 / 32) ** 0.5  # binomial sd upper bound at p=0.5
+    for r in rows:
+        assert 0 <= r["n_match"] <= 32
+        assert r["jaccard_est"] == r["n_match"] / 32.0
+        assert r["abs_err"] <= 4 * sigma + 1e-9, (r["id_a"], r["id_b"], r["abs_err"])
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err <= sigma, mean_err
