@@ -3758,3 +3758,96 @@ def d14_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_match / F.lit(32.0)).alias("jaccard_est"),
         (F.abs(n_match / F.lit(32.0) - F.col("jaccard_exact"))).alias("abs_err"),
     )
+
+
+@query(
+    "pipe4_clean_dedup_shard",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    l AS (
+      SELECT doc_id, lang,
+        list_transform(
+          generate_series(0, CAST(floor((len(w) + 9) / 10.0) AS BIGINT) - 1, 1),
+          i -> w[CAST(i*10+1 AS INT) : CAST(i*10+10 AS INT)]
+        ) AS lines
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id, lang,
+        list_filter(lines, L ->
+          NOT (len(L) < 5)
+          AND NOT list_has_any(L, ['dup'])
+          AND NOT (10 * CAST(list_sum(list_transform(L, x -> length(x))) AS BIGINT)
+                   < 42 * CAST(len(L) AS BIGINT))
+        ) AS kept
+      FROM l
+    ),
+    cleaned AS (
+      SELECT doc_id, lang,
+        COALESCE(
+          array_to_string(list_transform(kept, L -> array_to_string(L, ' ')), ' '),
+          '') AS ctext,
+        CAST(list_sum(list_transform(kept, L -> len(L))) AS BIGINT) AS n_tokens
+      FROM f WHERE len(kept) >= 3
+    ),
+    deduped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(ctext) ORDER BY doc_id) AS rk
+      FROM cleaned
+    )
+    SELECT
+      CAST(concat('0x', substr(md5(concat('shard:', CAST(doc_id AS VARCHAR))), 1, 8))
+        AS BIGINT) % 16 AS shard,
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM deduped WHERE rk = 1
+    GROUP BY 1, 2
+    """,
+)
+def pipe4_clean_dedup_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth-wave composition flagship: dq5's C4 line cleaning →
+    exact dedup on the CLEANED text's fingerprint (catching documents
+    that differ only in killed lines — dedup-after-clean is the order
+    real pipelines use precisely for this) → deterministic 16-way
+    portable-hash sharding (o8's idiom), reporting per-(shard, lang)
+    document and surviving-token counts. All-integer outputs — nothing
+    for engines to disagree on.
+
+    Scale shape: the C4 battery is map-only and runs BEFORE both
+    shuffles (shrinking them to page-rule survivors); the dedup window
+    shuffles 32 B cleaned-text fingerprints, not bodies; the shard/lang
+    aggregate is the second and last exchange, over a fixed 16×|langs|
+    key space. Two shuffles end-to-end, like pipe1."""
+    docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    cleaned = (
+        text.c4_line_rules(docs)
+        .filter(F.col("keep"))
+        .select(
+            "doc_id", "lang", "cleaned_md5",
+            F.size(text.words(F.col("cleaned_text"))).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+    deduped = (
+        cleaned.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cleaned_md5").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    shard = (
+        text.portable_hash(F.col("doc_id").cast("string"), seed="shard") % 16
+    ).alias("shard")
+    return (
+        deduped.select(shard, "lang", "n_tokens")
+        .groupBy("shard", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

@@ -1349,3 +1349,36 @@ def test_minhash_estimate_audit_statistics(spark, sf_dir):
         assert r["abs_err"] <= 4 * sigma + 1e-9, (r["id_a"], r["id_b"], r["abs_err"])
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err <= sigma, mean_err
+
+
+def test_pipe4_dedup_catches_post_clean_duplicates(spark, tmp_path):
+    """The reason real pipelines dedup AFTER cleaning: two documents that
+    differ only in a line the rules kill become identical once cleaned,
+    and pipe4 must collapse them. Planted fixture: doc 11 = doc 10 plus a
+    denylist line; doc 12 genuinely differs."""
+    import shutil
+
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    good = lambda tag: " ".join(f"{tag}w{i:03d}" for i in range(10))  # noqa: E731
+    base = " ".join(good(t) for t in ("a", "b", "c"))
+    killed = "dup " + " ".join(f"x{i:04d}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (10, base, "en", "s0", len(base)),
+            (11, " ".join([good("a"), killed, good("b"), good("c")]), "en", "s0",
+             0),
+            (12, " ".join(good(t) for t in ("d", "e", "f")), "en", "s0", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf_fixture")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    try:
+        out = registry.QUERIES["pipe4_clean_dedup_shard"](spark, sf).collect()
+        # 3 docs clean to 2 distinct texts -> 2 survive dedup
+        assert sum(r["n_docs"] for r in out) == 2
+        assert sum(r["n_tokens"] for r in out) == 60  # 2 docs x 30 kept words
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)

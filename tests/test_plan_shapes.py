@@ -314,3 +314,14 @@ def test_pca_whiten_is_map_only(spark, sf_dir):
     registry.load_all()
     plan = _plan(registry.QUERIES["pca1_pinned_whiten"](spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_pipe4_two_shuffles_and_clean_before_dedup(spark, sf_dir):
+    """pipe4: exactly TWO hash exchanges (the cleaned-md5 dedup window,
+    the shard/lang aggregate) — the map-only C4 battery must run before
+    both, never behind its own exchange."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    plan = _plan(registry.QUERIES["pipe4_clean_dedup_shard"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
