@@ -3851,3 +3851,80 @@ def pipe4_clean_dedup_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "dq6_stream_c4_gate_drained",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    l AS (
+      SELECT doc_id, lang,
+        list_transform(
+          generate_series(0, CAST(floor((len(w) + 9) / 10.0) AS BIGINT) - 1, 1),
+          i -> w[CAST(i*10+1 AS INT) : CAST(i*10+10 AS INT)]
+        ) AS lines
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id, lang, lines,
+        list_filter(lines, L ->
+          NOT (len(L) < 5)
+          AND NOT list_has_any(L, ['dup'])
+          AND NOT (10 * CAST(list_sum(list_transform(L, x -> length(x))) AS BIGINT)
+                   < 42 * CAST(len(L) AS BIGINT))
+        ) AS kept
+      FROM l
+    )
+    SELECT lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN len(kept) >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept_docs,
+      CAST(SUM(len(lines)) AS BIGINT) AS n_lines,
+      CAST(SUM(len(kept)) AS BIGINT) AS n_kept_lines
+    FROM f GROUP BY lang
+    """,
+)
+def dq6_stream_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING QUALITY GATE under the batch oracle: documents arrive in
+    three micro-batches (the d10 file-split pattern) and flow through
+    dq5's C4 line battery ON THE STREAM — the rules are stateless Column
+    projections, so the identical operator code runs batch or streaming
+    (the e1/e3 native-operator argument, here for curation). The drained
+    per-language admission ledger (docs seen / docs admitted / lines
+    seen / lines kept) must equal the batch aggregate exactly: a
+    stateless gate commutes with any micro-batch split, and the
+    streaming groupBy holds only #langs running rows of state. This is
+    the filter-at-ingest shape that avoids ever landing raw pages at
+    100 TB."""
+    import shutil
+    import tempfile
+
+    from consumer_loans_analysis_spark.streaming.events import run_to_memory
+
+    docs = read_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="stream_c4_")
+    try:
+        src = f"{work}/chunks"
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        gated = (
+            text.c4_line_rules(stream)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept_docs"),
+                F.sum("n_lines").alias("n_lines"),
+                F.sum("n_kept_lines").alias("n_kept_lines"),
+            )
+        )
+        run_to_memory(gated, "dq6_gate", output_mode="complete")
+        return spark.table("dq6_gate").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

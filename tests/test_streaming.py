@@ -458,3 +458,33 @@ def test_streaming_mg_candidates_superset_across_batches(spark, sf_dir, tmp_path
     assert got == want
     # state stayed bounded: <= n_groups * k candidate words
     assert len(candidates) <= 8 * 64
+
+
+def test_stream_c4_gate_equals_batch(spark, sf_dir):
+    """dq6: the stateless C4 gate commutes with micro-batching — the
+    drained per-language streaming ledger equals the same aggregate
+    computed in one batch pass over the same corpus."""
+    from consumer_loans_analysis_spark.operators import text
+    from consumer_loans_analysis_spark.plans import registry
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    registry.load_all()
+    got = {
+        r["lang"]: (r["n_docs"], r["n_kept_docs"], r["n_lines"], r["n_kept_lines"])
+        for r in registry.QUERIES["dq6_stream_c4_gate_drained"](
+            spark, sf_dir
+        ).collect()
+    }
+    batch = {
+        r["lang"]: (r["n_docs"], r["n_kept_docs"], r["n_lines"], r["n_kept_lines"])
+        for r in text.c4_line_rules(read_table(spark, sf_dir, "documents"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_kept_lines").alias("n_kept_lines"),
+        )
+        .collect()
+    }
+    assert got == batch and len(got) >= 2
