@@ -3701,10 +3701,10 @@ def d14_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     it) computed ONLY for documents that appear in a candidate pair —
     the tiny pair-id set broadcast-semi-joins the corpus first, so the
     32-md5s-per-shingle portability price is paid on |pairs| documents,
-    never the corpus (sf0.1: ~500 of 5000 docs). The pair table then
-    broadcasts into two map-side signature joins — nothing corpus-sized
-    ever shuffles. Production keeps xxhash64 (d3) and audits on a
-    sampled pair set exactly like this."""
+    never the corpus (sf0.1: ~500 of 5000 docs). The pair table and the
+    pair-member-only signature table both broadcast into map-side joins
+    — nothing corpus-sized ever shuffles. Production keeps xxhash64
+    (d3) and audits on a sampled pair set exactly like this."""
     docs = read_table(spark, sf_dir, "documents")
     w = text.words(F.col("text"))
     sh = F.when(
