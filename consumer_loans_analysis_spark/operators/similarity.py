@@ -973,3 +973,83 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    n_anchors: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: str = "sim7",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each of
+    ``n_anchors`` deterministically-chosen anchor vectors, the single
+    most-similar vector carrying a DIFFERENT label (cos DESC, id ASC
+    tie-break) — the example most likely to be confused across the label
+    boundary, which is exactly what contrastive/triplet batches want.
+    Anchors are the hash-smallest ids (the o4b portable-sample idiom):
+    mining is batched in production (per training step), so the anchor
+    set — not the corpus — is the small side by design.
+
+    Scale shape: the distinct labels are collected at construction
+    (label cardinality is tiny by definition — the cosine_topk
+    queries-batch contract) and each anchor map-side-EXPLODES over the
+    other labels, so the corpus attaches below a broadcast EQUI-join on
+    the label key — no nested-loop join anywhere in the plan. Each
+    corpus row is scored against ~n_anchors vectors map-side; the top-1
+    cut is a partial min-aggregate over struct(-cos, id) (map-side
+    combine, #anchors final groups), so the corpus never shuffles —
+    only n_anchors·#labels partial rows do. Cosines are the d11b-proven
+    ltr ``aggregate`` pairing, so the whole mine sits under a full hash
+    oracle."""
+    from consumer_loans_analysis_spark.operators.text import portable_hash
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lbl"), v.alias("v")
+    )
+    anchors = (
+        base.select(
+            F.col("id").alias("anchor_id"),
+            F.col("lbl").alias("anchor_label"),
+            F.col("v").alias("av"),
+            portable_hash(F.col("id").cast("string"), seed=seed).alias("_h"),
+        )
+        .orderBy("_h", "anchor_id")
+        .limit(n_anchors)
+        .drop("_h")
+    )
+    # distinct labels collected at construction (the cosine_topk
+    # queries-batch contract: label cardinality is tiny by definition) so
+    # the anchor fan-out is a map-side explode — no nested-loop join
+    # anywhere in the plan
+    label_vals = [
+        r["lbl"]
+        for r in base.select(F.col("lbl")).distinct().collect()
+    ]
+    fan = anchors.withColumn(
+        "neg_label",
+        F.explode(
+            F.array_remove(
+                F.array(*[F.lit(x) for x in label_vals]), F.col("anchor_label")
+            )
+        ),
+    )
+    scored = base.join(
+        F.broadcast(fan), F.col("lbl") == F.col("neg_label")
+    ).select(
+        "anchor_id", "anchor_label",
+        F.struct(
+            (-cosine(F.col("av"), F.col("v"))).alias("nc"),
+            F.col("id").alias("neg_id"),
+            F.col("lbl").alias("neg_label"),
+        ).alias("s"),
+    )
+    best = scored.groupBy("anchor_id", "anchor_label").agg(F.min("s").alias("s"))
+    return best.select(
+        "anchor_id", "anchor_label",
+        F.col("s.neg_id").alias("neg_id"),
+        F.col("s.neg_label").alias("neg_label"),
+        F.round(-F.col("s.nc"), 6).alias("cos"),
+    )

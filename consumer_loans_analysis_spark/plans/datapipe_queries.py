@@ -3928,3 +3928,192 @@ def dq6_stream_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table("dq6_gate").localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "d15_dedup_threshold_sweep",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM d, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+      FROM pairs
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    )
+    SELECT t.threshold,
+      CAST(COUNT(*) FILTER (jac >= t.threshold) AS BIGINT) AS n_pairs,
+      CAST(COUNT(DISTINCT CASE WHEN jac >= t.threshold THEN id_b END) AS BIGINT)
+        AS n_docs_removed
+    FROM j, (SELECT UNNEST([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold) t
+    GROUP BY t.threshold
+    """,
+)
+def d15_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-aggressiveness curve — the tuning ledger an operator
+    reads BEFORE picking the near-dup threshold: for each candidate
+    threshold, how many pairs fire and how many documents a
+    keep-lowest-id policy would remove (distinct higher ids in a firing
+    pair — the d1/d9 canonicalization convention). One pass over d2's
+    exact pair machinery; the sweep itself is a 5-row broadcast explode
+    over the (tiny) verified pair table, so trying more thresholds costs
+    nothing — the production alternative (re-running dedup per
+    threshold) re-pays the candidate join each time. Comparisons are
+    double-vs-literal on both engines; the Jaccard is an exact integer
+    division, so no boundary row can disagree."""
+    thresholds = [0.5, 0.6, 0.7, 0.8, 0.9]
+    pairs = dedup.jaccard_near_dupes(
+        read_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    swept = pairs.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(t,) for t in thresholds], "threshold double"
+            )
+        )
+    )
+    return swept.groupBy("threshold").agg(
+        F.sum((F.col("jaccard") >= F.col("threshold")).cast("long")).alias(
+            "n_pairs"
+        ),
+        F.count_distinct(
+            F.when(F.col("jaccard") >= F.col("threshold"), F.col("id_b"))
+        ).alias("n_docs_removed"),
+    )
+
+
+@query(
+    "t18_word_pmi",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS dw FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM d),
+    wc AS (
+      SELECT w, COUNT(*) AS c_w
+      FROM (SELECT doc_id, UNNEST(dw) AS w FROM d) GROUP BY w
+    ),
+    pc AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c_pair
+      FROM (SELECT doc_id, UNNEST(dw) AS w FROM d) a
+      JOIN (SELECT doc_id, UNNEST(dw) AS w FROM d) b
+        ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, c_pair,
+      ROUND(ln(CAST(c_pair AS DOUBLE) * n.n_docs
+               / (CAST(ca.c_w AS DOUBLE) * cb.c_w)), 6) AS pmi
+    FROM pc
+    JOIN wc ca ON ca.w = w1
+    JOIN wc cb ON cb.w = w2
+    CROSS JOIN n
+    WHERE c_pair >= 5
+    """,
+)
+def t18_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: pointwise mutual information over
+    within-document word co-occurrence (document-frequency PMI — the
+    classical association score behind phrase mining and
+    tokenizer-vocabulary seeding). ``pmi = ln(c_pair·N / (c_w1·c_w2))``
+    with a min-support cut (c_pair ≥ 5); no top-k float cut, so no
+    cross-engine ln-ulp boundary can change the row set (the drift1
+    round-6 convention covers the value itself).
+
+    Scale shape: documents collapse to DISTINCT-word arrays map-side;
+    the pair table comes from one self-equi-join on doc_id over the
+    exploded (doc, word) rows — per-doc cost is bounded by distinct-
+    words², which for natural text is capped by vocabulary and document
+    length, NOT corpus size; word marginals are one aggregate of the
+    same exploded rows, broadcast back; the 1-row doc count crossJoins
+    (the t8/t13 idiom). Pair-key groupBy is the only vocabulary²-bounded
+    shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.array_distinct(text.words(F.col("text"))).alias("dw")
+    ).localCheckpoint()
+    tok = dw.select("doc_id", F.explode("dw").alias("w"))
+    n = dw.agg(F.count(F.lit(1)).alias("n_docs"))
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    a = tok.select("doc_id", F.col("w").alias("w1"))
+    b = tok.select("doc_id", F.col("w").alias("w2"))
+    pc = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= 5)
+    )
+    ca = wc.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    cb = wc.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    return (
+        pc.join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "c_pair",
+            F.round(
+                F.log(
+                    F.col("c_pair").cast("double") * F.col("n_docs")
+                    / (F.col("c_w1").cast("double") * F.col("c_w2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "sim7_hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+      FROM e
+      ORDER BY CAST(concat('0x',
+          substr(md5(concat('sim7:', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT),
+        vec_id
+      LIMIT 25
+    ),
+    s AS (
+      SELECT a.anchor_id, a.anchor_label,
+        e.vec_id AS neg_id, e.label AS neg_label,
+        list_dot_product(a.av, e.v)
+          / (SQRT(list_dot_product(a.av, a.av))
+             * SQRT(list_dot_product(e.v, e.v))) AS c,
+        ROW_NUMBER() OVER (
+          PARTITION BY a.anchor_id
+          ORDER BY list_dot_product(a.av, e.v)
+                / (SQRT(list_dot_product(a.av, a.av))
+                   * SQRT(list_dot_product(e.v, e.v))) DESC,
+            e.vec_id
+        ) AS rk
+      FROM a JOIN e ON e.label <> a.anchor_label
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label, ROUND(c, 6) AS cos
+    FROM s WHERE rk = 1
+    """,
+)
+def sim7_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training batches: for each of
+    25 deterministically-sampled anchors (o4b hash-smallest idiom), the
+    most cosine-similar vector with a DIFFERENT label — the cross-label
+    confusables triplet/InfoNCE batches are built from. The label
+    fan-out is a tiny broadcast EQUI-join (anchor × other-label), the
+    top-1 cut a map-side partial min-aggregate over struct(−cos, id) —
+    the corpus is scanned once and never shuffles; only #anchors rows
+    do. Negation gives the exact cos DESC, id ASC order of the oracle's
+    window (IEEE negation is exact), and cosines are the d11b-proven
+    ltr pairing — full hash oracle on an approximate-mining surface.
+    See ``operators/similarity.py::hard_negatives``."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, n_anchors=25)

@@ -1382,3 +1382,102 @@ def test_pipe4_dedup_catches_post_clean_duplicates(spark, tmp_path):
         assert sum(r["n_tokens"] for r in out) == 60  # 2 docs x 30 kept words
     finally:
         shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_hard_negatives_brute_force_fixture(spark):
+    """sim7 semantics on a hand-built labeled set: the mined negative is
+    the cosine-nearest OTHER-label vector (never a same-label one, never
+    the anchor itself), with the cos DESC / id ASC tie-break."""
+    from consumer_loans_analysis_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.141], 0),   # same label as 0 — may not be its negative
+            (2, [0.9, 0.436], 1),    # nearest other-label to 0
+            (3, [0.0, 1.0], 1),
+            (4, [0.9, 0.436], 2),    # exact tie with 2 on cos(0,·) — higher id
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["anchor_id"]: r
+        for r in hard_negatives(emb, n_anchors=5, seed="t").collect()
+    }
+    assert len(got) == 5
+    r0 = got[0]
+    assert r0["neg_id"] == 2 and r0["neg_label"] == 1  # tie -> lowest id
+    assert all(r["neg_label"] != r["anchor_label"] for r in got.values())
+    assert all(r["neg_id"] != a for a, r in got.items())
+
+
+def test_hard_negatives_plan_no_nested_loop(spark, sf_dir):
+    """sim7's label fan-out must be a map-side explode: NO
+    BroadcastNestedLoopJoin (the audited-set invariant), corpus attached
+    via broadcast hash join only."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["sim7_hard_negatives"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_threshold_sweep_monotone_and_consistent(spark, sf_dir):
+    """d15: pair counts are non-increasing in the threshold; docs-removed
+    never exceeds pairs; and the 0.8 row equals d2's pair count exactly."""
+    from consumer_loans_analysis_spark.operators import dedup
+    from consumer_loans_analysis_spark.plans import registry
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    registry.load_all()
+    rows = {
+        r["threshold"]: r
+        for r in registry.QUERIES["d15_dedup_threshold_sweep"](
+            spark, sf_dir
+        ).collect()
+    }
+    ts = sorted(rows)
+    assert ts == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[lo]["n_pairs"] >= rows[hi]["n_pairs"]
+    for r in rows.values():
+        assert 0 <= r["n_docs_removed"] <= r["n_pairs"]
+    docs = read_table(spark, sf_dir, "documents")
+    d2_pairs = dedup.jaccard_near_dupes(docs, threshold=0.8).count()
+    assert rows[0.8]["n_pairs"] == d2_pairs
+
+
+def test_word_pmi_hand_computed(spark, tmp_path):
+    """t18 on a planted corpus: a pair that always co-occurs scores
+    ln(N/ (c1·c2 / c_pair)) exactly; an anti-correlated pair is absent
+    (below min support); PMI keys are ordered w1 < w2."""
+    import math
+    import shutil
+
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    # 10 docs: 'alpha beta' always together (5 docs), 'gamma' alone (5)
+    rows = [(i, "alpha beta filler", "en", "s0", 0) for i in range(5)]
+    rows += [(5 + i, "gamma filler pad", "en", "s0", 0) for i in range(5)]
+    sf = str(tmp_path / "sf_pmi")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    try:
+        got = {
+            (r["w1"], r["w2"]): r
+            for r in registry.QUERIES["t18_word_pmi"](spark, sf).collect()
+        }
+        ab = got[("alpha", "beta")]
+        assert ab["c_pair"] == 5
+        # PMI = ln(5 * 10 / (5 * 5)) = ln 2
+        assert ab["pmi"] == round(math.log(2.0), 6)
+        assert ("alpha", "gamma") not in got  # never co-occur
+        af = got[("alpha", "filler")]
+        assert af["pmi"] == round(math.log(5 * 10 / (5 * 10)), 6) == 0.0
+        assert all(w1 < w2 for (w1, w2) in got)
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
