@@ -264,3 +264,107 @@ def test_bpe_roundtrip_property(spark, texts):
             c if "a" <= c <= "z" else "?" for c in t if not c.isspace()
         )
         assert decoded[i] == expected, (t, decoded[i], expected)
+
+
+@given(texts=docs_strategy)
+@settings(**_SETTINGS)
+def test_c4_line_rules_invariants(spark, texts):
+    """dq5 invariants on arbitrary small corpora: audit counts are
+    consistent (kept + at-least-one-rule-failed = total, where a line can
+    fail several rules), the cleaned text is exactly the in-order
+    concatenation of surviving chunks recomputed in Python, and the md5
+    matches the cleaned text."""
+    import hashlib
+
+    from consumer_loans_analysis_spark.operators.text import c4_line_rules
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), schema="doc_id long, text string"
+    )
+    rows = c4_line_rules(df).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        chunks = [w[j : j + 10] for j in range(0, len(w), 10)]
+        kept = [
+            c
+            for c in chunks
+            if len(c) >= 5
+            and "dup" not in c
+            and 10 * sum(len(x) for x in c) >= 42 * len(c)
+        ]
+        r = by_id[i]
+        assert r["n_lines"] == len(chunks)
+        assert r["n_kept_lines"] == len(kept)
+        assert r["cleaned_text"] == " ".join(" ".join(c) for c in kept)
+        assert (
+            r["cleaned_md5"]
+            == hashlib.md5(r["cleaned_text"].encode()).hexdigest()
+        )
+        assert r["keep"] == (len(kept) >= 3)
+        # every failing line fails at least one audited rule
+        n_failed = len(chunks) - len(kept)
+        assert (
+            r["n_short_lines"] + r["n_denylist_lines"] + r["n_low_mwl_lines"]
+            >= n_failed
+        )
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_int4_block_quantization_properties(spark, vecs):
+    """sq2 properties on arbitrary float vectors: per-coordinate
+    reconstruction error is bounded by half a code step (amax/14), codes
+    never exceed the block absmax, and re-quantizing a reconstruction is
+    the identity (grid points are fixed points)."""
+    import math
+
+    from hypothesis import assume
+
+    from consumer_loans_analysis_spark.operators.similarity import (
+        quantize_int4_block,
+        recon_int4_block,
+    )
+    from pyspark.sql import functions as F
+
+    # blocks that are all-zero make scale 0/amax undefined; the operator's
+    # contract (like sq1's) is nonzero blocks — assume them away
+    for v in vecs:
+        for b in range(4):
+            assume(max(abs(float(x)) for x in v[b * 16 : b * 16 + 16]) > 1e-6)
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, v array<float>"
+    )
+    staged = df.select(
+        "vec_id", "v", quantize_int4_block(F.col("v"), dim=64).alias("amax")
+    )
+    rows = staged.select(
+        "vec_id", "v", "amax",
+        recon_int4_block(F.col("v"), F.col("amax"), dim=64).alias("rv"),
+    ).collect()
+    for r in rows:
+        v = [float(x) for x in r["v"]]
+        for i, (x, rec) in enumerate(zip(v, r["rv"])):
+            amax = r["amax"][i // 16]
+            assert abs(rec) <= amax + 1e-12
+            assert abs(x - rec) <= amax / 14 + 1e-9, (i, x, rec, amax)
+            # fixed point: the reconstruction is on the code grid
+            if amax > 0:
+                again = math.floor(rec * (7.0 / amax) + 0.5) * (amax / 7.0)
+                assert again == rec, (i, rec, again)
