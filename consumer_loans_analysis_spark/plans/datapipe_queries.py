@@ -4117,3 +4117,81 @@ def sim7_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     See ``operators/similarity.py::hard_negatives``."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.hard_negatives(emb, n_anchors=25)
+
+
+@query(
+    "maint1_compaction_plan",
+    oracle="""
+    WITH manifest AS (
+      SELECT CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS file_key,
+        COUNT(*) AS sz
+      FROM lineitem GROUP BY 1
+    ),
+    cap AS (
+      SELECT CAST(floor((SUM(sz) + 5) / 6.0) AS BIGINT) AS c FROM manifest
+    ),
+    ordered AS (
+      SELECT file_key, sz,
+        SUM(sz) OVER (ORDER BY sz DESC, file_key
+                      ROWS UNBOUNDED PRECEDING) - sz AS prev_cum
+      FROM manifest
+    )
+    SELECT CAST(o.prev_cum // cap.c AS BIGINT) AS bin_id,
+      COUNT(*) AS n_files,
+      CAST(SUM(o.sz) AS BIGINT) AS total_rows,
+      MIN(o.sz) AS min_file, MAX(o.sz) AS max_file,
+      CAST(SUM(o.sz) AS DOUBLE) / MAX(cap.c) AS fill_frac
+    FROM ordered o, cap
+    GROUP BY 1
+    """,
+)
+def maint1_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse `OPTIMIZE` small-file compaction planner, computed
+    AS A QUERY over the file manifest — at 100 TB the manifest is itself
+    a table (Delta/Iceberg metadata), so planning which files merge into
+    which target-size bin is exactly this aggregation, not a driver
+    loop. Stand-in manifest: lineitem's ship-month partitions (file size
+    proxied by row count — deterministic, SF-independent shape). Plan:
+    files ordered size-DESC (first-fit-decreasing's sort), greedy
+    sequential fill into bins of capacity ceil(total/6) via one
+    running-sum window (pack1's straddle relaxation: a file is assigned
+    by the capacity units completed BEFORE it); per-bin file count, row
+    total, min/max file and fill fraction (one exact integer division).
+
+    Scale shape: the manifest aggregate is the only data-sized shuffle;
+    the planning window is a global sort over the MANIFEST (bounded by
+    file count, thousands at worst — documented single-partition window
+    over metadata, the a4/a8 convention), and the scalar capacity
+    crossJoins broadcast. All-integer until fill_frac."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    manifest = (
+        li.select(F.date_format("l_shipdate", "yyyy-MM").alias("file_key"))
+        .groupBy("file_key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    cap = manifest.agg(
+        F.floor((F.sum("sz") + F.lit(5)) / F.lit(6.0)).cast("long").alias("c")
+    )
+    w = Window.orderBy(F.desc("sz"), F.asc("file_key")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ordered = manifest.select(
+        "file_key", "sz", (F.sum("sz").over(w) - F.col("sz")).alias("prev_cum")
+    )
+    return (
+        ordered.crossJoin(F.broadcast(cap))
+        .select(
+            F.floor(F.col("prev_cum") / F.col("c")).cast("long").alias("bin_id"),
+            "sz", "c",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("sz").alias("total_rows"),
+            F.min("sz").alias("min_file"),
+            F.max("sz").alias("max_file"),
+            (F.sum("sz").cast("double") / F.max("c")).alias("fill_frac"),
+        )
+    )

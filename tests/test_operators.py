@@ -1481,3 +1481,22 @@ def test_word_pmi_hand_computed(spark, tmp_path):
         assert all(w1 < w2 for (w1, w2) in got)
     finally:
         shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_compaction_plan_conservation_and_fill(spark, sf_dir):
+    """maint1: every manifest row lands in exactly one bin (row
+    conservation against the source table), bin ids are contiguous from
+    0, and each bin's fill respects the straddle relaxation (a bin can
+    exceed capacity only by its straddling file: fill ≤ 1 + max_file/C)."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["maint1_compaction_plan"](spark, sf_dir).collect()
+    li_n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r["total_rows"] for r in rows) == li_n
+    bins = sorted(r["bin_id"] for r in rows)
+    assert bins == list(range(len(bins)))
+    total = sum(r["total_rows"] for r in rows)
+    cap = (total + 5) // 6
+    for r in rows:
+        assert 0.0 < r["fill_frac"] <= 1.0 + r["max_file"] / cap + 1e-9, r
