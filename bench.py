@@ -11,11 +11,26 @@ quality pass, and (r9) the LLM-datapipe heavies (Bloom incremental dedup,
 PQ full-rerank ANN, CMS/MG sketches, broadcast BPE, the pipe1/pipe2
 end-to-end compositions) — each measured end-to-end (plan+execute+fetch).
 
-Measurement discipline (r9): refuses to start while the 1-min loadavg is
-above QUIET_LOAD (waits up to $SPARK_GRAFT_BENCH_WAIT_SEC, default 900 s);
-a record taken on a still-busy host is stamped ``"contaminated": true``
-and must not be compared round-over-round (the r8 official record was
-+71% purely from host contention).
+Measurement discipline (r10 — the r9 official record passed the start-only
+loadavg gate and was still garbage: load ramped 1.24 -> 6.73 MID-run and a
+d3 rep recorded 366.9 s on code five quiet runs measure at ~7 s):
+
+- start gate as before (1-min loadavg <= QUIET_LOAD, waits up to
+  $SPARK_GRAFT_BENCH_WAIT_SEC);
+- per-rep NEIGHBOR-CPU measurement: loadavg is useless mid-run because it
+  counts our own 32 Spark threads, so each rep instead samples
+  /proc/stat's host busy jiffies minus our own process tree's jiffies
+  (python driver + JVM + Arrow workers, incl. reaped children via
+  cutime/cstime). ``other_cores = (host_busy - ours) / wall`` is the
+  cores of NEIGHBOR compute that ran during the rep — immune to self-load;
+- a rep whose other_cores exceeds NEIGHBOR_CORES_MAX is re-run (bounded:
+  $SPARK_GRAFT_BENCH_REP_RETRIES per rep, global retry budget), after a
+  short wait-for-quiet probe;
+- every KEPT rep carries its loadavg + other_cores stamp in
+  ``rep_stamps``; the query median prefers clean reps, and the record is
+  stamped ``"contaminated": true`` iff the start gate failed OR any rep
+  the medians actually use ran above threshold — quiet-by-construction,
+  not quiet-by-luck.
 """
 
 from __future__ import annotations
@@ -68,6 +83,11 @@ DATAPIPE_QUERIES = [
     "t14b_bpe_encode_broadcast",
     "pipe1_corpus_curation",
     "pipe2_pretrain_prep",
+    # r10 (VERDICT r9 #7): the remaining composition flagships — the
+    # closest thing to a customer workload. Expanded-set totals are
+    # comparable r10-forward only; legacy_total stays the r01 yardstick.
+    "pipe3_audited_curation",
+    "pipe4_clean_dedup_shard",
 ]
 
 BENCH_QUERIES = LEGACY_QUERIES + DATAPIPE_QUERIES
@@ -135,6 +155,74 @@ def _loadavg() -> list[float]:
 # the builder's own tuning waves draining (the r8 VERDICT adjudication).
 QUIET_LOAD = 1.5
 
+# Cores of NEIGHBOR compute during a rep above which the rep is
+# contaminated. 2 of 32 cores (~6% steal) is the noise floor of the
+# jiffy accounting on short reps; the r9 contamination events were
+# 5-30+ neighbor cores.
+NEIGHBOR_CORES_MAX = float(os.environ.get("SPARK_GRAFT_NEIGHBOR_CORES_MAX", "2.0"))
+
+try:
+    _CLK = float(os.sysconf("SC_CLK_TCK"))
+except (OSError, ValueError, AttributeError):
+    _CLK = 100.0
+
+
+def _host_busy_jiffies() -> int:
+    """Total busy jiffies across all CPUs (everything but idle+iowait)."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+    except (OSError, ValueError):
+        return 0
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return sum(vals) - idle
+
+
+def _tree_jiffies() -> int:
+    """utime+stime summed over OUR process tree (driver + JVM + Arrow
+    workers), plus cutime+cstime so reaped children (short-lived Python
+    workers) stay counted. This is the self-load term: host_busy minus
+    this is what the NEIGHBORS burned."""
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    jiffies: dict[int, int] = {}
+    try:
+        pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return 0
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                raw = fh.read()
+        except (OSError, ValueError):
+            continue
+        # comm (field 2) may contain spaces/parens: split after last ')'
+        try:
+            fields = raw[raw.rindex(")") + 2 :].split()
+            ppid = int(fields[1])
+            own = int(fields[11]) + int(fields[12])  # utime+stime
+            reaped = int(fields[13]) + int(fields[14])  # cutime+cstime
+        except (ValueError, IndexError):
+            continue
+        jiffies[pid] = own + reaped
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += jiffies.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total
+
+
+def _other_cores_probe(window: float = 0.25) -> float:
+    """Cores of non-our-tree compute over a short sleep — the pre-rep
+    quiet check (our tree is ~idle while we sleep, so this reads the
+    neighbors directly; loadavg can't, it still carries our last rep)."""
+    h0, m0 = _host_busy_jiffies(), _tree_jiffies()
+    time.sleep(window)
+    h1, m1 = _host_busy_jiffies(), _tree_jiffies()
+    return max(0.0, ((h1 - h0) - (m1 - m0)) / _CLK / window)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -162,21 +250,59 @@ def main() -> None:
     # path-keyed plan construction (nothing persists across reps).
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    rep_stamps: dict[str, list[dict]] = {}
+    rep_retries = int(os.environ.get("SPARK_GRAFT_BENCH_REP_RETRIES", "2"))
+    retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "40"))
+    per_rep_wait = float(os.environ.get("SPARK_GRAFT_BENCH_REP_WAIT_SEC", "45"))
+    any_kept_dirty = False
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
-        samples = []
+        kept: list[dict] = []
         for _ in range(reps):
-            # cold-equivalent reps: drop caches a query left behind (e.g.
-            # d2/d3's shingle table) so every rep measures the full
-            # plan+cache-build cost, comparable with prior single-shot rounds
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).collect()
-            samples.append(round(time.perf_counter() - t0, 3))
-            assert rows is not None
-        samples.sort()
-        timings[name] = round(statistics.median(samples), 3)
-        spreads[name] = samples
+            rec = None
+            for attempt in range(rep_retries + 1):
+                # brief pre-rep quiet wait: probe NEIGHBOR cores (not
+                # loadavg — that still carries our own last rep) and hold
+                # until quiet or the per-rep budget runs out
+                waited_rep = 0.0
+                while waited_rep < per_rep_wait:
+                    if _other_cores_probe() <= NEIGHBOR_CORES_MAX:
+                        break
+                    time.sleep(5)
+                    waited_rep += 5.25
+                # cold-equivalent reps: drop caches a query left behind
+                # (e.g. d2/d3's shingle table) so every rep measures the
+                # full plan+cache-build cost, comparable with prior rounds
+                spark.catalog.clearCache()
+                la0 = _loadavg()
+                h0, m0 = _host_busy_jiffies(), _tree_jiffies()
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                h1, m1 = _host_busy_jiffies(), _tree_jiffies()
+                assert rows is not None
+                other = max(0.0, ((h1 - h0) - (m1 - m0)) / _CLK / max(dt, 1e-3))
+                rec = {
+                    "sec": round(dt, 3),
+                    "other_cores": round(other, 2),
+                    "loadavg_pre": la0,
+                    "loadavg_post": _loadavg(),
+                    "clean": other <= NEIGHBOR_CORES_MAX,
+                    "attempt": attempt,
+                }
+                if rec["clean"] or retry_budget <= 0:
+                    break
+                retry_budget -= 1
+            kept.append(rec)
+        rep_stamps[name] = kept
+        # median over CLEAN reps when any exist; a query forced to use a
+        # dirty rep marks the whole record contaminated
+        clean_secs = sorted(r["sec"] for r in kept if r["clean"])
+        used = clean_secs if clean_secs else sorted(r["sec"] for r in kept)
+        if not clean_secs:
+            any_kept_dirty = True
+        timings[name] = round(statistics.median(used), 3)
+        spreads[name] = sorted(r["sec"] for r in kept)
     total = round(sum(timings.values()), 3)
     legacy_total = round(sum(timings[n] for n in LEGACY_QUERIES if n in timings), 3)
     print(
@@ -192,11 +318,19 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": reps,
-                "protocol": "median_of_reps_per_query",
+                "protocol": "median_of_clean_reps_per_query",
                 "samples": spreads,
-                # r9 measurement-discipline stamp: records taken on a busy
-                # host are marked and must not be compared round-over-round
-                "contaminated": contaminated,
+                # per-rep stamps (r10): sec + neighbor-cores + loadavg for
+                # every kept rep, so a contaminated record is diagnosable
+                # from the artifact alone
+                "rep_stamps": rep_stamps,
+                # r10 definition: contaminated iff the start gate failed OR
+                # any rep a median actually uses ran with neighbor compute
+                # above NEIGHBOR_CORES_MAX (dirty reps are retried up to the
+                # bounded budget first) — quiet-by-construction
+                "contaminated": contaminated or any_kept_dirty,
+                "start_gate_failed": contaminated,
+                "neighbor_cores_max": NEIGHBOR_CORES_MAX,
                 "quiet_load_threshold": QUIET_LOAD,
                 "waited_for_quiet_sec": waited,
                 # host-load snapshot so round-over-round drift can be

@@ -683,6 +683,12 @@ def quantize_int4_block(vec: Column, dim: int, block: int = 16) -> Column:
     re-evaluates the 16-element absmax per element). Map-only Column
     arithmetic; 8× storage cut at 100 TB with per-block fidelity.
     """
+    if dim % block != 0:
+        raise ValueError(
+            f"quantize_int4_block: dim={dim} not divisible by block={block} "
+            "(tail coordinates would be silently dropped and recon would "
+            "index past the absmax array)"
+        )
     n_blocks = dim // block
     amax = F.transform(
         F.sequence(F.lit(0), F.lit(n_blocks - 1)),
@@ -701,6 +707,12 @@ def recon_int4_block(
 ) -> Column:
     """The dequantized int4 reconstruction over a STAGED ``amax`` column —
     see ``quantize_int4_block``."""
+    if dim % block != 0:
+        raise ValueError(
+            f"recon_int4_block: dim={dim} not divisible by block={block} "
+            "(element_at(amax, ...) would index past the absmax array for "
+            "tail coordinates, yielding NULL reconstructions)"
+        )
     def _r(i: Column) -> Column:
         b = F.floor(i / F.lit(block)).cast("int") + 1
         s = F.element_at(amax, b)
@@ -1046,6 +1058,11 @@ def hard_negatives(
             F.col("lbl").alias("neg_label"),
         ).alias("s"),
     )
+    # a zero-norm corpus vector makes cosine (try_divide) NULL; Spark's
+    # struct-min sorts a NULL first field FIRST while the DuckDB oracle's
+    # ORDER BY c DESC places NULLs last — drop degenerate vectors before
+    # the struct-min so both engines agree regardless of data
+    scored = scored.where(F.col("s.nc").isNotNull())
     best = scored.groupBy("anchor_id", "anchor_label").agg(F.min("s").alias("s"))
     return best.select(
         "anchor_id", "anchor_label",

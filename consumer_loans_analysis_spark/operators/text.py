@@ -209,10 +209,17 @@ def c4_line_rules(
     w = words(F.col(text_col))
     # ceil(n/line_words) via exact double floor ((n+9)/10 < 2^53 — exact).
     n_lines = F.floor((F.size(w) + F.lit(line_words - 1)) / F.lit(line_words))
-    lines = F.transform(
-        F.sequence(F.lit(0).cast("long"), n_lines - 1),
-        lambda i: F.slice(w, (i * line_words + 1).cast("int"), line_words),
-    )
+    # guard n_lines == 0: Spark's sequence(0, -1) is a DESCENDING [0, -1]
+    # (not empty), which would diverge from the oracle's empty
+    # generate_series. Unreachable with F.split (empty text -> [""], so
+    # n_lines >= 1) but future tokenizers may return empty arrays.
+    lines = F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_lines - 1),
+            lambda i: F.slice(w, (i * line_words + 1).cast("int"), line_words),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
     deny = F.array(*[F.lit(d) for d in denylist])
 
     def _sum_len(line: Column) -> Column:
@@ -1015,6 +1022,97 @@ def bpe_train_incremental(
         state = state.select(
             F.replace("state", F.lit(pat), F.lit(rep)).alias("state")
         ).localCheckpoint()
+    return merges
+
+
+def bpe_train_local(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    pretoken_pattern: str = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+",
+    min_frequency: int = 1,
+) -> list[tuple[str, str, int]]:
+    """The PRODUCTION-vocab BPE trainer: ONE distributed aggregation, then
+    every merge rank trained driver-side on the distinct-pretoken count
+    table — how real trainers (Sennrich's learn_bpe, the Hugging Face
+    trainer, SentencePiece's BPE mode) actually operate.
+
+    Why this is the scale path where t15/t15b are the oracle-shaped
+    references: pair statistics are a pure function of the
+    ``(pretoken, occurrence_count)`` table, which is bounded by WORD
+    VOCABULARY, not corpus size — Heaps' law puts it at ~10⁶-10⁷ rows
+    for a 100 TB web corpus (vs 10¹³ tokens), and ``min_frequency``
+    floors it further (rare pretokens can't win any merge rank whose
+    running winner already exceeds their total count; the floor is the
+    standard trainer knob, default off here to keep oracle equality).
+    So: one explode + one groupBy((pretoken)) — the word-count cost
+    class, the ONLY Spark jobs regardless of n_merges — then 50k ranks
+    cost zero cluster round-trips. Per rank the driver does the
+    fastBPE-style incremental update: merging (l, r) only perturbs
+    counts of pairs adjacent to an (l, r) occurrence, so each rank costs
+    O(affected words), not O(vocab).
+
+    Output is IDENTICAL to ``bpe_train``/``bpe_train_incremental`` (same
+    frequency-weighted Sennrich objective over pretoken OCCURRENCES,
+    same (count desc, l, r) lexicographic tie-break, same left-to-right
+    non-overlapping merge application) — pinned by pytest equality and
+    by t15c sharing t15's full-value DuckDB oracle. Python/Spark string
+    comparison agree on the tie-break because UTF-8 byte order equals
+    code-point order.
+    """
+    from collections import defaultdict
+
+    pretoks = F.regexp_extract_all(F.col(text_col), F.lit(pretoken_pattern), F.lit(0))
+    vocab_rows = (
+        df.select(F.explode(pretoks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_frequency)
+        .collect()
+    )
+    # driver state: word (as symbol tuple) -> occurrence count. Distinct
+    # pretokens stay distinct under merging (a merge preserves the
+    # concatenated string), so tuples never collide.
+    words: dict[tuple[str, ...], int] = {
+        tuple(r["w"]): int(r["n"]) for r in vocab_rows
+    }
+    pair_n: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set] = defaultdict(set)
+    for wt, c in words.items():
+        for p in zip(wt, wt[1:]):
+            pair_n[p] += c
+            pair_words[p].add(wt)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        live = [(p, n) for p, n in pair_n.items() if n > 0]
+        if not live:
+            break
+        (l, r), n = min(live, key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((l, r, int(n)))
+        new_sym = l + r
+        for wt in list(pair_words.get((l, r), ())):
+            c = words.pop(wt, None)
+            if c is None:  # stale index entry from an earlier rank
+                continue
+            for p in zip(wt, wt[1:]):
+                pair_n[p] -= c
+            out: list[str] = []
+            i = 0
+            while i < len(wt):  # left-to-right non-overlapping, like replace()
+                if i + 1 < len(wt) and wt[i] == l and wt[i + 1] == r:
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(wt[i])
+                    i += 1
+            nt = tuple(out)
+            words[nt] = words.get(nt, 0) + c
+            for p in zip(nt, nt[1:]):
+                pair_n[p] += c
+                pair_words[p].add(nt)
+        pair_n.pop((l, r), None)
+        pair_words.pop((l, r), None)
     return merges
 
 

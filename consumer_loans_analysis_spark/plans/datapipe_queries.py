@@ -3352,6 +3352,27 @@ def t15b_bpe_train_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("t15c_bpe_train_local", oracle=_bpe_train_sql())
+def t15c_bpe_train_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t15's PRODUCTION-vocab path (``text.bpe_train_local``): ONE
+    distributed aggregation — the distinct-pretoken count table, bounded
+    by word vocabulary (Heaps' law: ~10⁶-10⁷ rows at 100 TB), not corpus
+    size — then every merge rank trains driver-side with fastBPE-style
+    incremental pair updates, zero cluster round-trips per rank. This is
+    how real trainers (Sennrich learn_bpe, HF tokenizers, SentencePiece)
+    operate, and it removes t15/t15b's structural per-rank driver round:
+    a 50k-merge production vocabulary costs the SAME one Spark job as 8
+    merges. Output is the canonical Sennrich table — the SAME full-value
+    oracle as t15/t15b hash-checks every (rank, lhs, rhs, pair_count)
+    row, and pytest pins trainer-vs-trainer equality to exhaustion."""
+    docs = read_table(spark, sf_dir, "documents")
+    merges = text.bpe_train_local(docs, n_merges=_T15_ROUNDS)
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )
+
+
 @query(
     "sk5_streaming_mg_heavy_hitters",
     oracle=f"""

@@ -962,6 +962,100 @@ def p17_target_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e1q_mode_impute",
+    oracle="""
+    WITH planted AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN 'Missing' ELSE o_orderpriority END AS pri
+      FROM orders
+    ), counts AS (
+      SELECT pri AS v, COUNT(*) AS n FROM planted WHERE pri <> 'Missing' GROUP BY pri
+    ), mode AS (
+      SELECT v FROM counts ORDER BY n DESC, v ASC LIMIT 1
+    )
+    SELECT p.o_orderkey,
+      CASE WHEN p.pri = 'Missing' THEN (SELECT v FROM mode) ELSE p.pri END AS pri_imputed
+    FROM planted p
+    """,
+)
+def e1q_mode_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 ``SentinelModeImputer`` (pipeline/stages.py; reference
+    SimpleImputer(strategy='most_frequent', missing_values='Missing'),
+    eda_processing.ipynb:2087-2113) under the external driver gate: plant
+    the sentinel deterministically (every 7th orderkey), fit the stage
+    (one groupBy per column over distinct values, ties -> smallest like
+    sklearn), transform map-only. Oracle restates mode + CASE in SQL."""
+    from consumer_loans_analysis_spark.pipeline.stages import SentinelModeImputer
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("Missing"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri"),
+    )
+    model = SentinelModeImputer(cols=["pri"], sentinel="Missing").fit(o)
+    return model.transform(o).select(
+        "o_orderkey", F.col("pri").alias("pri_imputed")
+    )
+
+
+@query(
+    "e4q_scalar_scale",
+    oracle="""
+    WITH s AS (
+      SELECT AVG(o_totalprice) AS mu, STDDEV_POP(o_totalprice) AS sd FROM orders
+    )
+    SELECT o.o_orderkey,
+      ROUND((o.o_totalprice - s.mu) / s.sd, 6) AS totalprice_z
+    FROM orders o, s
+    """,
+)
+def e4q_scalar_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 ``ScalarStandardScaler`` (pipeline/stages.py; sklearn
+    StandardScaler ddof=0 parity, eda_processing.ipynb:2201-2217) under
+    the external driver gate: fit = ONE aggregation (avg + stddev_pop),
+    transform = map-only (x-mu)/sd with the fit state as literals.
+    Oracle restates the population-std z-score in SQL."""
+    from consumer_loans_analysis_spark.pipeline.stages import ScalarStandardScaler
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    model = ScalarStandardScaler(cols=["o_totalprice"]).fit(o)
+    return model.transform(o).select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("totalprice_z")
+    )
+
+
+@query(
+    "e7q_named_onehot",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(o_orderpriority = '1-URGENT' AS DOUBLE) AS "pri_1-URGENT",
+      CAST(o_orderpriority = '2-HIGH' AS DOUBLE) AS "pri_2-HIGH",
+      CAST(o_orderpriority = '3-MEDIUM' AS DOUBLE) AS "pri_3-MEDIUM",
+      CAST(o_orderpriority = '4-NOT SPECIFIED' AS DOUBLE) AS "pri_4-NOT SPECIFIED",
+      CAST(o_orderpriority = '5-LOW' AS DOUBLE) AS "pri_5-LOW"
+    FROM orders
+    """,
+)
+def e7q_named_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/J4 ``NamedOneHotEncoder`` (pipeline/stages.py; sklearn
+    OneHotEncoder sorted-category order with handle_unknown='ignore',
+    eda_processing.ipynb:2115-2146) under the external driver gate: fit =
+    one distinct per column (broadcast-size vocab), transform = map-only
+    named dense ``COL_value`` doubles in the SAME select (the J1
+    concat-avoidance design). The oracle pins the fitted vocab — the five
+    sorted o_orderpriority categories — explicitly, so a fit-state drift
+    would hash-mismatch, not just reorder."""
+    from consumer_loans_analysis_spark.pipeline.stages import NamedOneHotEncoder
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("pri")
+    )
+    model = NamedOneHotEncoder(cols=["pri"]).fit(o)
+    return model.transform(o)
+
+
+@query(
     "sql1_revenue_by_segment",
     oracle="""
     SELECT c.c_mktsegment AS segment,

@@ -1229,6 +1229,35 @@ def test_bpe_train_incremental_equals_full_recount(spark, sf_dir):
     assert inc == full
 
 
+def test_bpe_train_local_equals_distributed_to_exhaustion(spark, sf_dir):
+    """The driver-side vocabulary-table trainer (ONE distributed
+    aggregation, all ranks local — the production 50k-vocab path) must
+    produce the IDENTICAL merge table to the distributed per-rank
+    trainer, ALL the way to pair exhaustion: same Sennrich objective,
+    same (count desc, l, r) tie-break, same left-to-right non-overlapping
+    merge application. n_merges far beyond exhaustion also pins that both
+    trainers stop at the same rank."""
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    local = text.bpe_train_local(docs, n_merges=10_000)
+    full = text.bpe_train(docs, n_merges=len(local) + 5)
+    assert local == full
+
+
+def test_bpe_train_local_min_frequency_floor(spark):
+    """min_frequency drops rare pretokens from the vocabulary table
+    BEFORE training: with the floor above a word's count, none of its
+    exclusive pairs can appear in the merge table."""
+    df = spark.createDataFrame(
+        [("aa aa aa aa zq",), ("aa aa bb bb",)], ["text"]
+    )
+    floored = text.bpe_train_local(df, n_merges=50, min_frequency=2)
+    assert all("z" not in l + r for l, r, _ in floored)
+    unfloored = text.bpe_train_local(df, n_merges=50)
+    assert any("z" in l + r for l, r, _ in unfloored)
+
+
 def test_pca_whiten_matches_numpy_ltr_bit_exact(spark, sf_dir):
     """The pinned whitening expression path reproduces a numpy
     left-to-right recompute BIT-EXACTLY (the same construction argument

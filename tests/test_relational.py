@@ -126,3 +126,33 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     ).groupBy().agg(F.count("*").alias("n"), F.sum("l_quantity").alias("s")).collect()[0]
     assert plain["n"] == salted["n"]
     assert plain["s"] == pytest.approx(salted["s"], rel=1e-12)
+
+
+def test_e_stage_gate_queries_invariants(spark, sf_dir):
+    """r10 gate-surface queries (e1q/e4q/e7q): registry-level invariants
+    beyond the DuckDB hash oracle — no sentinel survives the impute, the
+    z-scored column is standardized (ddof=0), and the one-hot block is a
+    partition of unity."""
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+
+    imputed = registry.QUERIES["e1q_mode_impute"](spark, sf_dir)
+    assert imputed.filter(F.col("pri_imputed") == "Missing").count() == 0
+
+    z = registry.QUERIES["e4q_scalar_scale"](spark, sf_dir)
+    row = z.agg(
+        F.avg("totalprice_z").alias("mu"),
+        F.stddev_pop("totalprice_z").alias("sd"),
+    ).head()
+    assert abs(row["mu"]) < 1e-6 and abs(row["sd"] - 1.0) < 1e-6
+
+    oh = registry.QUERIES["e7q_named_onehot"](spark, sf_dir)
+    enc_cols = [c for c in oh.columns if c.startswith("pri_")]
+    assert len(enc_cols) == 5
+    bad = oh.withColumn(
+        "s", sum(F.col(c) for c in enc_cols)
+    ).filter(F.col("s") != 1.0)
+    assert bad.count() == 0

@@ -56,8 +56,14 @@ def canon_pdf(pdf: pd.DataFrame):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     # ANSI ON to mirror the driver's session (Spark 4 default) — every
     # registered query must survive it.
     spark = get_spark(
@@ -71,6 +77,8 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_pass = n_fail = n_weak = 0
+    results: dict[str, dict] = {}
+    t_start = time.time()
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -81,11 +89,15 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc(limit=3)
+            results[name] = {"status": "fail", "reason": "spark_error"}
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"WEAK {name}: rows-only ({len(spark_pdf)} rows, {dt:.1f}s)")
+            results[name] = {
+                "status": "weak", "rows": len(spark_pdf), "sec": round(dt, 1)
+            }
             n_weak += 1
             continue
         try:
@@ -93,6 +105,7 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc(limit=3)
+            results[name] = {"status": "fail", "reason": "duckdb_error"}
             n_fail += 1
             continue
         if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
@@ -100,10 +113,12 @@ def main() -> int:
                 f"FAIL {name}: columns {sorted(spark_pdf.columns)}"
                 f" != {sorted(duck_pdf.columns)}"
             )
+            results[name] = {"status": "fail", "reason": "schema_mismatch"}
             n_fail += 1
             continue
         if len(spark_pdf) != len(duck_pdf):
             print(f"FAIL {name}: rowcount {len(spark_pdf)} != {len(duck_pdf)}")
+            results[name] = {"status": "fail", "reason": "rowcount_mismatch"}
             n_fail += 1
             continue
         cs = canon_pdf(spark_pdf)
@@ -111,11 +126,33 @@ def main() -> int:
         if cs != cd:
             bad = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
             print(f"FAIL {name}: value mismatch, e.g. {bad}")
+            results[name] = {"status": "fail", "reason": "value_mismatch"}
             n_fail += 1
             continue
         print(f"PASS {name} ({len(spark_pdf)} rows, {dt:.1f}s)")
+        results[name] = {
+            "status": "pass", "rows": len(spark_pdf), "sec": round(dt, 1)
+        }
         n_pass += 1
     print(f"\n{n_pass} pass / {n_weak} weak / {n_fail} fail")
+    if json_path:
+        # per-round committable artifact (VERDICT r9 #3): the full local
+        # gate's per-query outcome, so the judge can see all-registry
+        # coverage without re-running ~40 min of Spark
+        import json as _json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_pass": n_pass,
+            "n_weak": n_weak,
+            "n_fail": n_fail,
+            "total_wall_sec": round(time.time() - t_start, 1),
+            "float_decimals": FLOAT_DECIMALS,
+            "queries": results,
+        }
+        with open(json_path, "w") as fh:
+            _json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     return 1 if n_fail else 0
 
 
