@@ -49,30 +49,35 @@ def _driver_rotation(keys: list[str]) -> list[str]:
     failure or ``no_oracle`` record un-marks it, so both fail-then-pass
     and pass-then-fail histories put the query where its most recent
     driver evidence says it belongs — a regression can't hide behind a
-    stale early-round pass (r7+r8 ADVICE). The cycling offset counts only
-    successfully PARSED files, so a corrupt record can't silently shift
-    which checked queries the driver re-sees.
+    stale early-round pass (r7+r8 ADVICE).
+
+    r10: checked queries order by STALENESS (oldest clean check first,
+    registry order as tie-break) instead of the r7 offset-cycling — the
+    offset walked registry order, so a freshly-checked block could land
+    in front of queries not driver-seen since r06 (measured: the r9
+    offset put 42 r08/r09-checked queries in the front-50 while 95
+    r06/r07-stale ones waited). Staleness ordering makes the driver's
+    50-sample always re-verify the least-recently-verified code.
     """
     files = sorted(glob.glob(os.path.join(_CORRECTNESS_DIR, "CORRECTNESS_r*.json")))
-    seen: set[str] = set()
-    parsed = 0
-    for f in files:
+    last_clean: dict[str, int] = {}
+    for idx, f in enumerate(files):
         try:
             with open(f) as fh:
                 recs = json.load(fh)
         except (OSError, ValueError):
             continue
-        parsed += 1
         for k, v in recs.items():
             if isinstance(v, dict) and v.get("hash_match") is True:
-                seen.add(k)
+                last_clean[k] = idx
             else:
-                seen.discard(k)
-    unchecked = [k for k in keys if k not in seen]
-    checked = [k for k in keys if k in seen]
-    if checked:
-        off = (parsed * 50) % len(checked)
-        checked = checked[off:] + checked[:off]
+                last_clean.pop(k, None)
+    unchecked = [k for k in keys if k not in last_clean]
+    order = {k: i for i, k in enumerate(keys)}
+    checked = sorted(
+        (k for k in keys if k in last_clean),
+        key=lambda k: (last_clean[k], order[k]),
+    )
     return unchecked + checked
 
 

@@ -31,10 +31,11 @@ def test_queries_run_at_sf0001(spark, sf_dir):
         df.limit(5).collect()
 
 
-def test_driver_rotation_orders_unchecked_first(tmp_path, monkeypatch):
-    """The self-served sample rotation: never-cleanly-driver-checked keys
-    order first (registry order preserved), checked keys follow rotated by
-    50 per parsed round, and the result is always a permutation."""
+def test_driver_rotation_orders_unchecked_then_stalest(tmp_path, monkeypatch):
+    """The self-served sample rotation (r10 semantics): never-cleanly-
+    driver-checked keys order first (registry order preserved), then
+    checked keys by STALENESS — oldest clean check first, registry order
+    as tie-break — and the result is always a permutation."""
     import json
 
     keys = [f"q{i}" for i in range(147)]
@@ -51,11 +52,10 @@ def test_driver_rotation_orders_unchecked_first(tmp_path, monkeypatch):
     rot = entry_mod._driver_rotation(keys)
     assert sorted(rot) == sorted(keys)
     assert rot[:97] == keys[50:147]          # unchecked first, order kept
-    assert set(rot[97:]) == set(keys[:50])   # checked tail
-    # checked tail rotated by 1 file * 50 mod 50 == 0 -> original order
-    assert rot[97:] == keys[:50]
+    assert rot[97:] == keys[:50]             # checked tail, registry order
 
-    # two more rounds cleanly checked everything -> pure 50-per-round cycling
+    # two more rounds cleanly checked everything -> stalest (earliest
+    # round) first: r01's block, then r02's, then r03's
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps({k: ok for k in keys[50:100]})
     )
@@ -63,16 +63,19 @@ def test_driver_rotation_orders_unchecked_first(tmp_path, monkeypatch):
         json.dumps({k: ok for k in keys[100:]})
     )
     rot3 = entry_mod._driver_rotation(keys)
-    assert sorted(rot3) == sorted(keys)
-    off = (3 * 50) % 147
-    assert rot3 == keys[off:] + keys[:off]
+    assert rot3 == keys  # r01 block stalest -> front, registry order overall
 
-    # unreadable file is skipped entirely: keys ignored AND it does not
-    # advance the cycling offset (r7 ADVICE — corrupt file must not shift
-    # which checked queries the driver re-sees)
-    (tmp_path / "CORRECTNESS_r04.json").write_text("{not json")
+    # a LATER re-check refreshes staleness: r04 re-checks r01's block, so
+    # r02's block becomes the stalest and moves to the front
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps({k: ok for k in keys[:50]})
+    )
     rot4 = entry_mod._driver_rotation(keys)
-    assert rot4 == rot3
+    assert rot4 == keys[50:] + keys[:50]
+
+    # unreadable file is skipped entirely — order unchanged
+    (tmp_path / "CORRECTNESS_r05.json").write_text("{not json")
+    assert entry_mod._driver_rotation(keys) == rot4
 
 
 def test_driver_rotation_failures_reenter_front(tmp_path, monkeypatch):
@@ -92,9 +95,8 @@ def test_driver_rotation_failures_reenter_front(tmp_path, monkeypatch):
     assert sorted(rot) == sorted(keys)
     # unchecked front: q1 and q3 (non-clean) + q5..q9 (never recorded)
     assert rot[:7] == ["q1", "q3"] + keys[5:]
-    # clean tail rotated by (1 parsed file * 50) % 3 == 2
-    clean = ["q0", "q2", "q4"]
-    assert rot[7:] == clean[2:] + clean[:2]
+    # clean tail: all checked in the same round -> registry order
+    assert rot[7:] == ["q0", "q2", "q4"]
 
     # a later clean pass promotes the query back to the checked tail
     (tmp_path / "CORRECTNESS_r02.json").write_text(
@@ -122,16 +124,17 @@ def test_driver_rotation_pass_then_fail_reenters_front(tmp_path, monkeypatch):
     )
     rot = entry_mod._driver_rotation(keys)
     assert rot[0] == "q4"  # regressed query re-enters the front
-    clean = [k for k in keys if k != "q4"]
-    # checked tail: 2 parsed files -> offset (2*50) % 9 == 1
-    assert rot[1:] == clean[1:] + clean[:1]
+    # checked tail: all last-checked in the same round -> registry order
+    assert rot[1:] == [k for k in keys if k != "q4"]
 
 
 def test_driver_rotation_full_coverage_every_three_rounds(tmp_path, monkeypatch):
-    """With all 150 registry queries checked, the 50-per-parsed-round
-    cycling must put every query inside the driver's first-50 sample at
-    least once every ceil(150/50) = 3 consecutive rounds — the staleness
-    clock the r8 VERDICT asked to pin."""
+    """With all 150 registry queries checked, staleness ordering must put
+    every query inside the driver's first-50 sample at least once every
+    ceil(150/50) = 3 consecutive rounds — the staleness clock the r8
+    VERDICT asked to pin (r10: ordering is oldest-checked-first, which
+    makes the 3-round coverage guarantee structural: a query can only
+    wait while ≤ 100 strictly-staler queries exist)."""
     import json
 
     keys = [f"q{i:03d}" for i in range(150)]
@@ -142,29 +145,35 @@ def test_driver_rotation_full_coverage_every_three_rounds(tmp_path, monkeypatch)
     samples = []
     for rnd in range(2, 8):
         samples.append(set(entry_mod._driver_rotation(keys)[:50]))
-        # the offset must ADVANCE each parsed round
+        # each round records a clean re-check of exactly its sample
         (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
             json.dumps({k: {"hash_match": True} for k in samples[-1]})
         )
     for i in range(len(samples) - 2):
         assert samples[i] | samples[i + 1] | samples[i + 2] == set(keys), i
-    # consecutive samples are disjoint (clean 50-cycling), not re-checks
+    # consecutive samples are disjoint (fresh checks are never stalest)
     assert samples[0] & samples[1] == set()
 
 
 def test_driver_rotation_edge_cases(tmp_path, monkeypatch):
-    """Cycling arithmetic edges: empty key list, all-unchecked, offset wrap
-    when checked-count divides the sample size unevenly."""
+    """Staleness-ordering edges: empty key list; repeated full re-checks
+    keep registry order (equal staleness everywhere); a partial newest
+    record demotes exactly its keys."""
     import json
 
     monkeypatch.setattr(entry_mod, "_CORRECTNESS_DIR", str(tmp_path))
     assert entry_mod._driver_rotation([]) == []
 
     keys = [f"q{i}" for i in range(7)]
-    # all checked, 4 parsed files -> offset (4*50) % 7 == 4
     for i in range(4):
         (tmp_path / f"CORRECTNESS_r0{i + 1}.json").write_text(
             json.dumps({k: {"hash_match": True} for k in keys})
         )
+    # every key last-checked in the same (latest) round -> registry order
+    assert entry_mod._driver_rotation(keys) == keys
+    # a newer record re-checking q2/q5 demotes them behind the rest
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({k: {"hash_match": True} for k in ("q2", "q5")})
+    )
     rot = entry_mod._driver_rotation(keys)
-    assert rot == keys[4:] + keys[:4]
+    assert rot == ["q0", "q1", "q3", "q4", "q6", "q2", "q5"]
