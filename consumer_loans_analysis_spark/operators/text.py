@@ -1060,8 +1060,6 @@ def bpe_train_local(
     comparison agree on the tie-break because UTF-8 byte order equals
     code-point order.
     """
-    from collections import defaultdict
-
     pretoks = F.regexp_extract_all(F.col(text_col), F.lit(pretoken_pattern), F.lit(0))
     vocab_rows = (
         df.select(F.explode(pretoks).alias("w"))
@@ -1070,11 +1068,25 @@ def bpe_train_local(
         .filter(F.col("n") >= min_frequency)
         .collect()
     )
+    return _bpe_train_from_vocab(
+        {r["w"]: int(r["n"]) for r in vocab_rows}, n_merges
+    )
+
+
+def _bpe_train_from_vocab(
+    vocab: dict[str, int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """The driver-side rank loop of ``bpe_train_local`` over a
+    ``{pretoken: occurrence_count}`` table — factored out so hypothesis
+    can property-test the incremental pair bookkeeping against a naive
+    full-recount reference without a SparkSession."""
+    from collections import defaultdict
+
     # driver state: word (as symbol tuple) -> occurrence count. Distinct
     # pretokens stay distinct under merging (a merge preserves the
     # concatenated string), so tuples never collide.
     words: dict[tuple[str, ...], int] = {
-        tuple(r["w"]): int(r["n"]) for r in vocab_rows
+        tuple(w): int(n) for w, n in vocab.items() if w
     }
     pair_n: dict[tuple[str, str], int] = defaultdict(int)
     pair_words: dict[tuple[str, str], set] = defaultdict(set)

@@ -368,3 +368,65 @@ def test_int4_block_quantization_properties(spark, vecs):
             if amax > 0:
                 again = math.floor(rec * (7.0 / amax) + 0.5) * (amax / 7.0)
                 assert again == rec, (i, rec, again)
+
+
+# --- bpe_train_local's incremental pair bookkeeping ------------------------
+
+word_strategy = st.text(alphabet="abc", min_size=1, max_size=8)
+vocab_strategy = st.dictionaries(
+    word_strategy, st.integers(min_value=1, max_value=5),
+    min_size=1, max_size=12,
+)
+
+
+def _naive_bpe_from_vocab(vocab, n_merges):
+    """Full-recount reference for ``_bpe_train_from_vocab``: recompute
+    every pair count from scratch each rank (the t15 semantics), same
+    (count desc, l, r) tie-break, same left-to-right merge."""
+    words = {}
+    for w, n in vocab.items():
+        if w:
+            words[tuple(w)] = words.get(tuple(w), 0) + n
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for wt, c in words.items():
+            for p in zip(wt, wt[1:]):
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (l, r), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, int(n)))
+        new = {}
+        for wt, c in words.items():
+            out, i = [], 0
+            while i < len(wt):
+                if i + 1 < len(wt) and wt[i] == l and wt[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(wt[i])
+                    i += 1
+            t = tuple(out)
+            new[t] = new.get(t, 0) + c
+        words = new
+    return merges
+
+
+@given(vocab=vocab_strategy)
+@settings(max_examples=300, deadline=None)
+def test_bpe_incremental_bookkeeping_equals_full_recount(vocab):
+    """Property: the fastBPE-style incremental pair updates in
+    ``_bpe_train_from_vocab`` produce the IDENTICAL merge table (ranks,
+    pairs, counts, stopping rank) to a naive full recount, to exhaustion,
+    on adversarial tiny-alphabet vocabularies (ab/abc maximize overlap
+    cases: 'aaa' runs, merges creating new adjacencies, ties)."""
+    from consumer_loans_analysis_spark.operators.text import (
+        _bpe_train_from_vocab,
+    )
+
+    assert _bpe_train_from_vocab(vocab, 100) == _naive_bpe_from_vocab(
+        vocab, 100
+    )
