@@ -214,6 +214,14 @@ def _tree_jiffies() -> int:
     return total
 
 
+def _median_of_clean(kept: list[dict]) -> tuple[float, bool]:
+    """Median over CLEAN reps when any exist, else over all reps (and the
+    record is then contaminated). Returns (median_sec, used_dirty)."""
+    clean = sorted(r["sec"] for r in kept if r["clean"])
+    used = clean if clean else sorted(r["sec"] for r in kept)
+    return round(statistics.median(used), 3), not clean
+
+
 def _other_cores_probe(window: float = 0.25) -> float:
     """Cores of non-our-tree compute over a short sleep — the pre-rep
     quiet check (our tree is ~idle while we sleep, so this reads the
@@ -297,11 +305,9 @@ def main() -> None:
         rep_stamps[name] = kept
         # median over CLEAN reps when any exist; a query forced to use a
         # dirty rep marks the whole record contaminated
-        clean_secs = sorted(r["sec"] for r in kept if r["clean"])
-        used = clean_secs if clean_secs else sorted(r["sec"] for r in kept)
-        if not clean_secs:
+        timings[name], used_dirty = _median_of_clean(kept)
+        if used_dirty:
             any_kept_dirty = True
-        timings[name] = round(statistics.median(used), 3)
         spreads[name] = sorted(r["sec"] for r in kept)
     total = round(sum(timings.values()), 3)
     legacy_total = round(sum(timings[n] for n in LEGACY_QUERIES if n in timings), 3)

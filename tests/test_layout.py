@@ -122,3 +122,40 @@ def test_zorder_file_stats_ledger_shows_skipping(spark, sf_dir):
     # Z-order files cover a compact slice of it.
     assert mean_x["linear_y"] > 0.9, mean_x
     assert mean_x["zorder"] < mean_x["linear_y"] / 2, mean_x
+
+
+def test_bench_neighbor_cpu_accounting():
+    """bench.py's r10 contamination machinery: the jiffy accounting is
+    self-load-immune (a CPU burn inside OUR process tree must NOT read as
+    neighbor compute), and the clean-median rule prefers clean reps and
+    flags a query forced onto dirty ones."""
+    import time as _time
+
+    import bench
+
+    # burning CPU in-process raises host busy jiffies AND our tree's by
+    # the same amount -> other_cores stays near the true neighbor level
+    idle = bench._other_cores_probe(window=0.3)
+
+    t0 = _time.perf_counter()
+    h0, m0 = bench._host_busy_jiffies(), bench._tree_jiffies()
+    x = 0
+    while _time.perf_counter() - t0 < 0.5:
+        x += 1  # one core, our own tree
+    dt = _time.perf_counter() - t0
+    h1, m1 = bench._host_busy_jiffies(), bench._tree_jiffies()
+    ours = (m1 - m0) / bench._CLK / dt
+    other = max(0.0, ((h1 - h0) - (m1 - m0)) / bench._CLK / dt)
+    assert ours > 0.5, ours          # the burn shows up as OUR load
+    assert other < idle + 2.0, (other, idle)  # ...not as neighbor load
+
+    # clean-median rule
+    kept = [
+        {"sec": 10.0, "clean": False},
+        {"sec": 1.0, "clean": True},
+        {"sec": 3.0, "clean": True},
+    ]
+    med, dirty = bench._median_of_clean(kept)
+    assert (med, dirty) == (2.0, False)
+    med, dirty = bench._median_of_clean([{"sec": 7.0, "clean": False}])
+    assert (med, dirty) == (7.0, True)
