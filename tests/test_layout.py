@@ -138,12 +138,12 @@ def test_bench_neighbor_cpu_accounting():
     idle = bench._other_cores_probe(window=0.3)
 
     t0 = _time.perf_counter()
-    h0, m0 = bench._host_busy_jiffies(), bench._tree_jiffies()
+    (h0, _), m0 = bench._host_busy_jiffies(), bench._tree_jiffies()
     x = 0
     while _time.perf_counter() - t0 < 0.5:
         x += 1  # one core, our own tree
     dt = _time.perf_counter() - t0
-    h1, m1 = bench._host_busy_jiffies(), bench._tree_jiffies()
+    (h1, _), m1 = bench._host_busy_jiffies(), bench._tree_jiffies()
     ours = (m1 - m0) / bench._CLK / dt
     other = max(0.0, ((h1 - h0) - (m1 - m0)) / bench._CLK / dt)
     assert ours > 0.5, ours          # the burn shows up as OUR load
