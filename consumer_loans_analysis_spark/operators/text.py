@@ -167,6 +167,208 @@ def gopher_quality_rules(
     )
 
 
+GOPHER_TOP_NGRAM_MAX_FRAC = ((2, 0.20), (3, 0.18), (4, 0.16))
+GOPHER_DUP_NGRAM_MAX_FRAC = (
+    (5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)
+)
+
+
+def gopher_repetition_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ngram_max_frac: tuple = GOPHER_TOP_NGRAM_MAX_FRAC,
+    dup_ngram_max_frac: tuple = GOPHER_DUP_NGRAM_MAX_FRAC,
+) -> DataFrame:
+    """Gopher REPETITION-removal battery (Rae et al. 2021 §A1.2) — the
+    companion to ``gopher_quality_rules`` (§A1.1, dq3): repetitive junk
+    (boilerplate loops, degenerate generations, scraped nav bars) is the
+    other big kill class in LLM curation. Two rule families, both over
+    word n-grams with CHARACTER accounting, as the paper specifies:
+
+    - top n-gram fraction (n = 2, 3, 4): characters covered by the most
+      frequent n-gram (count × n-gram char length; overlapping
+      occurrences may push it past 1.0, faithfully) / total characters,
+      capped at the paper's 0.20 / 0.18 / 0.16. A top n-gram occurring
+      once is not repetition — the fraction reads 0 then (the standard
+      implementation's behavior). Ties on count break to the LONGEST
+      n-gram (the conservative read; deterministic in both engines via
+      struct-max on (count, char_len) — the fraction value is
+      tie-invariant beyond that).
+    - duplicate n-gram fraction (n = 5..10): characters covered by at
+      least one occurrence of any n-gram appearing more than once in the
+      document, counted ONCE per character (interval union over char
+      spans — the standard no-double-count reading), / total characters;
+      caps 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10.
+
+    The paper's duplicate line/paragraph rules are omitted for the same
+    measured reason as in dq3/dq5: this corpus is single-line.
+
+    Scale shape: ONE posexplode of the word array, then every step is a
+    doc-keyed window or aggregate — char offsets via one cumulative-sum
+    window, all nine n-gram lengths via LEADs sharing that window's
+    sort, occurrence counts via a (doc, n, ngram) window, and the
+    interval union via the classic gaps-and-islands running-max window.
+    One Exchange on the doc key; per-doc cost O(words × 9); no
+    corpus-sized window, no join against the corpus. At 100 TB this is
+    the same cost class as a tokenize pass.
+    """
+    from pyspark.sql import Window
+
+    ns = sorted(
+        [n for n, _ in top_ngram_max_frac] + [n for n, _ in dup_ngram_max_frac]
+    )
+    max_n = max(ns)
+    top_ns = {n for n, _ in top_ngram_max_frac}
+    dup_ns = {n for n, _ in dup_ngram_max_frac}
+
+    base = df.select(
+        F.col(id_col).alias("_doc"),
+        F.length(F.col(text_col)).cast("long").alias("_total"),
+        F.posexplode(words(F.col(text_col))).alias("_pos", "_w"),
+    )
+    w_pos = Window.partitionBy("_doc").orderBy("_pos")
+    w_prev = w_pos.rowsBetween(Window.unboundedPreceding, -1)
+    # char offset of word i = Σ_{k<i} (len_k + 1)  ==  len(join(words[:i])) + 1
+    staged = base.select(
+        "_doc",
+        "_total",
+        "_pos",
+        "_w",
+        F.coalesce(
+            F.sum(F.length("_w") + F.lit(1)).over(w_prev), F.lit(0)
+        ).cast("long").alias("_s"),
+        *[F.lead("_w", k).over(w_pos).alias(f"_lw{k}") for k in range(1, max_n)],
+        *[
+            F.lead(
+                F.coalesce(
+                    F.sum(F.length("_w") + F.lit(1)).over(w_prev), F.lit(0)
+                ).cast("long")
+                + F.length("_w"),
+                k,
+            )
+            .over(w_pos)
+            .alias(f"_le{k}")
+            for k in range(1, max_n)
+        ],
+    )
+    # one struct per n — exploded map-side into (doc, n, ngram, s, e) rows
+    gram_structs = []
+    for n in ns:
+        parts = ["_w"] + [f"_lw{k}" for k in range(1, n)]
+        gram_structs.append(
+            F.struct(
+                F.lit(n).alias("n"),
+                F.when(
+                    F.col(f"_lw{n - 1}").isNotNull() if n > 1 else F.lit(True),
+                    F.concat_ws(" ", *parts),
+                ).alias("ngram"),
+                F.col("_s").alias("s"),
+                (F.col(f"_le{n - 1}") if n > 1 else (F.col("_s") + F.length("_w")))
+                .cast("long")
+                .alias("e"),
+            )
+        )
+    occ = (
+        staged.select(
+            "_doc", "_total", F.explode(F.array(*gram_structs)).alias("_g")
+        )
+        .select("_doc", "_total", "_g.n", "_g.ngram", "_g.s", "_g.e")
+        .where(F.col("ngram").isNotNull())
+    )
+
+    # top n-gram fraction: (count, char_len)-max per (doc, n)
+    grp = (
+        occ.where(F.col("n").isin(*top_ns))
+        .groupBy("_doc", "_total", "n", "ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        grp.groupBy("_doc", "n")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), F.length("ngram").alias("l"))
+            ).alias("b"),
+            F.first("_total").alias("_total"),
+        )
+        .select(
+            "_doc",
+            "n",
+            # count 1 is not repetition: the rule reads 0 unless the top
+            # n-gram actually repeats (the standard implementation's
+            # `if count == 1: continue`)
+            F.when(
+                F.col("b.c") > 1,
+                F.round(
+                    (F.col("b.c") * F.col("b.l")).cast("double")
+                    / F.col("_total"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("f"),
+        )
+    )
+
+    # duplicate n-gram char fraction: interval union of duplicated spans
+    w_cnt = Window.partitionBy("_doc", "n", "ngram")
+    w_iv = Window.partitionBy("_doc", "n").orderBy("s", "e")
+    dups = (
+        occ.where(F.col("n").isin(*dup_ns))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .where(F.col("cnt") > 1)
+        .withColumn(
+            "pmax",
+            F.max("e").over(w_iv.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "contrib",
+            F.greatest(
+                F.col("e")
+                - F.greatest(F.col("s"), F.coalesce(F.col("pmax"), F.lit(-1))),
+                F.lit(0),
+            ),
+        )
+    )
+    dup = dups.groupBy("_doc", "n").agg(
+        F.round(
+            F.sum("contrib").cast("double") / F.first("_total"), 6
+        ).alias("f")
+    )
+
+    allf = top.unionByName(dup)
+    docs = df.select(F.col(id_col).alias("_doc"))
+    pivoted = docs.join(allf, "_doc", "left").groupBy("_doc").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("f"))), F.lit(0.0)
+            ).alias(
+                f"top_{n}gram_frac" if n in top_ns else f"dup_{n}gram_frac"
+            )
+            for n in ns
+        ]
+    )
+    flags = []
+    keep = F.lit(True)
+    for n, cap in top_ngram_max_frac:
+        ok = F.col(f"top_{n}gram_frac") <= cap
+        flags.append(ok.alias(f"ok_top_{n}gram"))
+        keep = keep & ok
+    for n, cap in dup_ngram_max_frac:
+        ok = F.col(f"dup_{n}gram_frac") <= cap
+        flags.append(ok.alias(f"ok_dup_{n}gram"))
+        keep = keep & ok
+    return pivoted.select(
+        F.col("_doc").alias(id_col),
+        *[
+            F.col(f"top_{n}gram_frac" if n in top_ns else f"dup_{n}gram_frac")
+            for n in ns
+        ],
+        *flags,
+        keep.alias("keep"),
+    )
+
+
 def c4_line_rules(
     df: DataFrame,
     text_col: str = "text",

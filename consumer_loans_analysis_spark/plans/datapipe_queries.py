@@ -1669,6 +1669,116 @@ def dq3_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq7_gopher_repetition",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 25 = 0 THEN text || ' ' || text ELSE text END AS text
+      FROM documents
+    ), dd AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS total_chars,
+        string_split(text, ' ') AS w
+      FROM d
+    ), occ0 AS (
+      SELECT doc_id, total_chars, n, w,
+        unnest(range(0, GREATEST(len(w) - n + 1, 0))) AS pos
+      FROM dd, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS nn(n)
+    ), occ AS (
+      SELECT doc_id, total_chars, n, pos,
+        array_to_string(w[CAST(pos+1 AS INT) : CAST(pos+n AS INT)], ' ') AS ngram,
+        CAST(CASE WHEN pos = 0 THEN 0
+             ELSE length(array_to_string(w[1 : CAST(pos AS INT)], ' ')) + 1
+             END AS BIGINT) AS s,
+        CAST(length(array_to_string(w[1 : CAST(pos+n AS INT)], ' ')) AS BIGINT) AS e
+      FROM occ0
+    ), grp AS (
+      SELECT doc_id, total_chars, n, ngram,
+        COUNT(*) AS c, length(ngram) AS l
+      FROM occ WHERE n <= 4 GROUP BY doc_id, total_chars, n, ngram
+    ), top AS (
+      SELECT doc_id, n,
+        CASE WHEN MAX(struct_pack(c := c, l := l)).c > 1
+          THEN ROUND(CAST(MAX(struct_pack(c := c, l := l)).c
+                          * MAX(struct_pack(c := c, l := l)).l AS DOUBLE)
+                     / ANY_VALUE(total_chars), 6)
+          ELSE 0.0 END AS f
+      FROM grp GROUP BY doc_id, n
+    ), cnts AS (
+      SELECT doc_id, total_chars, n, s, e,
+        COUNT(*) OVER (PARTITION BY doc_id, n, ngram) AS cc
+      FROM occ WHERE n >= 5
+    ), iv AS (
+      SELECT doc_id, total_chars, n, s, e,
+        MAX(e) OVER (PARTITION BY doc_id, n ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM cnts WHERE cc > 1
+    ), dup AS (
+      SELECT doc_id, n,
+        ROUND(CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pmax, -1)), 0)) AS DOUBLE)
+              / ANY_VALUE(total_chars), 6) AS f
+      FROM iv GROUP BY doc_id, n
+    ), allf AS (
+      SELECT * FROM top UNION ALL SELECT * FROM dup
+    ), p AS (
+      SELECT dd.doc_id,
+        COALESCE(MAX(CASE WHEN n = 2 THEN f END), 0.0) AS top_2gram_frac,
+        COALESCE(MAX(CASE WHEN n = 3 THEN f END), 0.0) AS top_3gram_frac,
+        COALESCE(MAX(CASE WHEN n = 4 THEN f END), 0.0) AS top_4gram_frac,
+        COALESCE(MAX(CASE WHEN n = 5 THEN f END), 0.0) AS dup_5gram_frac,
+        COALESCE(MAX(CASE WHEN n = 6 THEN f END), 0.0) AS dup_6gram_frac,
+        COALESCE(MAX(CASE WHEN n = 7 THEN f END), 0.0) AS dup_7gram_frac,
+        COALESCE(MAX(CASE WHEN n = 8 THEN f END), 0.0) AS dup_8gram_frac,
+        COALESCE(MAX(CASE WHEN n = 9 THEN f END), 0.0) AS dup_9gram_frac,
+        COALESCE(MAX(CASE WHEN n = 10 THEN f END), 0.0) AS dup_10gram_frac
+      FROM dd LEFT JOIN allf ON dd.doc_id = allf.doc_id
+      GROUP BY dd.doc_id
+    )
+    SELECT doc_id,
+      top_2gram_frac, top_3gram_frac, top_4gram_frac,
+      dup_5gram_frac, dup_6gram_frac, dup_7gram_frac,
+      dup_8gram_frac, dup_9gram_frac, dup_10gram_frac,
+      top_2gram_frac <= 0.20 AS ok_top_2gram,
+      top_3gram_frac <= 0.18 AS ok_top_3gram,
+      top_4gram_frac <= 0.16 AS ok_top_4gram,
+      dup_5gram_frac <= 0.15 AS ok_dup_5gram,
+      dup_6gram_frac <= 0.14 AS ok_dup_6gram,
+      dup_7gram_frac <= 0.13 AS ok_dup_7gram,
+      dup_8gram_frac <= 0.12 AS ok_dup_8gram,
+      dup_9gram_frac <= 0.11 AS ok_dup_9gram,
+      dup_10gram_frac <= 0.10 AS ok_dup_10gram,
+      top_2gram_frac <= 0.20 AND top_3gram_frac <= 0.18
+        AND top_4gram_frac <= 0.16 AND dup_5gram_frac <= 0.15
+        AND dup_6gram_frac <= 0.14 AND dup_7gram_frac <= 0.13
+        AND dup_8gram_frac <= 0.12 AND dup_9gram_frac <= 0.11
+        AND dup_10gram_frac <= 0.10 AS keep
+    FROM p
+    """,
+)
+def dq7_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION-removal battery (Rae et al. 2021 §A1.2,
+    ``operators/text.py::gopher_repetition_rules``) — dq3's companion:
+    top n-gram char fraction (n=2..4, count>1 only) and duplicate-n-gram
+    char fraction (n=5..10, interval-union char accounting, no double
+    counting), all at the paper's thresholds. Every 25th document is
+    deterministically DOUBLED (text || ' ' || text) so the
+    duplicate-span interval-union path is value-exercised by the oracle
+    (random 31-word-vocab docs almost never repeat a 5-gram naturally;
+    the planted docs drive dup fracs to ≈1 and fail every rule). One
+    posexplode + doc-keyed windows; no corpus-sized window (the
+    a4/a8-style per-doc partitions are bounded by document length)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.gopher_repetition_rules(docs)
+
+
+@query(
     "dq5_c4_line_rules",
     oracle="""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

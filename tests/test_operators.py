@@ -1529,3 +1529,61 @@ def test_compaction_plan_conservation_and_fill(spark, sf_dir):
     cap = (total + 5) // 6
     for r in rows:
         assert 0.0 < r["fill_frac"] <= 1.0 + r["max_file"] / cap + 1e-9, r
+
+
+def test_gopher_repetition_rules_hand_computed(spark):
+    """dq7's operator against hand-computed char fractions:
+    - doc 0: 'a b' repeats 3x in 23 chars -> top_2gram 9/23; the two
+      3-grams tie at count 2 (len 5 each) -> 10/23; 'a b a b' repeats
+      (overlapping) -> 14/23; no 5-gram repeats -> dup fracs 0.
+    - doc 1: nothing repeats -> ALL fractions 0 (count-1 top n-grams are
+      not repetition) and the doc is kept.
+    - doc 2: 'p q r s t' x3 -> duplicated 5..10-gram spans cover the
+      whole 29-char doc -> dup fracs 1.0, killed."""
+    from consumer_loans_analysis_spark.operators.text import (
+        gopher_repetition_rules,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b x y z w q r"),
+            (1, "u v w x y z"),
+            (2, "p q r s t p q r s t p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_repetition_rules(df).collect()
+    }
+    import pytest as _pytest
+
+    assert rows[0]["top_2gram_frac"] == _pytest.approx(round(9 / 23, 6))
+    assert rows[0]["top_3gram_frac"] == _pytest.approx(round(10 / 23, 6))
+    assert rows[0]["top_4gram_frac"] == _pytest.approx(round(14 / 23, 6))
+    assert rows[0]["dup_5gram_frac"] == 0.0
+    assert not rows[0]["keep"]
+
+    assert all(
+        rows[1][c] == 0.0
+        for c in rows[1].asDict()
+        if c.endswith("_frac")
+    )
+    assert rows[1]["keep"]
+
+    assert rows[2]["dup_5gram_frac"] == 1.0
+    assert rows[2]["dup_10gram_frac"] == 1.0
+    assert not rows[2]["keep"]
+
+
+def test_gopher_repetition_no_corpus_sized_window(spark, sf_dir):
+    """dq7 plan shape: every WindowExec partitions by the doc key — no
+    single-partition (corpus-sized) window anywhere in the plan."""
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["dq7_gopher_repetition"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "_doc" in line or "doc_id" in line, line
