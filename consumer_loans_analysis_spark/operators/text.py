@@ -167,6 +167,77 @@ def gopher_quality_rules(
     )
 
 
+def kneser_ney_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (t19) — see the
+    ``t19_kneser_ney_score`` query docstring for the formula, smoothing
+    rationale, and scale shape. Returns (id, n_bigrams,
+    kn_cross_entropy); documents with fewer than 2 words score no rows
+    (no bigrams), matching the oracle's join semantics."""
+    w = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_big = df.select(
+        F.col(id_col), F.explode(bigrams).alias("b")
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = (
+        doc_big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
+    )
+    uc = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_w1")
+    )
+    pre = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_pre"))
+    scal = bc.agg(
+        F.sum((F.col("c12") == 1).cast("int")).cast("double").alias("n1"),
+        F.sum((F.col("c12") == 2).cast("int")).cast("double").alias("n2"),
+        F.count(F.lit(1)).cast("double").alias("types"),
+    )
+    # a corpus dense enough that NO bigram has count 1 or 2 gives the
+    # count-of-counts estimate no evidence: D = 0/0. The correct limit
+    # is D = 0 (no discount -> plain MLE).
+    disc = F.when(
+        F.col("n1") + 2 * F.col("n2") > 0,
+        F.col("n1") / (F.col("n1") + 2 * F.col("n2")),
+    ).otherwise(F.lit(0.0))
+    model = (
+        bc.join(uc, "w1")
+        .join(pre, "w2")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (
+                    F.greatest(F.col("c12").cast("double") - disc, F.lit(0.0))
+                    + disc
+                    * F.col("n1p_w1")
+                    * (F.col("n1p_pre") / F.col("types"))
+                )
+                / F.col("c1")
+            ).alias("logp"),
+        )
+    )
+    return (
+        doc_big.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("logp"), 6).alias("kn_cross_entropy"),
+        )
+    )
+
+
 GOPHER_TOP_NGRAM_MAX_FRAC = ((2, 0.20), (3, 0.18), (4, 0.16))
 GOPHER_DUP_NGRAM_MAX_FRAC = (
     (5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)

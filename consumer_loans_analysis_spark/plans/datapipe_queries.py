@@ -2269,6 +2269,73 @@ def t9_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t19_kneser_ney_score",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    big AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM d, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+    ), uc AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1p_w1
+      FROM bc GROUP BY w1
+    ), pre AS (
+      SELECT w2, COUNT(*) AS n1p_pre FROM bc GROUP BY w2
+    ), s AS (
+      SELECT
+        CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+        CAST(COUNT(*) AS DOUBLE) AS types
+      FROM bc
+    ), model AS (
+      SELECT bc.w1, bc.w2,
+        ln((GREATEST(CAST(bc.c12 AS DOUBLE)
+              - CASE WHEN s.n1 + 2 * s.n2 > 0
+                     THEN s.n1 / (s.n1 + 2 * s.n2) ELSE 0.0 END, 0)
+            + CASE WHEN s.n1 + 2 * s.n2 > 0
+                   THEN s.n1 / (s.n1 + 2 * s.n2) ELSE 0.0 END
+              * uc.n1p_w1 * (pre.n1p_pre / s.types))
+           / uc.c1) AS logp
+      FROM bc JOIN uc USING (w1) JOIN pre ON pre.w2 = bc.w2, s
+    )
+    SELECT b.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      ROUND(-AVG(m.logp), 6) AS kn_cross_entropy
+    FROM big b JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+    GROUP BY b.doc_id
+    """,
+)
+def t19_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t9's production upgrade: INTERPOLATED KNESER-NEY bigram scoring —
+    the smoothing class CCNet's actual KenLM filter uses (Heafield 2011;
+    Kneser & Ney 1995). Where t9's MLE assigns P = c12/c1 (and nothing
+    to unseen bigrams), KN discounts every observed bigram by
+    D = n1/(n1 + 2·n2) (the standard count-of-counts estimate) and
+    redistributes that mass through the CONTINUATION distribution
+    P_cont(w2) = N1+(·,w2) / N1+(·,·) — "how many contexts does w2
+    complete", the novel-continuation signal that makes KN the strongest
+    count-based smoother:
+
+        P(w2|w1) = (max(c12 − D, 0) + D · N1+(w1,·) · P_cont(w2)) / c(w1)
+
+    Per-document score = −mean ln P over the doc's own bigrams (t9's
+    cross-entropy convention; self-trained, so every scored bigram is in
+    the model — smoothing changes the VALUES, not coverage).
+
+    Scale shape (identical cost class to t9): ONE corpus (w1,w2) count
+    shuffle; every derived table — unigram totals, left/right
+    continuation counts, the 1-row (n1, n2, types) scalar — aggregates
+    the vocab²-bounded counts table, not the corpus; the discount scalar
+    rides a sanctioned 1-row broadcast crossJoin; scoring joins
+    doc-bigrams to the broadcast model. Every arithmetic step is written
+    in the same order in both engines (single-division IEEE parity)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.kneser_ney_score(docs)
+
+
 # GPT-2-style pretokenizer classes, simplified to the engine-portable
 # subset (letters / digits / other-symbol runs; both Java regex and
 # DuckDB/RE2 read this pattern identically).

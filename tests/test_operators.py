@@ -1587,3 +1587,50 @@ def test_gopher_repetition_no_corpus_sized_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "_doc" in line or "doc_id" in line, line
+
+
+def test_kneser_ney_closed_form(spark):
+    """t19's KN arithmetic against a hand-computed fixture:
+    corpus 'a b a b a c' -> c(ab)=2, c(ba)=2, c(ac)=1; n1=1, n2=2 ->
+    D = 0.2; continuation P_cont = 1/3 for each of a/b/c (each completes
+    exactly one context, 3 bigram types)."""
+    import math
+
+    import pytest as _pytest
+
+    from consumer_loans_analysis_spark.operators.text import kneser_ney_score
+
+    df = spark.createDataFrame([(0, "a b a b a c")], "doc_id long, text string")
+    row = kneser_ney_score(df).head()
+    D = 1 / (1 + 2 * 2)
+    p_ab = ((2 - D) + D * 2 * (1 / 3)) / 3   # c1(a)=3, N1+(a,.)=2
+    p_ba = ((2 - D) + D * 1 * (1 / 3)) / 2   # c1(b)=2, N1+(b,.)=1
+    p_ac = ((1 - D) + D * 2 * (1 / 3)) / 3
+    expect = -(2 * math.log(p_ab) + 2 * math.log(p_ba) + math.log(p_ac)) / 5
+    assert row["n_bigrams"] == 5
+    assert row["kn_cross_entropy"] == _pytest.approx(expect, abs=1e-6)
+    # interpolated KN over the FULL vocab sums to 1 per context; over the
+    # observed-only bigrams it must stay strictly below
+    assert p_ab + p_ac < 1.0
+
+
+def test_kneser_ney_beats_mle_on_rare_bigrams(spark):
+    """Smoothing sanity: KN discounts frequent bigrams and lifts the
+    rare-continuation term, so a document of singleton bigrams scores a
+    LOWER cross-entropy gap vs the frequent-doc than under MLE (the
+    discount narrows the spread)."""
+    from consumer_loans_analysis_spark.operators.text import kneser_ney_score
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    df = spark.createDataFrame(
+        [(0, "x y x y x y x y"), (1, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    kn = {r["doc_id"]: r["kn_cross_entropy"] for r in kneser_ney_score(df).collect()}
+    # frequent-bigram doc scores lower (more probable) than all-singleton doc
+    assert kn[0] < kn[1]
+    # every probability is discounted below its MLE, so KN entropy > 0
+    # even for the deterministic doc 0 (MLE would give P(y|x)=1, ce ~ 0
+    # for its x->y transitions only; KN keeps mass for novel continuations)
+    assert kn[0] > 0.0
