@@ -586,6 +586,95 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    span_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-substring REMOVAL — the production step d7's detection
+    feeds (Lee et al. 2022 ExactSubstr: don't drop the document, cut the
+    duplicated substring out of it), at span granularity: every
+    ``span_words``-word window whose text occurs in MORE THAN ONE
+    document is excised from all of them; words covered by no duplicated
+    span survive in order. Returns (id, n_words, n_removed,
+    removed_frac, cleaned_md5) — the 32 B fingerprint convention, so
+    downstream dedup shuffles digests, not bodies.
+
+    Keys are md5(span text) in BOTH engines (portable, collision-free in
+    practice at 128 bits), so the oracle needs no engine-specific hash.
+    Plan: one explode of per-position span digests (Σ|spans| rows — the
+    d2/d7 inverted-index cost class), one digest groupBy for cross-doc
+    document frequency (distinct per doc first, so within-doc repeats
+    don't fake cross-doc dups), a join back for duplicated OCCURRENCES,
+    one per-doc collect of covered intervals (bounded by doc length),
+    and a map-side array rebuild: ``filter(words, (x, i) -> no interval
+    covers i)``. Per-doc cost O(words × dup-intervals); no corpus-sized
+    window; interval lists could be pre-merged per doc to tighten the
+    bound — unnecessary at doc lengths that fit a row."""
+    w = words(F.col(text_col))
+    n_w = F.size(w)
+    spans = F.when(
+        n_w >= span_words,
+        F.transform(
+            F.sequence(F.lit(0).cast("int"), (n_w - span_words).cast("int")),
+            lambda i: F.struct(
+                i.alias("s"),
+                F.md5(F.array_join(F.slice(w, i + 1, span_words), " ")).alias(
+                    "sh"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:int,sh:string>>"))
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(spans).alias("o")
+    ).select("id", F.col("o.s").alias("s"), F.col("o.sh").alias("sh"))
+    span_df = (
+        occ.select("id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("span_df"))
+    )
+    dup_iv = (
+        occ.join(span_df, "sh")
+        .where(F.col("span_df") >= 2)
+        .select(
+            "id",
+            F.col("s").cast("long").alias("s"),
+            (F.col("s") + span_words).cast("long").alias("e"),
+        )
+    )
+    rem = dup_iv.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("ivs")
+    )
+    joined = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    ).join(rem, "id", "left")
+    w2 = words(F.col("_text"))
+    ivs = F.coalesce(
+        F.col("ivs"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    kept = F.filter(
+        w2,
+        lambda x, i: ~F.exists(
+            ivs, lambda v: (i.cast("long") >= v["s"]) & (i.cast("long") < v["e"])
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.size(w2).cast("long").alias("n_words"),
+        (F.size(w2) - F.size(kept)).cast("long").alias("n_removed"),
+        F.round(
+            F.try_divide(
+                (F.size(w2) - F.size(kept)).cast("double"),
+                F.size(w2).cast("double"),
+            ),
+            6,
+        ).alias("removed_frac"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
+    )
+
+
 def bloom_build(
     fps: DataFrame, fp_col: str = "fp",
     expected_items: int = 1_000_000, fpp: float = 0.01,

@@ -1266,6 +1266,77 @@ def d7_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(docs, span_words=20)
 
 
+_D16_SENTINEL = " ".join(f"zz{i}" for i in range(25))
+
+
+@query(
+    "d16_substring_removal",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 20 = 0 THEN text || ' {_D16_SENTINEL}'
+             ELSE text END AS text
+      FROM documents
+    ), dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+    occ AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS s,
+        md5(array_to_string(w[CAST(i+1 AS INT) : CAST(i+10 AS INT)], ' ')) AS sh
+      FROM dd, UNNEST(range(0, GREATEST(len(w) - 9, 0))) AS t(i)
+    ), df_counts AS (
+      SELECT sh, COUNT(*) AS span_df
+      FROM (SELECT DISTINCT doc_id, sh FROM occ) GROUP BY sh
+    ), ivs AS (
+      SELECT o.doc_id, list(struct_pack(s := o.s, e := o.s + 10)) AS ivs
+      FROM occ o JOIN df_counts c ON c.sh = o.sh
+      WHERE c.span_df >= 2 GROUP BY o.doc_id
+    ), r AS (
+      SELECT dd.doc_id, dd.w, COALESCE(ivs.ivs, []) AS ivs
+      FROM dd LEFT JOIN ivs ON ivs.doc_id = dd.doc_id
+    ), k AS (
+      SELECT doc_id, w,
+        list_transform(
+          list_filter(range(1, len(w) + 1),
+            i -> len(list_filter(ivs, v -> i - 1 >= v.s AND i - 1 < v.e)) = 0),
+          i -> w[CAST(i AS INT)]) AS kept
+      FROM r
+    )
+    SELECT doc_id,
+      CAST(len(w) AS BIGINT) AS n_words,
+      CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+      ROUND(CAST(len(w) - len(kept) AS DOUBLE) / len(w), 6) AS removed_frac,
+      md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_md5
+    FROM k
+    """,
+)
+def d16_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring REMOVAL (Lee et al. 2022 ExactSubstr — cut the
+    duplicated substring, keep the document;
+    ``operators/dedup.py::remove_duplicate_spans``): every 10-word span
+    occurring in ≥ 2 documents is excised from all of them. Every 20th
+    document gets a fixed 25-word sentinel appended so the removal path
+    is value-exercised (random 31-word-vocab docs share no natural
+    10-word span): the sentinel's interior spans are cross-doc dups and
+    their interval union covers exactly the appended words, while
+    junction spans stay unique per doc — so every planted doc loses ≥
+    the 25 sentinel words, and one that loses exactly 25 provably
+    restores its ORIGINAL text (pinned in pytest). The corpus also has
+    NATURAL cross-doc phrase runs (41/475 docs at sf0.001 lose 10-165
+    words) — genuine removals exercised without planting. md5 span keys
+    in both
+    engines; the d2/d7 inverted-index cost class plus a map-side array
+    rebuild."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.col("text"), F.lit(" " + _D16_SENTINEL)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.remove_duplicate_spans(docs, span_words=10)
+
+
 @query(
     "d8_incremental_dedup",
     oracle="""
