@@ -4123,6 +4123,203 @@ def pipe4_clean_dedup_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe5_fluency_curation",
+    oracle="""
+    WITH d0 AS (
+      SELECT doc_id, lang,
+        CASE WHEN doc_id % 25 = 0 THEN text || ' ' || text ELSE text END AS text
+      FROM documents
+    ), dd AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS total_chars,
+        string_split(text, ' ') AS w
+      FROM d0
+    ), occ0 AS (
+      SELECT doc_id, total_chars, n, w,
+        unnest(range(0, GREATEST(len(w) - n + 1, 0))) AS pos
+      FROM dd, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS nn(n)
+    ), occ AS (
+      SELECT doc_id, total_chars, n, pos,
+        array_to_string(w[CAST(pos+1 AS INT) : CAST(pos+n AS INT)], ' ') AS ngram,
+        CAST(CASE WHEN pos = 0 THEN 0
+             ELSE length(array_to_string(w[1 : CAST(pos AS INT)], ' ')) + 1
+             END AS BIGINT) AS s,
+        CAST(length(array_to_string(w[1 : CAST(pos+n AS INT)], ' ')) AS BIGINT) AS e
+      FROM occ0
+    ), grp AS (
+      SELECT doc_id, total_chars, n, ngram, COUNT(*) AS c, length(ngram) AS l
+      FROM occ WHERE n <= 4 GROUP BY doc_id, total_chars, n, ngram
+    ), top AS (
+      SELECT doc_id, n,
+        CASE WHEN MAX(struct_pack(c := c, l := l)).c > 1
+          THEN ROUND(CAST(MAX(struct_pack(c := c, l := l)).c
+                          * MAX(struct_pack(c := c, l := l)).l AS DOUBLE)
+                     / ANY_VALUE(total_chars), 6)
+          ELSE 0.0 END AS f
+      FROM grp GROUP BY doc_id, n
+    ), cnts AS (
+      SELECT doc_id, total_chars, n, s, e,
+        COUNT(*) OVER (PARTITION BY doc_id, n, ngram) AS cc
+      FROM occ WHERE n >= 5
+    ), iv AS (
+      SELECT doc_id, total_chars, n, s, e,
+        MAX(e) OVER (PARTITION BY doc_id, n ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM cnts WHERE cc > 1
+    ), dup AS (
+      SELECT doc_id, n,
+        ROUND(CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pmax, -1)), 0)) AS DOUBLE)
+              / ANY_VALUE(total_chars), 6) AS f
+      FROM iv GROUP BY doc_id, n
+    ), allf AS (
+      SELECT * FROM top UNION ALL SELECT * FROM dup
+    ), p AS (
+      SELECT dd.doc_id,
+        COALESCE(MAX(CASE WHEN n = 2 THEN f END), 0.0) AS t2,
+        COALESCE(MAX(CASE WHEN n = 3 THEN f END), 0.0) AS t3,
+        COALESCE(MAX(CASE WHEN n = 4 THEN f END), 0.0) AS t4,
+        COALESCE(MAX(CASE WHEN n = 5 THEN f END), 0.0) AS d5,
+        COALESCE(MAX(CASE WHEN n = 6 THEN f END), 0.0) AS d6,
+        COALESCE(MAX(CASE WHEN n = 7 THEN f END), 0.0) AS d7,
+        COALESCE(MAX(CASE WHEN n = 8 THEN f END), 0.0) AS d8,
+        COALESCE(MAX(CASE WHEN n = 9 THEN f END), 0.0) AS d9,
+        COALESCE(MAX(CASE WHEN n = 10 THEN f END), 0.0) AS d10
+      FROM dd LEFT JOIN allf ON dd.doc_id = allf.doc_id
+      GROUP BY dd.doc_id
+    ), surv AS (
+      SELECT d0.doc_id, d0.lang, d0.text
+      FROM d0 JOIN p USING (doc_id)
+      WHERE p.t2 <= 0.20 AND p.t3 <= 0.18 AND p.t4 <= 0.16
+        AND p.d5 <= 0.15 AND p.d6 <= 0.14 AND p.d7 <= 0.13
+        AND p.d8 <= 0.12 AND p.d9 <= 0.11 AND p.d10 <= 0.10
+    ), sd AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM surv
+    ), big AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM sd, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+    ), uc AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1p_w1
+      FROM bc GROUP BY w1
+    ), pre AS (
+      SELECT w2, COUNT(*) AS n1p_pre FROM bc GROUP BY w2
+    ), s AS (
+      SELECT
+        CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+        CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+        CAST(COUNT(*) AS DOUBLE) AS types
+      FROM bc
+    ), model AS (
+      SELECT bc.w1, bc.w2,
+        ln((GREATEST(CAST(bc.c12 AS DOUBLE)
+              - CASE WHEN s.n1 + 2 * s.n2 > 0
+                     THEN s.n1 / (s.n1 + 2 * s.n2) ELSE 0.0 END, 0)
+            + CASE WHEN s.n1 + 2 * s.n2 > 0
+                   THEN s.n1 / (s.n1 + 2 * s.n2) ELSE 0.0 END
+              * uc.n1p_w1 * (pre.n1p_pre / s.types))
+           / uc.c1) AS logp
+      FROM bc JOIN uc USING (w1) JOIN pre ON pre.w2 = bc.w2, s
+    ), score AS (
+      SELECT b.doc_id, ROUND(-AVG(m.logp), 6) AS ce
+      FROM big b JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+      GROUP BY b.doc_id
+    ), ranked AS (
+      SELECT sc.doc_id, sv.lang, sc.ce,
+        ROW_NUMBER() OVER (PARTITION BY sv.lang ORDER BY sc.ce, sc.doc_id) AS rn
+      FROM score sc JOIN surv sv ON sv.doc_id = sc.doc_id
+    ), cand AS (
+      SELECT lang, COUNT(*) AS n_candidates FROM ranked GROUP BY lang
+    ), sel AS (
+      SELECT lang, doc_id, ce FROM ranked WHERE rn <= 40
+    )
+    SELECT c.lang,
+      CAST(c.n_candidates AS BIGINT) AS n_candidates,
+      CAST(COUNT(*) AS BIGINT) AS n_selected,
+      ROUND(AVG(se.ce), 6) AS avg_ce,
+      md5(string_agg(CAST(se.doc_id AS VARCHAR), ',' ORDER BY se.doc_id))
+        AS sel_digest
+    FROM sel se JOIN cand c USING (lang)
+    GROUP BY c.lang, c.n_candidates
+    """,
+)
+def pipe5_fluency_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 composition flagship: the three round-10 operators end-to-end
+    under ONE hash oracle — repetition gate → self-trained Kneser-Ney
+    fluency scoring of the SURVIVORS → per-language fluency-ranked
+    budget selection (the FineWeb/CCNet shape: kill repetitive junk
+    first so it cannot poison the LM, then keep the most fluent docs up
+    to a per-language budget).
+
+    1. ``gopher_repetition_rules`` at paper thresholds over the planted
+       corpus (dq7's every-25th-doc doubling — the gate must actually
+       fire to make stage composition observable);
+    2. ``kneser_ney_score`` trained on — and scoring — the gate's
+       survivors (the model sees only admitted text, the production
+       cadence);
+    3. per-language ROW_NUMBER over (rounded ce, doc_id) — rounding
+       BEFORE ranking is what makes a float ordering portable across
+       engines — keeping the 40 most fluent docs per language.
+
+    Output: per-language admission ledger (candidates, selected, mean
+    selected cross-entropy, md5 digest over the sorted selected id set —
+    the selection itself is hash-pinned, not just its size). Scale: the
+    gate and scorer keep their own shapes (doc-keyed windows;
+    vocab²-bounded model); the selection window partitions by language
+    and Spark's WindowGroupLimit pushes the rank ≤ 40 cut ahead of the
+    shuffle, so per-language partitions never materialize beyond the
+    running top-k."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    gate = text.gopher_repetition_rules(docs).where(F.col("keep")).select(
+        "doc_id"
+    )
+    # eager localCheckpoint: the survivor set feeds the LM count build,
+    # the scoring join, AND the lang join — without it each consumer
+    # re-runs the full repetition gate (the t9/d3 multi-consumer rule)
+    surv = docs.join(gate, "doc_id").localCheckpoint()
+    scored = text.kneser_ney_score(surv).join(
+        surv.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("kn_cross_entropy", "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    cand = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    sel = ranked.where(F.col("rn") <= 40)
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.round(F.avg("kn_cross_entropy"), 6).alias("avg_ce"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("sel_digest"),
+        )
+        .join(cand, "lang")
+        .select(
+            "lang", "n_candidates", "n_selected", "avg_ce", "sel_digest"
+        )
+    )
+
+
+@query(
     "dq6_stream_c4_gate_drained",
     oracle="""
     WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),

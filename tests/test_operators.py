@@ -1693,3 +1693,22 @@ def test_remove_duplicate_spans_unit(spark):
     assert rows[0]["n_removed"] == 10 and rows[0]["n_words"] == 15
     assert rows[1]["n_removed"] == 10 and rows[1]["n_words"] == 13
     assert rows[2]["n_removed"] == 0
+
+
+def test_pipe5_selection_ledger(spark, sf_dir):
+    """pipe5's admission arithmetic: per language, n_selected =
+    min(40, n_candidates). (Gating of the planted repetitive docs and
+    the selected-id set itself are pinned by the oracle's sel_digest.)"""
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    out = registry.QUERIES["pipe5_fluency_curation"](spark, sf_dir).cache()
+    bad = out.filter(
+        F.col("n_selected")
+        != F.least(F.lit(40), F.col("n_candidates"))
+    )
+    assert bad.count() == 0
+    assert out.count() > 0
+    out.unpersist()
