@@ -24,11 +24,27 @@ from pyspark.sql import functions as F
 from consumer_loans_analysis_spark.ml.metrics import binary_metrics
 
 
-def add_fold(df: DataFrame, k: int, cols: list[str] | None = None, seed: int = 42) -> DataFrame:
+def add_fold(df: DataFrame, k: int, cols: list[str] | None = None, seed: int = 42,
+             method: str = "hash") -> DataFrame:
     """Deterministic fold id in [0, k): hash of the given columns (default
-    all) xor'd with the seed. Reproducible across partitionings, unlike
-    randomSplit."""
+    all) seeded. Reproducible across partitionings, unlike randomSplit.
+
+    ``method``:
+      * ``"hash"`` (default) — JVM Murmur3 ``F.hash``: the fast path for
+        real CV (whole-stage codegen, no string materialization).
+      * ``"portable"`` — md5-prefix hash of the '|'-joined stringified
+        columns (``operators.text.portable_hash``): engine-portable, so an
+        external DuckDB oracle can restate the exact fold id per row
+        (``CAST(concat('0x', substr(md5(concat('SEED:', cols)), 1, 8)) AS
+        BIGINT) % k``). Same determinism guarantees; costs a string concat
+        + md5 per row, so reserve it for audited/oracled splits.
+    """
     cols = cols or df.columns
+    if method == "portable":
+        from consumer_loans_analysis_spark.operators.text import portable_hash
+
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        return df.withColumn("_fold", F.pmod(portable_hash(key, seed=seed), F.lit(k)))
     return df.withColumn(
         "_fold", F.pmod(F.hash(*[F.col(c) for c in cols], F.lit(seed)), F.lit(k))
     )

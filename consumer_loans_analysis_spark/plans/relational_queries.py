@@ -1085,3 +1085,201 @@ def sql1_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
+
+
+# --- M3/M4/M10 under the external driver gate ---------------------------------
+# The ML metric/CV surface was the last component class verified by pytest
+# only (r10 verdict #1). These queries run the REAL ml/ code — add_fold,
+# SoftVotingEnsemble's threshold path, binary_metrics, classification_report
+# — over the driver's testdata with DuckDB oracles restating the arithmetic.
+
+def _round6(v: float) -> float:
+    """Half-up 6-dp rounding matching DuckDB FLOOR(x*1e6+0.5)/1e6 exactly
+    (Python's builtin round() is banker's — 0.0000005 would diverge)."""
+    import math
+
+    return math.floor(v * 1e6 + 0.5) / 1e6
+
+
+@query(
+    "m3q_fold_assignment",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(CAST(concat('0x', substr(md5(concat('42:', CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT) % 6 AS INT) AS fold
+    FROM orders
+    """,
+)
+def m3q_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 deterministic k-fold assignment (ml/cv.py::add_fold; reference
+    my_cross_validate's KFold split, modeling.py:12-107) under the external
+    driver gate: the portable-hash mode assigns fold = md5-prefix(seeded
+    key) % k per row — a pure function of row CONTENT, so the oracle
+    reproduces the exact fold id of every row (Murmur3 ``F.hash`` mode is
+    the production fast path; the md5 mode exists precisely so splits are
+    externally auditable). Map-only, no shuffle."""
+    from consumer_loans_analysis_spark.ml.cv import add_fold
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    return add_fold(o, k=6, cols=["o_orderkey"], seed=42, method="portable").select(
+        "o_orderkey", F.col("_fold").cast("int").alias("fold")
+    )
+
+
+@query(
+    "m4q_binary_metrics",
+    oracle="""
+    WITH pred AS (
+      SELECT CAST(o_totalprice > 150000 AS DOUBLE) AS y,
+        CASE WHEN 0.7 * (CAST(o_orderkey % 100 AS DOUBLE) / 100.0)
+                  + 0.3 * CAST(o_totalprice > 150000 AS DOUBLE) > 0.5
+             THEN 1.0 ELSE 0.0 END AS p
+      FROM orders
+    ), cm AS (
+      SELECT
+        CAST(SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        CAST(SUM(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM pred
+    )
+    SELECT
+      FLOOR((tp + tn) * 1.0 / (tp + tn + fp + fn) * 1000000 + 0.5) / 1000000 AS accuracy,
+      FLOOR(tp * 1.0 / (tp + fp) * 1000000 + 0.5) / 1000000 AS precision_pos,
+      FLOOR(tp * 1.0 / (tp + fn) * 1000000 + 0.5) / 1000000 AS recall_pos,
+      FLOOR(2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+            / (tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn)) * 1000000 + 0.5) / 1000000 AS f1_pos,
+      FLOOR((1.0 + tp * 1.0 / (tp + fn) - fp * 1.0 / (fp + tn)) / 2.0 * 1000000 + 0.5) / 1000000 AS roc_auc_hard,
+      tp + fn AS support_pos,
+      tn + fp AS support_neg
+    FROM cm
+    """,
+)
+def m4q_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 binary metrics + M10 threshold binarize (ml/metrics.py::
+    binary_metrics, ml/ensemble.py::SoftVotingEnsemble; reference
+    my_cross_validate metric block modeling.py:315-319 and the 0.5 vote
+    threshold modeling_validation.ipynb:1105-1121) under the external
+    driver gate. A deterministic synthetic scorer (0.7·uniform-from-key +
+    0.3·label — populates all four confusion cells) feeds the REAL
+    SoftVotingEnsemble threshold path (M10, single member), then the REAL
+    binary_metrics computes accuracy / P / R / F1 / hard-pred ROC-AUC from
+    its ONE confusion aggregation. The oracle restates the arithmetic;
+    identical expression trees make the float threshold compare and the
+    ratio arithmetic bit-identical across engines."""
+    from pyspark.ml import Transformer
+
+    from consumer_loans_analysis_spark.ml.ensemble import SoftVotingEnsemble
+    from consumer_loans_analysis_spark.ml.metrics import binary_metrics
+
+    label = (F.col("o_totalprice") > 150000).cast("double")
+    score = (
+        F.lit(0.7) * ((F.col("o_orderkey") % 100).cast("double") / F.lit(100.0))
+        + F.lit(0.3) * F.col("label")
+    )
+
+    class _Scorer(Transformer):
+        """Single deterministic member: emits probability_pos = score."""
+
+        def _transform(self, df: DataFrame) -> DataFrame:
+            return df.withColumn("probability_pos", score)
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", label.alias("label")
+    )
+    pred = SoftVotingEnsemble([_Scorer()], threshold=0.5).transform(o)
+    m = binary_metrics(pred)
+    row = {
+        "accuracy": _round6(m["accuracy"]),
+        "precision_pos": _round6(m["precision"]),
+        "recall_pos": _round6(m["recall"]),
+        "f1_pos": _round6(m["f1"]),
+        "roc_auc_hard": _round6(m["roc_auc_hard"]),
+        "support_pos": m["support_pos"],
+        "support_neg": m["support_neg"],
+    }
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(c, T.DoubleType()) for c in
+         ["accuracy", "precision_pos", "recall_pos", "f1_pos", "roc_auc_hard"]]
+        + [T.StructField(c, T.LongType()) for c in ["support_pos", "support_neg"]]
+    )
+    return spark.createDataFrame([row], schema=schema)
+
+
+@query(
+    "m4q2_class_report",
+    oracle="""
+    WITH pred AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) AS y,
+        CAST(CASE WHEN o_orderkey % 7 = 0
+             THEN CAST(substr(o_orderpriority, 1, 1) AS INT) % 5 + 1
+             ELSE CAST(substr(o_orderpriority, 1, 1) AS INT) END AS DOUBLE) AS p
+      FROM orders
+    ), cls AS (
+      SELECT DISTINCT y AS c FROM pred UNION SELECT DISTINCT p FROM pred
+    ), byc AS (
+      SELECT cls.c,
+        CAST(SUM(CASE WHEN pred.y = cls.c AND pred.p = cls.c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN pred.p = cls.c AND pred.y <> cls.c THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN pred.y = cls.c AND pred.p <> cls.c THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM cls, pred GROUP BY cls.c
+    ), acc AS (
+      SELECT SUM(CASE WHEN y = p THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS a FROM pred
+    )
+    SELECT c AS class,
+      FLOOR(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fp) END * 1000000 + 0.5) / 1000000 AS precision_c,
+      FLOOR(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fn) END * 1000000 + 0.5) / 1000000 AS recall_c,
+      FLOOR(CASE WHEN tp = 0 THEN 0.0 ELSE 2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+            / (tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn)) END * 1000000 + 0.5) / 1000000 AS f1_c,
+      tp + fn AS support_c,
+      FLOOR((SELECT a FROM acc) * 1000000 + 0.5) / 1000000 AS accuracy
+    FROM byc ORDER BY c
+    """,
+)
+def m4q2_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 per-class classification report (ml/metrics.py::
+    classification_report; reference my_cross_validate's per-metric block
+    + sklearn classification_report shape) under the external driver gate.
+    Labels = the five order-priority classes; predictions = labels with a
+    deterministic 1/7 single-step confusion (class c -> c%5+1), so every
+    class has off-diagonal mass. The REAL classification_report computes
+    per-class P/R/F1/support from its ONE confusion aggregation; the
+    oracle restates the arithmetic per class. The sklearn 0-division
+    convention (empty class -> 0.0) is mirrored by the CASE guards."""
+    from consumer_loans_analysis_spark.ml.metrics import classification_report
+
+    y = F.substring("o_orderpriority", 1, 1).cast("double")
+    p = (
+        F.when(F.col("o_orderkey") % 7 == 0,
+               (F.substring("o_orderpriority", 1, 1).cast("int") % 5 + 1))
+        .otherwise(F.substring("o_orderpriority", 1, 1).cast("int"))
+        .cast("double")
+    )
+    o = read_table(spark, sf_dir, "orders").select(y.alias("y"), p.alias("p"))
+    rep = classification_report(o, label_col="y", pred_col="p")
+    acc = _round6(rep.pop("accuracy"))
+    rows = [
+        {
+            "class": float(c),
+            "precision_c": _round6(rep[c]["precision"]),
+            "recall_c": _round6(rep[c]["recall"]),
+            "f1_c": _round6(rep[c]["f1"]),
+            "support_c": rep[c]["support"],
+            "accuracy": acc,
+        }
+        for c in sorted(rep)
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("class", T.DoubleType()),
+            T.StructField("precision_c", T.DoubleType()),
+            T.StructField("recall_c", T.DoubleType()),
+            T.StructField("f1_c", T.DoubleType()),
+            T.StructField("support_c", T.LongType()),
+            T.StructField("accuracy", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)

@@ -72,6 +72,24 @@ def test_fold_assignment_deterministic_and_balanced(toy):
     assert len(counts) == 6 and min(counts) > 10
 
 
+def test_fold_assignment_portable_mode(toy, spark):
+    # portable (md5) mode: deterministic under repartitioning, matches a
+    # hand computation of md5-prefix % k, and stays balanced
+    import hashlib
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = add_fold(df, 5, cols=["k"], seed=42, method="portable")
+    b = add_fold(df.repartition(7), 5, cols=["k"], seed=42, method="portable")
+    rows_a = {r["k"]: r["_fold"] for r in a.collect()}
+    rows_b = {r["k"]: r["_fold"] for r in b.collect()}
+    assert rows_a == rows_b
+    for k in (0, 1, 123, 499):
+        expect = int(hashlib.md5(f"42:{k}".encode()).hexdigest()[:8], 16) % 5
+        assert rows_a[k] == expect
+    counts = a.groupBy("_fold").count().collect()
+    assert len(counts) == 5 and min(r["count"] for r in counts) > 50
+
+
 def test_cross_validate_beats_dummy(toy):
     lr = cv_summary(cross_validate(lambda: LogisticRegression(), toy, k=4))
     dummy = cv_summary(
