@@ -608,10 +608,12 @@ def remove_duplicate_spans(
     document frequency (distinct per doc first, so within-doc repeats
     don't fake cross-doc dups), a join back for duplicated OCCURRENCES,
     one per-doc collect of covered intervals (bounded by doc length),
-    and a map-side array rebuild: ``filter(words, (x, i) -> no interval
-    covers i)``. Per-doc cost O(words × dup-intervals); no corpus-sized
-    window; interval lists could be pre-merged per doc to tighten the
-    bound — unnecessary at doc lengths that fit a row."""
+    a sort + fold-merge of overlapping intervals (r11 — a fully-duplicated
+    doc's ~word-count raw intervals collapse to ONE run, so the rebuild
+    can't go quadratic on boilerplate-heavy corpora), and a map-side array
+    rebuild: ``filter(words, (x, i) -> no merged run covers i)``. Per-doc
+    cost O(words × runs + intervals·log intervals); no corpus-sized
+    window."""
     w = words(F.col(text_col))
     n_w = F.size(w)
     spans = F.when(
@@ -651,13 +653,40 @@ def remove_duplicate_spans(
         F.col(id_col).alias("id"), F.col(text_col).alias("_text")
     ).join(rem, "id", "left")
     w2 = words(F.col("_text"))
-    ivs = F.coalesce(
-        F.col("ivs"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    empty_ivs = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    # Sort + fold-merge overlapping/adjacent intervals BEFORE the per-word
+    # scan (r10 verdict #6): a boilerplate-heavy doc has ~one raw interval
+    # per word (every window duplicated), so the per-word F.exists over raw
+    # intervals went quadratic — O(words × intervals). Merged runs bound it
+    # at O(words × runs + intervals log intervals), runs ≪ intervals (the
+    # pathological all-duplicated doc collapses to ONE interval). Coverage
+    # semantics are unchanged: a word index is inside some raw interval iff
+    # it is inside some merged one, so the output is bit-identical.
+    merged = F.aggregate(
+        F.array_sort(F.coalesce(F.col("ivs"), empty_ivs)),
+        empty_ivs,
+        lambda acc, v: F.when(
+            (F.size(acc) == 0) | (v["s"] > F.element_at(acc, -1)["e"]),
+            F.concat(acc, F.array(v)),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(F.element_at(acc, -1)["e"], v["e"]).alias("e"),
+                    )
+                ),
+            )
+        ),
     )
+    # stage the HOF input as a projected column (nested-lambda hygiene)
+    joined = joined.withColumn("_mivs", merged)
     kept = F.filter(
         w2,
         lambda x, i: ~F.exists(
-            ivs, lambda v: (i.cast("long") >= v["s"]) & (i.cast("long") < v["e"])
+            F.col("_mivs"),
+            lambda v: (i.cast("long") >= v["s"]) & (i.cast("long") < v["e"]),
         ),
     )
     return joined.select(

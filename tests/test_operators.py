@@ -1695,6 +1695,38 @@ def test_remove_duplicate_spans_unit(spark):
     assert rows[2]["n_removed"] == 0
 
 
+def test_remove_duplicate_spans_pathological_full_dup(spark):
+    """The r10 verdict #6 pathological shape: two large docs that are
+    COMPLETE duplicates of each other, so every 10-word window is
+    duplicated and the raw interval list approaches word count (the case
+    where the pre-merge fold must collapse ~n intervals into ONE). Output
+    must be full removal on both, an interleaved unique doc untouched,
+    and a partially-overlapping doc loses exactly its shared prefix."""
+    from consumer_loans_analysis_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    n = 400
+    body = " ".join(f"w{i}" for i in range(n))
+    uniq = " ".join(f"u{i}" for i in range(50))
+    # doc 3 shares only the first 120 words of body -> one merged run
+    # [0, 120); its tail is unique
+    partial = " ".join(f"w{i}" for i in range(120)) + " " + " ".join(
+        f"t{i}" for i in range(30)
+    )
+    df = spark.createDataFrame(
+        [(0, body), (1, body), (2, uniq), (3, partial)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in remove_duplicate_spans(df, 10).collect()}
+    assert rows[0]["n_removed"] == n and rows[0]["n_words"] == n
+    assert rows[1]["n_removed"] == n
+    # md5("") convention: fully-emptied docs hash the empty join
+    assert rows[0]["cleaned_md5"] == rows[1]["cleaned_md5"]
+    assert rows[2]["n_removed"] == 0
+    assert rows[3]["n_removed"] == 120 and rows[3]["n_words"] == 150
+
+
 def test_pipe5_selection_ledger(spark, sf_dir):
     """pipe5's admission arithmetic: per language, n_selected =
     min(40, n_candidates). (Gating of the planted repetitive docs and
