@@ -1,8 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+Prints the full JSON record (one line: diagnostics first, headline scalars
+last) followed by a compact summary line {"queries": ..., "legacy_total":
+..., "contaminated": ..., "worst_rep": ..., "value": ...} — the FINAL line,
+so a truncated stdout tail always keeps the totals (r10 verdict #2).
 
 The set spans the engine's surface: scan-agg (q1, q6), multi-join (q3, q5),
 window (w1, w3), event-time (e1, e3), as-of + bucketed range join, dedup
@@ -201,10 +203,22 @@ def _tree_jiffies() -> int:
     """utime+stime summed over OUR process tree (driver + JVM + Arrow
     workers), plus cutime+cstime so reaped children (short-lived Python
     workers) stay counted. This is the self-load term: host_busy minus
-    this is what the NEIGHBORS burned."""
+    this is what the NEIGHBORS burned.
+
+    Reparenting blind spot (r10 ADVICE): a worker that daemonizes /
+    outlives its parent reparents to PID 1 and falls out of the ppid
+    walk — its CPU would be misread as NEIGHBOR load (conservative
+    direction: false dirty, never false clean, but it burns retry
+    budget). Orphans KEEP their session id, so processes whose /proc
+    sid matches ours are attributed to us as well as the ppid tree."""
     me = os.getpid()
+    try:
+        my_sid = os.getsid(0)
+    except OSError:
+        my_sid = -1
     children: dict[int, list[int]] = {}
     jiffies: dict[int, int] = {}
+    sids: dict[int, int] = {}
     try:
         pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
     except OSError:
@@ -219,17 +233,25 @@ def _tree_jiffies() -> int:
         try:
             fields = raw[raw.rindex(")") + 2 :].split()
             ppid = int(fields[1])
+            sids[pid] = int(fields[3])  # session id
             own = int(fields[11]) + int(fields[12])  # utime+stime
             reaped = int(fields[13]) + int(fields[14])  # cutime+cstime
         except (ValueError, IndexError):
             continue
         jiffies[pid] = own + reaped
         children.setdefault(ppid, []).append(pid)
+    seen: set[int] = set()
     total, stack = 0, [me]
     while stack:
         p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
         total += jiffies.get(p, 0)
         stack.extend(children.get(p, []))
+    for pid, sid in sids.items():
+        if sid == my_sid and pid not in seen:
+            total += jiffies.get(pid, 0)
     return total
 
 
@@ -281,11 +303,17 @@ def main() -> None:
     spreads: dict[str, list[float]] = {}
     rep_stamps: dict[str, list[dict]] = {}
     rep_retries = int(os.environ.get("SPARK_GRAFT_BENCH_REP_RETRIES", "2"))
-    retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "40"))
+    # PER-QUERY retry budget (r10 ADVICE: a shared global budget let a
+    # noisy early stretch starve the late pipe* heavies of any retry —
+    # exactly the queries compared round-over-round). Default = every rep
+    # can use its full per-rep retries; spent counts land in the artifact.
+    query_retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "6"))
     per_rep_wait = float(os.environ.get("SPARK_GRAFT_BENCH_REP_WAIT_SEC", "45"))
+    retries_used: dict[str, int] = {}
     any_kept_dirty = False
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
+        retry_budget = query_retry_budget
         kept: list[dict] = []
         for _ in range(reps):
             rec = None
@@ -327,6 +355,7 @@ def main() -> None:
                 retry_budget -= 1
             kept.append(rec)
         rep_stamps[name] = kept
+        retries_used[name] = query_retry_budget - retry_budget
         # median over CLEAN reps when any exist; a query forced to use a
         # dirty rep marks the whole record contaminated
         timings[name], used_dirty = _median_of_clean(kept)
@@ -335,31 +364,52 @@ def main() -> None:
         spreads[name] = sorted(r["sec"] for r in kept)
     total = round(sum(timings.values()), 3)
     legacy_total = round(sum(timings[n] for n in LEGACY_QUERIES if n in timings), 3)
+    worst = max(
+        (
+            dict(q=name, sec=r["sec"], other_cores=r["other_cores"],
+                 steal_cores=r["steal_cores"], clean=r["clean"])
+            for name, ks in rep_stamps.items()
+            for r in ks
+        ),
+        key=lambda r: (r["other_cores"], r["steal_cores"]),
+        default=None,
+    )
+    # The headline scalars, repeated in BOTH output lines below. Keys that
+    # must survive any stdout truncation live at the TAIL of each record.
+    summary = {
+        # sum over the r01-stable subset — THE number comparable to
+        # BASELINE.md / BENCH_r01..r08 (value also includes the r9+
+        # datapipe heavies)
+        "legacy_total": legacy_total,
+        # r10 definition: contaminated iff the start gate failed OR any
+        # rep a median actually uses ran with neighbor compute above
+        # NEIGHBOR_CORES_MAX (dirty reps are retried, bounded per query)
+        "contaminated": contaminated or any_kept_dirty,
+        "start_gate_failed": contaminated,
+        # dirtiest kept rep across the whole run — a contaminated record
+        # is attributable from this line alone
+        "worst_rep": worst,
+        "metric": "headline_queries_total_wall",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "value": total,
+    }
+    # Full record first: bulky diagnostics (rep_stamps/samples) EARLY,
+    # headline scalars LAST, so a byte-truncated tail still ends with
+    # value/legacy_total/contaminated (r10 verdict #2: the driver keeps
+    # only the tail of stdout and BENCH_r10's totals were cut off).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                # sum over the r01-stable subset — THE number comparable to
-                # BASELINE.md / BENCH_r01..r08 (value now also includes the
-                # r9 datapipe heavies)
-                "legacy_total": legacy_total,
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": reps,
                 "protocol": "median_of_clean_reps_per_query",
-                "samples": spreads,
                 # per-rep stamps (r10): sec + neighbor-cores + loadavg for
                 # every kept rep, so a contaminated record is diagnosable
                 # from the artifact alone
                 "rep_stamps": rep_stamps,
-                # r10 definition: contaminated iff the start gate failed OR
-                # any rep a median actually uses ran with neighbor compute
-                # above NEIGHBOR_CORES_MAX (dirty reps are retried up to the
-                # bounded budget first) — quiet-by-construction
-                "contaminated": contaminated or any_kept_dirty,
-                "start_gate_failed": contaminated,
+                "samples": spreads,
+                "retries_used": retries_used,
+                "retry_budget_per_query": query_retry_budget,
                 "neighbor_cores_max": NEIGHBOR_CORES_MAX,
                 "steal_cores_max": STEAL_CORES_MAX,
                 "quiet_load_threshold": QUIET_LOAD,
@@ -369,9 +419,16 @@ def main() -> None:
                 # like a uniform regression)
                 "loadavg_at_start": load_start,
                 "loadavg_at_end": _loadavg(),
+                "queries": timings,
+                **summary,
             }
         )
     )
+    # Compact summary as the FINAL line: complete per-query timings +
+    # headline scalars, small enough that no plausible tail cut loses it.
+    # A consumer taking the LAST json line gets a full valid record (minus
+    # the per-rep diagnostics); one taking the FIRST gets everything.
+    print(json.dumps({"queries": timings, **summary}))
 
 
 if __name__ == "__main__":
