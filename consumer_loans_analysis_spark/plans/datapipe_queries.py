@@ -712,13 +712,17 @@ def sim5_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized for this corpus's razor-thin margin (planted pairs at cos
     0.45-0.51 vs random up to 0.4497 — measured recall 0.88@rerank4,
     1.00@rerank16; 8×16 books lose the margin to quantization noise).
+    rerank="auto" (r11): the re-rank budget scales with corpus size —
+    doubles per decade of growth, constants from the measured drift
+    curve (ANN_RECALL_SCALE.json) — so THIS query keeps ≥0.95 recall at
+    any SF without retuning; the production default, wired here.
     Driver records a rows-only check; recall vs the exact scan is
     asserted in tests/test_operators.py::test_pq_recall (sim3's gate
     pattern)."""
     emb = read_table(spark, sf_dir, "embeddings")
     out = similarity.pq_topk(
         emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5),
-        k=5, m_subs=16, ks=64,
+        k=5, m_subs=16, ks=64, rerank="auto",
     )
     return out.withColumn("cos", F.round(F.col("cos"), 6))
 
