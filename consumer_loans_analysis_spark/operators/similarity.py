@@ -1083,7 +1083,11 @@ def hard_negatives(
     # a zero-norm corpus vector makes cosine (try_divide) NULL; Spark's
     # struct-min sorts a NULL first field FIRST while the DuckDB oracle's
     # ORDER BY c DESC places NULLs last — drop degenerate vectors before
-    # the struct-min so both engines agree regardless of data
+    # the struct-min. The sim7 oracle applies the SAME exclusion before
+    # its window (WHERE c IS NOT NULL AND NOT isnan(c)), so an anchor
+    # whose EVERY cross-label cosine is undefined is absent from both
+    # engines alike (r10 ADVICE #1: without the oracle-side filter,
+    # DuckDB would still emit a rk=1 NaN row for such an anchor).
     scored = scored.where(F.col("s.nc").isNotNull())
     best = scored.groupBy("anchor_id", "anchor_label").agg(F.min("s").alias("s"))
     return best.select(

@@ -4559,18 +4559,22 @@ def t18_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.vec_id AS neg_id, e.label AS neg_label,
         list_dot_product(a.av, e.v)
           / (SQRT(list_dot_product(a.av, a.av))
-             * SQRT(list_dot_product(e.v, e.v))) AS c,
-        ROW_NUMBER() OVER (
-          PARTITION BY a.anchor_id
-          ORDER BY list_dot_product(a.av, e.v)
-                / (SQRT(list_dot_product(a.av, a.av))
-                   * SQRT(list_dot_product(e.v, e.v))) DESC,
-            e.vec_id
-        ) AS rk
+             * SQRT(list_dot_product(e.v, e.v))) AS c
       FROM a JOIN e ON e.label <> a.anchor_label
+    ),
+    r AS (
+      -- undefined cosines (zero-norm anchor or candidate: 0/0 -> NaN/NULL)
+      -- are excluded BEFORE the window, mirroring the Spark side's
+      -- null-cosine drop: an anchor with no defined cross-label cosine is
+      -- absent from BOTH engines (r10 ADVICE #1 — DuckDB's ORDER BY DESC
+      -- would otherwise rank a NaN row first and emit it)
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY anchor_id ORDER BY c DESC, neg_id
+        ) AS rk
+      FROM s WHERE c IS NOT NULL AND NOT isnan(c)
     )
     SELECT anchor_id, anchor_label, neg_id, neg_label, ROUND(c, 6) AS cos
-    FROM s WHERE rk = 1
+    FROM r WHERE rk = 1
     """,
 )
 def sim7_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1440,6 +1440,45 @@ def test_hard_negatives_brute_force_fixture(spark):
     assert all(r["neg_id"] != a for a, r in got.items())
 
 
+def test_hard_negatives_zero_norm_anchor_engine_agreement(spark):
+    """r10 ADVICE #1 (latent): an anchor whose EVERY cross-label cosine
+    is undefined (zero-norm anchor) must be absent from BOTH the Spark
+    output and the DuckDB oracle — the oracle now excludes undefined
+    cosines before its window (DuckDB would otherwise rank the NaN row
+    first and emit it, while Spark drops it)."""
+    import duckdb
+    import pandas as pd
+
+    from consumer_loans_analysis_spark.operators.similarity import hard_negatives
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    rows = [
+        (0, [0.0, 0.0], 0),   # zero-norm anchor: all its cosines 0/0
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.436], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [0.7, 0.714], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = hard_negatives(emb, n_anchors=5, seed="sim7").collect()
+    anchors_spark = {r["anchor_id"] for r in got}
+    assert 0 not in anchors_spark          # dropped, not emitted with NULL
+    assert anchors_spark == {1, 2, 3, 4}
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+    oracle = con.execute(registry.ORACLES["sim7_hard_negatives"]).df()
+    anchors_oracle = set(oracle["anchor_id"])
+    assert anchors_oracle == anchors_spark
+    spark_pairs = {(r["anchor_id"], r["neg_id"]) for r in got}
+    oracle_pairs = set(zip(oracle["anchor_id"], oracle["neg_id"]))
+    assert spark_pairs == oracle_pairs
+
+
 def test_hard_negatives_plan_no_nested_loop(spark, sf_dir):
     """sim7's label fan-out must be a map-side explode: NO
     BroadcastNestedLoopJoin (the audited-set invariant), corpus attached
