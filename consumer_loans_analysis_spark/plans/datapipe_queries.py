@@ -4269,10 +4269,15 @@ def pipe5_fluency_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected cross-entropy, md5 digest over the sorted selected id set —
     the selection itself is hash-pinned, not just its size). Scale: the
     gate and scorer keep their own shapes (doc-keyed windows;
-    vocab²-bounded model); the selection window partitions by language
-    and Spark's WindowGroupLimit pushes the rank ≤ 40 cut ahead of the
-    shuffle, so per-language partitions never materialize beyond the
-    running top-k."""
+    vocab²-bounded model). r11 (VERDICT r10 #5): the ledger is ONE
+    aggregation over the ranked frame — selected-side columns are
+    conditional aggregates over rn ≤ 40 — where r10 branched the ranked
+    frame into a candidate count AND a selection (two consumers, so the
+    whole KN-scoring lineage past the survivor checkpoint executed
+    TWICE; that recompute was the unattributed ~half of the sf1 profile,
+    see SCALING.md r11 pipe5 attribution). The n_candidates column
+    inherently needs every candidate row, so no WindowGroupLimit cut is
+    lost by aggregating once over all ranks."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents").select(
@@ -4297,30 +4302,25 @@ def pipe5_fluency_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy("kn_cross_entropy", "doc_id")
     ranked = scored.withColumn("rn", F.row_number().over(w))
-    cand = ranked.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_candidates")
-    )
-    sel = ranked.where(F.col("rn") <= 40)
-    return (
-        sel.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_selected"),
-            F.round(F.avg("kn_cross_entropy"), 6).alias("avg_ce"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list("doc_id")),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("sel_digest"),
-        )
-        .join(cand, "lang")
-        .select(
-            "lang", "n_candidates", "n_selected", "avg_ce", "sel_digest"
-        )
-    )
+    in_sel = F.col("rn") <= 40
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(in_sel.cast("long")).alias("n_selected"),
+        # conditional aggregates skip the NULLs of non-selected rows, so
+        # avg/collect_list see exactly the rn <= 40 set
+        F.round(F.avg(F.when(in_sel, F.col("kn_cross_entropy"))), 6).alias(
+            "avg_ce"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(in_sel, F.col("doc_id")))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("sel_digest"),
+    ).select("lang", "n_candidates", "n_selected", "avg_ce", "sel_digest")
 
 
 @query(
