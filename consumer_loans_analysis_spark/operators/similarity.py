@@ -1009,6 +1009,219 @@ def pq_topk(
     )
 
 
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    m_subs: int = 8,
+    ks: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample: int = 16384,
+    centroids: list[list[float]] | None = None,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """IVFADC — the composed production ANN shape (Jégou et al. 2011;
+    FAISS ``IndexIVFPQ``): an inverted-file coarse quantizer routes each
+    query to its ``n_probe`` nearest lists, and ONLY rows in probed lists
+    are scored, by PQ asymmetric-distance lookup, then the top
+    ``rerank·k`` survivors are exactly re-ranked. This composes the
+    engine's two pruning halves — ``ivf_topk``'s routing (scan
+    ~n_probe/n_lists of the corpus) and ``pq_topk``'s compression (scan
+    bytes, not floats) — which is how a 100 TB embedding corpus is
+    actually served: compressed codes resident in memory, per-query work
+    bounded by probed-list size, exact math only on rerank·k rows.
+
+    Codes are built on the RAW unit vectors, not list residuals
+    (FAISS's ``by_residual=False`` mode): residual encoding couples the
+    codebook to the router and is NOT what the sim5c-proven ltr-ADC
+    arithmetic pins; the non-residual composition keeps every stage
+    individually proven (routing = sim3b's exact form, ADC = sim5c's)
+    so the COMPOSED pruned search is hash-oracle-able end to end.
+
+    Pinned mode (both ``centroids`` and ``codebooks`` given) skips all
+    fitting — the production shape, and the fully-oracled registry entry
+    ``sim8_ivfadc_pinned_topk``. Live mode fits both quantizers on one
+    bounded deterministic sample (the shared ``fit_sample``
+    hash-smallest rows). Query probe ranking runs DRIVER-side on the
+    collected query batch with ``_ltr_dot`` + python left-to-right
+    ``sum(x*x)`` centroid norms — the identical IEEE754 doubles the
+    oracle's ``cn - 2·list_dot_product(uv, c)`` literals produce, with
+    numpy's stable argsort matching its d ASC, list ASC tie-break.
+
+    Zero-norm contract: as ``ivf_topk``/``pq_topk`` — zero-norm rows are
+    excluded from both sides.
+    """
+    import numpy as np
+
+    def unit(vec: Column) -> Column:
+        return F.transform(vec, lambda x: F.try_divide(x.cast("double"), _norm(vec)))
+
+    corpus = corpus.filter(_norm(F.col(vec_col)) > 0)
+    queries = queries.filter(_norm(F.col(vec_col)) > 0)
+    # staged norm → unit → assignment (the ivf_topk codegen lesson), kept
+    # as ONE checkpointed frame reused by fit-sample, encode and re-rank
+    from consumer_loans_analysis_spark.operators.curation import kmeans_assign
+
+    c_unit = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _norm(F.col(vec_col)).alias("_n"),
+            F.col(vec_col).alias("_raw"),
+        )
+        .select(
+            "neighbor_id",
+            F.transform(
+                F.col("_raw"), lambda x: F.try_divide(x.cast("double"), F.col("_n"))
+            ).alias("v"),
+        )
+    )
+
+    if centroids is None or codebooks is None:
+        samp_rows = (
+            c_unit.orderBy(F.pmod(F.xxhash64("neighbor_id"), F.lit(1_000_003)).asc(),
+                           F.col("neighbor_id").asc())
+            .limit(fit_sample)
+            .collect()
+        )
+        Xs = np.asarray([r["v"] for r in samp_rows], dtype=np.float64)
+    if centroids is None:
+        import math
+
+        n_lists = max(2, int(math.sqrt(max(len(Xs), 4))))
+        centroids = [
+            [float(x) for x in c] for c in _kmeanspp_lloyd(Xs, n_lists, seed)
+        ]
+    if codebooks is None:
+        dim = len(centroids[0])
+        if dim % m_subs != 0:
+            raise ValueError(f"m_subs={m_subs} must divide dim={dim}")
+        dsub = dim // m_subs
+        cb = np.stack(
+            [
+                _kmeanspp_lloyd(Xs[:, s * dsub:(s + 1) * dsub], ks, seed + s)
+                for s in range(m_subs)
+            ]
+        )
+    else:
+        cb = np.asarray(codebooks, dtype=np.float64)
+        if cb.shape[0] != m_subs or cb.shape[1] != ks:
+            raise ValueError(
+                f"pinned codebooks shape {cb.shape} != ({m_subs}, {ks}, dsub)"
+            )
+        dsub = cb.shape[2]
+    n_lists = len(centroids)
+    cnorm = np.array(
+        [
+            [float(sum(float(x) * float(x) for x in cw)) for cw in cb[s]]
+            for s in range(m_subs)
+        ]
+    )
+
+    c_routed = c_unit.select(
+        "neighbor_id", "v", kmeans_assign(F.col("v"), centroids).alias("list_id")
+    ).localCheckpoint(eager=True)
+
+    # --- encode: identical arithmetic to pq_topk ------------------------
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        X = X.reshape(X.shape[0], m_subs, dsub)
+        codes = np.empty((X.shape[0], m_subs), dtype=np.int32)
+        for s in range(m_subs):
+            d = cnorm[s] - 2.0 * _ltr_dot(X[:, s, None, :], cb[s][None, :, :])
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    coded = c_routed.select(
+        "neighbor_id", "list_id", encode(F.col("v")).alias("codes")
+    )
+
+    # --- query side: probe ranking + ADC LUTs, driver-side --------------
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), unit(F.col(vec_col)).alias("v")
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    Q = np.asarray([r["v"] for r in q_rows], dtype=np.float64)
+    cen = np.asarray(centroids, dtype=np.float64)
+    cen_norm = np.array([float(sum(float(x) * float(x) for x in c)) for c in centroids])
+    # d[q, l] = ‖c_l‖² − 2·u_q·c_l — sim3b's exact routing form; stable
+    # argsort == the oracle's ORDER BY d ASC, list ASC
+    dq = cen_norm[None, :] - 2.0 * _ltr_dot(Q[:, None, :], cen[None, :, :])
+    probe_mask = np.zeros((len(q_rows), n_lists), dtype=bool)
+    order = np.argsort(dq, axis=1, kind="stable")[:, :n_probe]
+    np.put_along_axis(probe_mask, order, True, axis=1)
+    Qs = Q.reshape(len(q_rows), m_subs, dsub)
+    lut = np.stack(
+        [_ltr_dot(Qs[:, s, None, :], cb[s][None, :, :]) for s in range(m_subs)],
+        axis=1,
+    )
+    R = max(k, rerank * k)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf["neighbor_id"].to_numpy()
+            lids = pdf["list_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")  # tie-break as pq_topk
+            ids, C, lids = ids[order], C[order], lids[order]
+            valid = probe_mask[:, lids]  # (nq, B): row in a probed list?
+            G = lut[:, np.arange(m_subs), C]
+            S = G[..., 0]
+            for s in range(1, m_subs):
+                S = S + G[..., s]
+            S = np.where(valid, S, -np.inf)  # unprobed rows never rank
+            top = min(R, S.shape[1])
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :top]
+            keep = np.take_along_axis(valid, idx, axis=1).ravel()
+            out = {
+                "query_id": np.repeat(q_ids, top)[keep],
+                "neighbor_id": ids[idx].ravel()[keep],
+                "approx": np.take_along_axis(S, idx, axis=1).ravel()[keep],
+            }
+            yield pd.DataFrame(out)
+
+    parts = coded.mapInPandas(
+        scan, "query_id long, neighbor_id long, approx double"
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cands = (
+        parts.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= R)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = queries.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
+        "query_id long, qv array<double>",
+    )
+    scored = (
+        c_routed.join(F.broadcast(cands), c_routed["neighbor_id"] == cands["neighbor_id"])
+        .drop(cands["neighbor_id"])
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def hard_negatives(
     emb: DataFrame,
     n_anchors: int = 25,

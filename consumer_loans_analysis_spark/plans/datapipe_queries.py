@@ -830,6 +830,146 @@ def sim5c_pq_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos", F.round(F.col("cos"), 6))
 
 
+def _sim8_oracle(n_probe: int = 5, rerank_r: int = 20) -> str:
+    """sim8 oracle: the COMPOSED IVFADC pruned search restated in SQL —
+    sim3b's exact coarse routing (pinned centroid literals: corpus CASE
+    assignment, query d ASC / list ASC probe ranking) gating sim5c's
+    exact ADC (pinned codebook literals: encode argmin, LUT, ltr
+    pivot-sum), then the top-R cut and the exact re-rank. Every stage is
+    the byte-identical arithmetic of the two proven single-path oracles;
+    the composition only adds the probed-list equi-join."""
+    from consumer_loans_analysis_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from consumer_loans_analysis_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    m_subs = len(PQ_CODEBOOKS)
+    dsub = len(PQ_CODEBOOKS[0][0])
+    vals = []
+    for s, book in enumerate(PQ_CODEBOOKS):
+        for cidx, cw in enumerate(book):
+            lit = "[" + ", ".join(repr(x) for x in cw) + "]"
+            cn = repr(float(sum(float(x) * float(x) for x in cw)))
+            vals.append(f"({s}, {cidx}, {lit}, {cn})")
+    cb_values = ",\n      ".join(vals)
+    lsum = "l0"
+    for s in range(1, m_subs):
+        lsum = f"({lsum} + l{s})"
+    piv = ", ".join(
+        f"MAX(CASE WHEN co.m = {s} THEN l.val END) AS l{s}" for s in range(m_subs)
+    )
+    n = len(IVF_CENTROIDS)
+    dist = []
+    for i, c in enumerate(IVF_CENTROIDS):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        cn = repr(float(sum(x * x for x in c)))
+        dist.append(f"{cn} - 2 * list_dot_product(uv, {lit}) AS d{i}")
+    case = " ".join(
+        f"WHEN d{i} <= LEAST({', '.join(f'd{j}' for j in range(i + 1, n))}) "
+        f"THEN {i}"
+        for i in range(n - 1)
+    )
+    dlist = "[" + ", ".join(f"d{i}" for i in range(n)) + "]"
+    return f"""
+    WITH cb(m, code, cw, cn) AS (VALUES
+      {cb_values}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (
+      SELECT vec_id,
+        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS uv
+      FROM e
+    ),
+    dd AS (SELECT vec_id, uv, {", ".join(dist)} FROM u),
+    ca AS (
+      SELECT vec_id, CASE {case} ELSE {n - 1} END AS list_id
+      FROM dd WHERE vec_id >= 5
+    ),
+    qp AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, i - 1 AS list_id,
+          ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY {dlist}[CAST(i AS INTEGER)] ASC, i ASC
+          ) AS pr
+        FROM (SELECT * FROM dd WHERE vec_id < 5) CROSS JOIN range(1, {n + 1}) t(i)
+      ) WHERE pr <= {n_probe}
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT c.vec_id, cb.m, cb.code,
+          ROW_NUMBER() OVER (
+            PARTITION BY c.vec_id, cb.m
+            ORDER BY cb.cn - 2 * list_dot_product(
+              list_slice(c.uv, cb.m * {dsub} + 1, cb.m * {dsub} + {dsub}), cb.cw
+            ) ASC, cb.code ASC
+          ) AS rn
+        FROM u c CROSS JOIN cb WHERE c.vec_id >= 5
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.m, cb.code,
+        list_dot_product(
+          list_slice(q.uv, cb.m * {dsub} + 1, cb.m * {dsub} + {dsub}), cb.cw
+        ) AS val
+      FROM u q CROSS JOIN cb WHERE q.vec_id < 5
+    ),
+    piv AS (
+      SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id, {piv}
+      FROM qp
+      JOIN ca ON ca.list_id = qp.list_id
+      JOIN codes co ON co.vec_id = ca.vec_id
+      JOIN lut l ON l.query_id = qp.vec_id AND l.m = co.m AND l.code = co.code
+      GROUP BY qp.vec_id, ca.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY {lsum} DESC, neighbor_id ASC
+          ) AS r
+        FROM piv
+      ) WHERE r <= {rerank_r}
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        list_dot_product(q.uv, c.uv) AS cos
+      FROM cand
+      JOIN u q ON q.vec_id = cand.query_id
+      JOIN u c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("sim8_ivfadc_pinned_topk", oracle=_sim8_oracle())
+def sim8_ivfadc_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (r11) — the FAISS ``IndexIVFPQ`` production composition:
+    the pinned coarse quantizer (sim3b's ``operators/ivf_centroids.py``)
+    routes each query to its 5-of-8 nearest lists, ONLY rows in probed
+    lists are ADC-scored with the pinned PQ codebooks (sim5c's
+    ``operators/pq_codebooks.py``, by_residual=False so both pinned
+    states stay individually proven), and the top-20 survivors re-rank
+    exactly. BOTH prunings — which rows are never scored (routing) and
+    which scored rows are never re-ranked (ADC cut) — sit under one
+    full DuckDB hash compare; the oracle is the literal composition of
+    the two proven single-path oracles plus a probed-list equi-join.
+    Scale: the corpus scan cost is codes-in-probed-lists, the shuffle
+    carries ≤ partitions·n_q·R candidate ids, exact math touches 20
+    rows/query — the 100 TB serving shape. Recall vs the exact scan is
+    gated in tests/test_operators.py::test_ivfadc_pinned_recall."""
+    from consumer_loans_analysis_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from consumer_loans_analysis_spark.operators.pq_codebooks import PQ_CODEBOOKS
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.ivfadc_topk(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5),
+        k=5, n_probe=5, m_subs=16, ks=64, rerank=4,
+        centroids=IVF_CENTROIDS, codebooks=PQ_CODEBOOKS,
+    )
+    return out.withColumn("cos", F.round(F.col("cos"), 6))
+
+
 _EXACT_TOPK_TAIL = """
     , scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

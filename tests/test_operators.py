@@ -337,6 +337,40 @@ def test_pq_pinned_recall(spark, sf_dir):
     assert approx(400) == exact  # R = 2000 ≥ corpus at every test sf
 
 
+def test_ivfadc_pinned_recall(spark, sf_dir):
+    """The sim8 composed path: recall is bounded by the PRODUCT of its
+    prunings (IVF probe-5 ~0.87 × PQ rerank-4 ~0.8 on these weakly
+    clustered embeddings — measured 0.72/0.80/0.56 at the 3 SFs), and
+    the no-pruning degeneration (probe all 8 lists + rerank ≥ corpus)
+    must EQUAL the exact scan — routing and the ADC cut may hide
+    candidates, never invent or mis-rank them."""
+    from consumer_loans_analysis_spark.operators import similarity
+    from consumer_loans_analysis_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from consumer_loans_analysis_spark.operators.pq_codebooks import PQ_CODEBOOKS
+    from consumer_loans_analysis_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(corpus, queries, k=5).collect()
+    }
+
+    def approx(n_probe: int, rerank: int) -> set:
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivfadc_topk(
+                corpus, queries, k=5, n_probe=n_probe, m_subs=16, ks=64,
+                rerank=rerank, centroids=IVF_CENTROIDS, codebooks=PQ_CODEBOOKS,
+            ).collect()
+        }
+
+    assert len(exact & approx(5, 4)) / len(exact) >= 0.6
+    assert approx(len(IVF_CENTROIDS), 400) == exact
+
+
 def test_prefix_rerank_recall(spark, sf_dir):
     """sim6's funnel: (a) degenerate funnel (full-dim prefix, rerank ≥
     corpus) EQUALS the exact scan; (b) a larger rerank budget never loses
