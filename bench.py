@@ -125,9 +125,17 @@ def _warmup(spark, sf_dir: str) -> None:
         lambda it: it, schema="id long, k long, v double"
     ).count()
     for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
-        with open(path, "rb") as fh:
-            while fh.read(1 << 24):
-                pass
+        # testdata tables are single files; Spark-written ones (e.g. the
+        # scale_check sf1 union) are directories of part files
+        files = (
+            [os.path.join(r, f) for r, _, fs in os.walk(path) for f in fs]
+            if os.path.isdir(path)
+            else [path]
+        )
+        for f in files:
+            with open(f, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
     # Compile the bench operators' generated code against the tiny sf0.001
     # tables: the wide dedup/minhash aggregates cost seconds of janino
     # compile + first-use class loading, which belongs to the engine, not
