@@ -297,6 +297,12 @@ def test_ann_merge_windows_have_group_limit(spark, sf_dir):
         "prefix_rerank": _plan(
             similarity.prefix_rerank_topk(corpus, queries, k=5, prefix_dim=16)
         ),
+        "ivfadc_pinned": _plan(
+            similarity.ivfadc_topk(corpus, queries, k=5, n_probe=5,
+                                   m_subs=16, ks=64,
+                                   centroids=IVF_CENTROIDS,
+                                   codebooks=PQ_CODEBOOKS)
+        ),
     }
     for name, plan in plans.items():
         assert "WindowGroupLimit" in plan, (name, plan)
@@ -304,6 +310,11 @@ def test_ann_merge_windows_have_group_limit(spark, sf_dir):
     # query batch are tiny) — a shuffle join here would exchange the
     # corpus for a |q|*R-row lookup
     assert "BroadcastHashJoin" in plans["prefix_rerank"], plans["prefix_rerank"]
+    # sim8's composed pruning: rerank joins broadcast, and no nested-loop
+    # join anywhere (the probed-list restriction is an in-batch mask, not
+    # a join condition Catalyst could degrade to BNLJ)
+    assert "BroadcastHashJoin" in plans["ivfadc_pinned"], plans["ivfadc_pinned"]
+    assert "BroadcastNestedLoopJoin" not in plans["ivfadc_pinned"]
 
 
 def test_pca_whiten_is_map_only(spark, sf_dir):
