@@ -1480,3 +1480,102 @@ def mg_heavy_hitters(
             F.round(F.col("exact_n") / F.col("n"), 6).alias("share"),
         )
     )
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece-style GREEDY longest-match subword encoding with a pinned
+    vocabulary (Wu et al. 2016 / BERT's tokenizer family — the other
+    production tokenizer class next to BPE; HuggingFace WordPiece uses the
+    same longest-match-first walk). Per word, repeatedly take the LONGEST
+    vocab piece matching at the cursor (length DESC, piece ASC — the
+    equal-length tie can only be the identical string, the tie-break is
+    belt-and-braces determinism), falling back to the single character when
+    nothing matches — so segmentation is total and LOSSLESS (concat of
+    pieces == word; no [UNK] information loss), which the roundtrip pytest
+    pins.
+
+    Returns per document: (id, n_words, n_pieces, fertility = pieces/word
+    rounded 6dp, pieces_digest = md5 of the full in-order piece sequence,
+    space-joined) — the digest pins the SEGMENTATION itself under the hash
+    oracle, not just its statistics.
+
+    Scale shape (the t14b/t15c tokenizer contract): the greedy walk runs
+    once per DISTINCT word (Heaps-bounded table), as pure Column
+    expressions — an ``aggregate`` fold over character positions whose step
+    is a vocab-literal ``filter`` + ``element_at`` (no UDF, whole-stage
+    codegen) — and the corpus only pays one posexplode + a broadcast join
+    of the encoded distinct-word table + one per-doc aggregation. Encode
+    cost is O(distinct_words × word_len × |vocab|), corpus-size-invariant;
+    the corpus-scan side is O(tokens).
+    """
+    pieces = sorted(set(vocab), key=lambda p: (-len(p), p))
+    piece_arr = F.array(
+        *[
+            F.struct(F.lit(p).alias("p"), F.lit(len(p)).alias("l"))
+            for p in pieces
+        ]
+    )
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    dw = tok.select("word").distinct().withColumn("_pieces", piece_arr)
+
+    def step(acc, i):
+        # act only when the cursor sits at this character position —
+        # positions consumed by an earlier multi-char piece no-op through
+        matched = F.filter(
+            F.col("_pieces"),
+            lambda v: F.col("word").substr(acc["pos"], v["l"]) == v["p"],
+        )
+        # try_element_at: NULL (not an ANSI error) when nothing matched,
+        # which is exactly the coalesce-to-fallback case
+        best = F.try_element_at(matched, F.lit(1))  # length-DESC order → longest
+        piece = F.coalesce(best["p"], F.col("word").substr(acc["pos"], F.lit(1)))
+        return F.when(i != acc["pos"], acc).otherwise(
+            F.struct(
+                (acc["pos"] + F.length(piece)).cast("int").alias("pos"),
+                F.concat(acc["ps"], F.array(piece)).alias("ps"),
+            )
+        )
+
+    enc = dw.select(
+        "word",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("word")),
+            F.struct(
+                F.lit(1).cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("ps"),
+            ),
+            step,
+            lambda acc: acc["ps"],
+        ).alias("ps"),
+    ).select(
+        "word",
+        F.size("ps").cast("long").alias("np"),
+        F.array_join("ps", " ").alias("pstr"),
+    )
+
+    joined = tok.join(F.broadcast(enc), "word")
+    return joined.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("np").alias("n_pieces"),
+        F.round(
+            F.sum("np").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("fertility"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pstr"))),
+                    lambda s: s["pstr"],
+                ),
+                " ",
+            )
+        ).alias("pieces_digest"),
+    )

@@ -4809,3 +4809,84 @@ def maint1_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("sz").cast("double") / F.max("c")).alias("fill_frac"),
         )
     )
+
+
+# --- t20: WordPiece greedy subword encoding ------------------------------------
+
+# Pinned WordPiece vocabulary for the t20 oracle: prefixes/suffixes of the
+# corpus word inventory, so real words split into 2-piece segmentations
+# (customer -> cust|omer, stream -> str|eam, ...), whole-word pieces
+# exercise longest-match precedence (batch beats ba|tch would-be splits),
+# and 'a' (plus the sf1 union's zz<i> markers) exercises the single-char
+# fallback. ONE constant feeds both engines.
+WP_VOCAB = [
+    "join", "hash", "row", "batch", "scan", "cust", "omer", "col", "umn",
+    "fil", "ter", "small", "slow", "mer", "ge", "ord", "er", "vec", "tor",
+    "line", "data", "ta", "ble", "agg", "val", "ue", "key", "str", "eam",
+    "win", "dow", "spark", "gro", "up", "part", "big", "sort", "qu", "ery",
+    "fast", "the", "dup",
+]
+
+
+def _t20_oracle() -> str:
+    """t20 oracle: the greedy longest-match walk as a recursive CTE per
+    DISTINCT word (cursor advances by the matched piece's length; the
+    correlated LIMIT-1 subquery is the same length DESC, piece ASC
+    longest-match rule; COALESCE is the single-char fallback), then the
+    same broadcast-shaped join-back + per-doc aggregation."""
+    vocab_values = ", ".join(f"('{p}')" for p in WP_VOCAB)
+    return f"""
+    WITH RECURSIVE vocab(piece) AS (VALUES {vocab_values}),
+    d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+      SELECT doc_id, CAST(pos AS INT) AS pos, w[CAST(pos AS INT)] AS word
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM d)
+      WHERE length(w[CAST(pos AS INT)]) > 0
+    ),
+    dw AS (SELECT DISTINCT word FROM tok),
+    seg(word, pos, piece) AS (
+      SELECT word, CAST(1 AS BIGINT) AS pos, COALESCE(
+        (SELECT piece FROM vocab
+         WHERE piece = substr(dw.word, 1, length(piece))
+         ORDER BY length(piece) DESC, piece LIMIT 1),
+        substr(word, 1, 1))
+      FROM dw
+      UNION ALL
+      SELECT word, pos + length(piece), COALESCE(
+        (SELECT piece FROM vocab
+         WHERE piece = substr(seg.word, CAST(seg.pos + length(seg.piece) AS INT),
+                              length(piece))
+         ORDER BY length(piece) DESC, piece LIMIT 1),
+        substr(word, CAST(pos + length(piece) AS INT), 1))
+      FROM seg WHERE pos + length(piece) <= length(word)
+    ),
+    enc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS np,
+        string_agg(piece, ' ' ORDER BY pos) AS pstr
+      FROM seg GROUP BY word
+    )
+    SELECT t.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(e.np) AS BIGINT) AS n_pieces,
+      ROUND(SUM(e.np) * 1.0 / COUNT(*), 6) AS fertility,
+      md5(string_agg(e.pstr, ' ' ORDER BY t.pos)) AS pieces_digest
+    FROM tok t JOIN enc e USING (word)
+    GROUP BY t.doc_id
+    """
+
+
+@query("t20_wordpiece_greedy_encode", oracle=_t20_oracle())
+def t20_wordpiece_greedy_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-family tokenizer surface (r11): greedy longest-match
+    subword encoding with a pinned vocabulary — BERT's tokenizer class,
+    the production alternative to the t14/t15 BPE family. The per-doc
+    ``pieces_digest`` puts the SEGMENTATION itself (every piece of every
+    word, in order) under the hash compare, so a greedy-walk off-by-one,
+    a wrong tie-break, or a broken fallback hash-mismatches rather than
+    just nudging counts. Pure Column expressions: the walk is an
+    ``aggregate`` fold over character positions on the DISTINCT-word
+    table (Heaps-bounded — encode cost is corpus-size-invariant); the
+    corpus pays one posexplode + broadcast join + one aggregation.
+    See ``operators/text.py::wordpiece_encode``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.wordpiece_encode(docs, WP_VOCAB)

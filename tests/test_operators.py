@@ -1768,6 +1768,39 @@ def test_remove_duplicate_spans_unit(spark):
     assert rows[2]["n_removed"] == 0
 
 
+def test_wordpiece_greedy_hand_fixture(spark):
+    """t20 semantics on hand-segmentable words: greedy longest-match
+    (un|happi|ness, not the also-valid ha|p|p...), whole-word precedence
+    (batch stays whole although ba+tch could cover it), single-char
+    fallback keeps segmentation total and LOSSLESS (php -> p|h|p with h
+    unknown), and the per-doc digest is the in-order piece sequence."""
+    import hashlib
+
+    from consumer_loans_analysis_spark.operators.text import wordpiece_encode
+
+    vocab = ["un", "happi", "ness", "happy", "ha", "p", "batch", "ba", "tch"]
+    docs = spark.createDataFrame(
+        [
+            (0, "unhappiness"),
+            (1, "php"),
+            (2, "batch"),
+            (3, "unhappiness php batch"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in wordpiece_encode(docs, vocab).collect()}
+
+    def d(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert rows[0]["pieces_digest"] == d("un happi ness")
+    assert rows[0]["n_pieces"] == 3 and rows[0]["fertility"] == 3.0
+    assert rows[1]["pieces_digest"] == d("p h p")  # fallback is lossless
+    assert rows[2]["pieces_digest"] == d("batch")  # longest match wins
+    assert rows[3]["pieces_digest"] == d("un happi ness p h p batch")
+    assert rows[3]["n_words"] == 3 and rows[3]["n_pieces"] == 7
+
+
 def test_remove_duplicate_spans_pathological_full_dup(spark):
     """The r10 verdict #6 pathological shape: two large docs that are
     COMPLETE duplicates of each other, so every 10-word window is
