@@ -423,3 +423,81 @@ def pca_whiten_score(
     return scored.select(
         "*", (F.col("maha2") > F.lit(float(threshold))).alias("is_outlier")
     )
+
+
+def nb_seed_classifier(
+    docs: DataFrame,
+    seed: Column,
+    *,
+    alpha: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Seed-vs-web quality CLASSIFIER (the GPT-3 / LLaMA-pipeline shape:
+    train a cheap linear text classifier on a trusted seed corpus vs the
+    raw pool, keep documents the classifier scores seed-like — Brown et
+    al. 2020 §A use logistic regression over hashed features; fastText is
+    the common open implementation). This is the multinomial-Naive-Bayes
+    member of that linear family, chosen because its training is
+    CLOSED-FORM — one token-count aggregation, no iterations — so the
+    whole fit+score is a deterministic dataflow an external SQL oracle
+    can restate exactly (the t19/dsir precedent).
+
+    Per document: posterior log-odds
+        ln P(seed) − ln P(bg) + Σ_tokens [ln p(t|seed) − ln p(t|bg)]
+    with add-α (Laplace) token smoothing over the corpus vocabulary;
+    ``kept`` = log-odds > 0 (the MAP decision).
+
+    Scale shape (DSIR's): ONE corpus explode feeds ONE vocab-bounded
+    token-count aggregation (both class counts via conditional count in
+    the same pass); priors are a 1-row doc-level aggregate; the model
+    table broadcasts back onto the token stream; per-doc scores are one
+    doc_id-keyed aggregation — the only corpus shuffles are the count
+    build and the score build. Nothing corpus-sized is broadcast.
+
+    Returns (doc_id, source, n_tokens, log_odds rounded 6dp, kept).
+    """
+    base = docs.select("doc_id", "source", seed.alias("is_s"), F.col(text_col))
+    tok = base.select(
+        "doc_id", "source", "is_s",
+        F.explode(text.words(F.col(text_col))).alias("w"),
+    )
+    counts = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.count_if(F.col("is_s")).alias("c_s"),
+    )
+    scal = counts.agg(
+        F.sum("c_s").cast("double").alias("n_s"),
+        (F.sum("c_all") - F.sum("c_s")).cast("double").alias("n_b"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    prior = base.agg(
+        F.count_if(F.col("is_s")).cast("double").alias("d_s"),
+        F.count_if(~F.col("is_s")).cast("double").alias("d_b"),
+    )
+    model = counts.crossJoin(F.broadcast(scal)).select(
+        "w",
+        (
+            F.log((F.col("c_s") + alpha) / (F.col("n_s") + alpha * F.col("v")))
+            - F.log(
+                (F.col("c_all") - F.col("c_s") + alpha)
+                / (F.col("n_b") + alpha * F.col("v"))
+            )
+        ).alias("llr"),
+    )
+    scored = (
+        tok.join(F.broadcast(model), "w")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("llr").alias("s_llr"))
+    )
+    out = scored.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(
+            F.log(F.col("d_s") / (F.col("d_s") + F.col("d_b")))
+            - F.log(F.col("d_b") / (F.col("d_s") + F.col("d_b")))
+            + F.col("s_llr"),
+            6,
+        ).alias("log_odds"),
+    )
+    return out.withColumn("kept", F.col("log_odds") > 0)

@@ -4890,3 +4890,92 @@ def t20_wordpiece_greedy_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     See ``operators/text.py::wordpiece_encode``."""
     docs = read_table(spark, sf_dir, "documents")
     return text.wordpiece_encode(docs, WP_VOCAB)
+
+
+# --- dq8: learned seed-vs-web quality classifier -------------------------------
+
+@query(
+    "dq8_seed_quality_classifier",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+        CASE WHEN source = 'src0' AND doc_id % 2 = 0
+               THEN text || ' curated curated quality'
+             WHEN source <> 'src0' AND doc_id % 50 = 0
+               THEN text || ' quality'
+             ELSE text END AS text,
+        (source = 'src0') AS is_s
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, source, is_s, unnest(string_split(text, ' ')) AS w FROM d
+    ),
+    counts AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c_all,
+        CAST(SUM(CASE WHEN is_s THEN 1 ELSE 0 END) AS BIGINT) AS c_s
+      FROM tok GROUP BY w
+    ),
+    scal AS (
+      SELECT CAST(SUM(c_s) AS DOUBLE) AS n_s,
+        CAST(SUM(c_all) - SUM(c_s) AS DOUBLE) AS n_b,
+        CAST(COUNT(*) AS DOUBLE) AS v
+      FROM counts
+    ),
+    prior AS (
+      SELECT CAST(SUM(CASE WHEN is_s THEN 1 ELSE 0 END) AS DOUBLE) AS d_s,
+        CAST(SUM(CASE WHEN is_s THEN 0 ELSE 1 END) AS DOUBLE) AS d_b
+      FROM d
+    ),
+    model AS (
+      SELECT w,
+        ln((c_s + 1.0) / (n_s + 1.0 * v))
+          - ln((c_all - c_s + 1.0) / (n_b + 1.0 * v)) AS llr
+      FROM counts, scal
+    ),
+    scored AS (
+      SELECT t.doc_id, t.source,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(m.llr) AS s_llr
+      FROM tok t JOIN model m USING (w) GROUP BY t.doc_id, t.source
+    ),
+    fin AS (
+      SELECT s.doc_id, s.source, s.n_tokens,
+        ROUND(ln(d_s / (d_s + d_b)) - ln(d_b / (d_s + d_b)) + s_llr, 6)
+          AS log_odds
+      FROM scored s, prior
+    )
+    SELECT doc_id, source, n_tokens, log_odds, (log_odds > 0) AS kept FROM fin
+    """,
+)
+def dq8_seed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (r11): train a seed-vs-web text classifier
+    and keep seed-like documents — the GPT-3 / LLaMA data-pipeline step
+    (Brown et al. 2020 §A: LR over hashed features vs a trusted seed;
+    fastText in CCNet-descended pipelines). Multinomial NB makes the fit
+    CLOSED-FORM (one token-count aggregation — no iterations), so unlike
+    an SGD-trained linear model the entire fit+score dataflow sits under
+    the external hash oracle. src0 is the trusted seed; a deterministic
+    marker plant (half the seed docs + every 50th non-seed doc gain
+    'quality'/'curated' tokens) gives the vocabulary a real class skew,
+    so the decision boundary does non-trivial work — graded scores, a
+    non-trivial kept set — while both engines re-derive the plant from
+    the data. Scale: DSIR's shape — explode → ONE vocab-bounded
+    conditional-count aggregation, broadcast model join-back, one
+    doc-keyed score aggregation. See
+    ``operators/curation.py::nb_seed_classifier``."""
+    from consumer_loans_analysis_spark.operators import curation
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("source") == "src0") & (F.col("doc_id") % 2 == 0),
+            F.concat(F.col("text"), F.lit(" curated curated quality")),
+        )
+        .when(
+            (F.col("source") != "src0") & (F.col("doc_id") % 50 == 0),
+            F.concat(F.col("text"), F.lit(" quality")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return curation.nb_seed_classifier(docs, F.col("source") == "src0")

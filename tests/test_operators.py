@@ -1768,6 +1768,54 @@ def test_remove_duplicate_spans_unit(spark):
     assert rows[2]["n_removed"] == 0
 
 
+def test_nb_seed_classifier_hand_fixture(spark):
+    """dq8's NB arithmetic against a hand computation: 4 docs, seed class
+    with a marker token; expected log-odds recomputed in pure python with
+    the same Laplace-smoothed formula; MAP decision follows the sign."""
+    import math
+
+    from consumer_loans_analysis_spark.operators.curation import nb_seed_classifier
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "seed", "good clean text"),
+        (1, "seed", "good text"),
+        (2, "web", "spam spam text"),
+        (3, "web", "clean spam"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in nb_seed_classifier(docs, F.col("source") == "seed").collect()
+    }
+
+    # hand model: token counts per class
+    toks = {d: t.split() for d, _, t in rows}
+    seed_docs = {0, 1}
+    c_s, c_all = {}, {}
+    for d, ws in toks.items():
+        for w in ws:
+            c_all[w] = c_all.get(w, 0) + 1
+            if d in seed_docs:
+                c_s[w] = c_s.get(w, 0) + 1
+    n_s = sum(c_s.values())
+    n_b = sum(c_all.values()) - n_s
+    v = len(c_all)
+    prior = math.log(2 / 4) - math.log(2 / 4)
+    for d, ws in toks.items():
+        llr = sum(
+            math.log((c_s.get(w, 0) + 1.0) / (n_s + 1.0 * v))
+            - math.log((c_all[w] - c_s.get(w, 0) + 1.0) / (n_b + 1.0 * v))
+            for w in ws
+        )
+        expect = round(prior + llr, 6)
+        assert got[d]["log_odds"] == pytest.approx(expect, abs=1e-6), d
+        assert got[d]["kept"] == (got[d]["log_odds"] > 0)
+    # the marker-heavy seed docs rank above the spam docs
+    assert got[0]["log_odds"] > got[2]["log_odds"]
+    assert got[1]["log_odds"] > got[3]["log_odds"]
+
+
 def test_wordpiece_greedy_hand_fixture(spark):
     """t20 semantics on hand-segmentable words: greedy longest-match
     (un|happi|ness, not the also-valid ha|p|p...), whole-word precedence
