@@ -1579,3 +1579,151 @@ def wordpiece_encode(
             )
         ).alias("pieces_digest"),
     )
+
+
+UNIGRAM_FALLBACK_COST = 1500  # centi-nats for any single char outside the vocab
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM subword encoding with a pinned vocabulary — the
+    SentencePiece family (Kudo 2018): per word, the segmentation that
+    MINIMIZES the summed piece costs, found by Viterbi dynamic
+    programming (vs ``wordpiece_encode``'s greedy longest-match — the
+    two genuinely differ: a cheap 2-piece split beats an expensive
+    whole-word piece, which the pytest pins). Costs are INTEGER
+    centi-nats (the production serving trick: integer-quantized scores
+    make the DP exact, deterministic, and engine-portable — no float
+    comparison ever happens), with every out-of-vocab single character
+    available at ``UNIGRAM_FALLBACK_COST`` so segmentation is total and
+    lossless. Tie-break at equal cost: longer piece, then lexicographic.
+
+    Returns per document: (id, n_words, n_pieces, fertility,
+    total_cost = Σ word Viterbi costs — an exact BIGINT, so the oracle
+    compares the OPTIMUM ITSELF, pieces_digest = md5 of the in-order
+    piece sequence, pinning the argmin segmentation too).
+
+    Scale shape: identical to ``wordpiece_encode`` — the DP runs once
+    per DISTINCT word as pure Column expressions (forward fold over
+    character positions building the best-cost table, backward fold
+    reading it; no UDF), the corpus pays one posexplode + broadcast
+    join + one aggregation.
+    """
+    pieces = sorted({(p, int(c)) for p, c in vocab}, key=lambda x: (-len(x[0]), x[0]))
+    maxp = max(len(p) for p, _ in pieces) + 2
+    piece_arr = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                F.lit(len(p)).alias("l"),
+                F.lit(int(c)).cast("long").alias("c"),
+            )
+            for p, c in pieces
+        ]
+    )
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    dw = tok.select("word").distinct().withColumn("_pieces", piece_arr)
+
+    def forward_step(acc, i):
+        # candidates: vocab pieces ending at position i (+ the fallback
+        # char), each scored best[i - len] + cost; the winner struct's
+        # field order (cost, maxp-len, piece) IS the tie-break
+        cands = F.transform(
+            F.filter(
+                F.col("_pieces"),
+                lambda v: (v["l"] <= i)
+                & (F.col("word").substr(i - v["l"] + 1, v["l"]) == v["p"]),
+            ),
+            lambda v: F.struct(
+                (F.element_at(acc, i - v["l"] + 1)["cost"] + v["c"]).alias("cost"),
+                (F.lit(maxp) - v["l"]).alias("nl"),
+                v["p"].alias("piece"),
+                v["l"].alias("plen"),
+            ),
+        )
+        fallback = F.struct(
+            (
+                F.element_at(acc, i)["cost"] + F.lit(UNIGRAM_FALLBACK_COST).cast("long")
+            ).alias("cost"),
+            F.lit(maxp - 1).alias("nl"),
+            F.col("word").substr(i, F.lit(1)).alias("piece"),
+            F.lit(1).alias("plen"),
+        )
+        win = F.array_min(F.concat(cands, F.array(fallback)))
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    win["cost"].alias("cost"),
+                    win["plen"].alias("plen"),
+                    win["piece"].alias("piece"),
+                )
+            ),
+        )
+
+    dp_init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("cost"),
+            F.lit(0).alias("plen"),
+            F.lit("").alias("piece"),
+        )
+    )
+    dw = dw.withColumn(
+        "_dp",
+        F.aggregate(F.sequence(F.lit(1), F.length("word")), dp_init, forward_step),
+    )
+
+    def back_step(acc, _):
+        at = F.element_at(F.col("_dp"), acc["pos"] + 1)
+        return F.when(acc["pos"] <= 0, acc).otherwise(
+            F.struct(
+                (acc["pos"] - at["plen"]).alias("pos"),
+                F.concat(F.array(at["piece"]), acc["ps"]).alias("ps"),
+            )
+        )
+
+    enc = dw.select(
+        "word",
+        F.element_at("_dp", F.length("word") + 1)["cost"].alias("wcost"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("word")),
+            F.struct(
+                F.length("word").cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("ps"),
+            ),
+            back_step,
+            lambda acc: acc["ps"],
+        ).alias("ps"),
+    ).select(
+        "word",
+        "wcost",
+        F.size("ps").cast("long").alias("np"),
+        F.array_join("ps", " ").alias("pstr"),
+    )
+
+    joined = tok.join(F.broadcast(enc), "word")
+    return joined.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("np").alias("n_pieces"),
+        F.round(
+            F.sum("np").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("fertility"),
+        F.sum("wcost").alias("total_cost"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pstr"))),
+                    lambda s: s["pstr"],
+                ),
+                " ",
+            )
+        ).alias("pieces_digest"),
+    )

@@ -4979,3 +4979,113 @@ def dq8_seed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return curation.nb_seed_classifier(docs, F.col("source") == "src0")
+
+
+# --- t21: unigram-LM (SentencePiece-family) Viterbi encoding --------------------
+
+# Pinned unigram vocabulary (piece, integer centi-nat cost). Costs are
+# chosen so the OPTIMAL segmentation differs from greedy longest-match on
+# real corpus words in BOTH directions: 'batch' -> ba|tch (450 < 900, the
+# cheap split beats the whole-word piece greedy would take) while
+# 'data' -> data (320 < da|ta's 500, the whole word beats the available
+# split) — so the oracle checks genuine Viterbi, not greedy in disguise.
+UNI_VOCAB = [
+    ("join", 330), ("hash", 340), ("row", 250), ("scan", 330),
+    ("batch", 900), ("ba", 200), ("tch", 250),
+    ("cust", 300), ("omer", 300), ("col", 250), ("umn", 300),
+    ("fil", 250), ("ter", 200), ("small", 450), ("slow", 400),
+    ("mer", 250), ("ge", 200), ("ord", 250), ("er", 150),
+    ("vec", 250), ("tor", 250), ("line", 350),
+    ("data", 320), ("da", 300), ("ta", 200), ("table", 600), ("ble", 300),
+    ("agg", 260), ("val", 250), ("ue", 220), ("key", 240),
+    ("str", 230), ("eam", 260), ("win", 220), ("dow", 260),
+    ("spark", 420), ("gro", 240), ("up", 180), ("part", 340),
+    ("big", 230), ("sort", 330), ("qu", 210), ("ery", 240),
+    ("fast", 310), ("the", 200), ("dup", 230),
+]
+
+
+def _t21_oracle() -> str:
+    """t21 oracle: the Viterbi DP as a recursive CTE per distinct word —
+    the forward pass carries the best-cost/choice tables as LIST columns
+    (the recursion's working set is one row per word; each step reads
+    best[i-len] by list index and takes the (cost ASC, len DESC, piece
+    ASC) winner over the vocab literals + the single-char fallback), the
+    backward pass reads the stored choices. Integer costs make every
+    comparison exact — no float enters the DP."""
+    vocab_values = ", ".join(f"('{p}', {len(p)}, {c})" for p, c in UNI_VOCAB)
+    from consumer_loans_analysis_spark.operators.text import UNIGRAM_FALLBACK_COST
+
+    return f"""
+    WITH RECURSIVE vocab(p, l, c) AS (VALUES {vocab_values}),
+    d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+      SELECT doc_id, CAST(pos AS INT) AS pos, w[CAST(pos AS INT)] AS word
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM d)
+      WHERE length(w[CAST(pos AS INT)]) > 0
+    ),
+    dw AS (SELECT DISTINCT word FROM tok),
+    fwd(word, pos, costs, plens, pieces_) AS (
+      SELECT word, 0, [CAST(0 AS BIGINT)], [CAST(0 AS INT)],
+        [CAST('' AS VARCHAR)] FROM dw
+      UNION ALL
+      SELECT word, pos + 1,
+        list_append(costs, win['t']), list_append(plens, win['l']),
+        list_append(pieces_, win['p'])
+      FROM (
+        SELECT word, pos, costs, plens, pieces_,
+          (SELECT {{'t': t, 'l': l, 'p': p}} FROM (
+             SELECT costs[f.pos + 1 - v.l + 1] + v.c AS t, v.l AS l, v.p AS p
+             FROM vocab v
+             WHERE v.l <= f.pos + 1
+               AND substr(f.word, f.pos + 1 - v.l + 1, v.l) = v.p
+             UNION ALL
+             SELECT costs[f.pos + 1] + {UNIGRAM_FALLBACK_COST}, 1,
+               substr(f.word, f.pos + 1, 1)
+           ) ORDER BY t, l DESC, p LIMIT 1) AS win
+        FROM fwd f WHERE pos < length(word)
+      )
+    ),
+    fin AS (
+      SELECT word, costs[length(word) + 1] AS wcost, plens, pieces_
+      FROM fwd WHERE pos = length(word)
+    ),
+    bt(word, pos, out, plens, pieces_) AS (
+      SELECT word, CAST(length(word) AS INT), CAST([] AS VARCHAR[]),
+        plens, pieces_ FROM fin
+      UNION ALL
+      SELECT word, pos - plens[pos + 1], list_concat([pieces_[pos + 1]], out),
+        plens, pieces_
+      FROM bt WHERE pos > 0
+    ),
+    enc AS (
+      SELECT b.word, f.wcost, CAST(len(b.out) AS BIGINT) AS np,
+        array_to_string(b.out, ' ') AS pstr
+      FROM bt b JOIN fin f USING (word) WHERE b.pos = 0
+    )
+    SELECT t.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(e.np) AS BIGINT) AS n_pieces,
+      ROUND(SUM(e.np) * 1.0 / COUNT(*), 6) AS fertility,
+      CAST(SUM(e.wcost) AS BIGINT) AS total_cost,
+      md5(string_agg(e.pstr, ' ' ORDER BY t.pos)) AS pieces_digest
+    FROM tok t JOIN enc e USING (word)
+    GROUP BY t.doc_id
+    """
+
+
+@query("t21_unigram_viterbi_encode", oracle=_t21_oracle())
+def t21_unigram_viterbi_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer surface (r11) — SentencePiece's family (Kudo
+    2018), completing the production tokenizer triad next to the BPE
+    family (t14/t15) and WordPiece greedy (t20): per word the
+    MINIMUM-COST segmentation by Viterbi DP over pinned integer
+    centi-nat piece costs. ``total_cost`` is an exact BIGINT, so the
+    oracle compares the optimum itself; ``pieces_digest`` pins the
+    argmin segmentation piece by piece. Pure Column expressions — a
+    forward ``aggregate`` fold builds the best-cost table per DISTINCT
+    word, a backward fold reads the stored choices; no UDF; corpus pays
+    one posexplode + broadcast join + one aggregation. See
+    ``operators/text.py::unigram_encode``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.unigram_encode(docs, UNI_VOCAB)

@@ -1768,6 +1768,44 @@ def test_remove_duplicate_spans_unit(spark):
     assert rows[2]["n_removed"] == 0
 
 
+def test_unigram_viterbi_hand_fixture(spark):
+    """t21 semantics on hand-solvable DPs: the cheap split beats the
+    whole-word piece (ba|tch 450 < batch 900 — where greedy WordPiece
+    would take batch), the cheap whole word beats its split (data 320 <
+    da|ta 500), fallback chars price at UNIGRAM_FALLBACK_COST, and an
+    exact cost tie resolves to the LONGER piece."""
+    import hashlib
+
+    from consumer_loans_analysis_spark.operators.text import (
+        UNIGRAM_FALLBACK_COST,
+        unigram_encode,
+    )
+
+    vocab = [
+        ("batch", 900), ("ba", 200), ("tch", 250),
+        ("data", 320), ("da", 300), ("ta", 200),
+        ("ab", 400), ("a", 200), ("b", 200),
+    ]
+    docs = spark.createDataFrame(
+        [(0, "batch"), (1, "data"), (2, "xy"), (3, "ab"), (4, "batch data")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_encode(docs, vocab).collect()}
+
+    def d(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert rows[0]["pieces_digest"] == d("ba tch")      # split beats whole
+    assert rows[0]["total_cost"] == 450
+    assert rows[1]["pieces_digest"] == d("data")        # whole beats split
+    assert rows[1]["total_cost"] == 320
+    assert rows[2]["pieces_digest"] == d("x y")         # total via fallback
+    assert rows[2]["total_cost"] == 2 * UNIGRAM_FALLBACK_COST
+    assert rows[3]["pieces_digest"] == d("ab")          # tie -> longer piece
+    assert rows[3]["total_cost"] == 400
+    assert rows[4]["total_cost"] == 450 + 320 and rows[4]["n_pieces"] == 3
+
+
 def test_nb_seed_classifier_hand_fixture(spark):
     """dq8's NB arithmetic against a hand computation: 4 docs, seed class
     with a marker token; expected log-odds recomputed in pure python with
