@@ -369,6 +369,13 @@ def test_ivfadc_pinned_recall(spark, sf_dir):
 
     assert len(exact & approx(5, 4)) / len(exact) >= 0.6
     assert approx(len(IVF_CENTROIDS), 400) == exact
+    # live mode (both quantizers fit on the bounded sample) produces a
+    # valid ranked result for every query too
+    live = similarity.ivfadc_topk(
+        corpus, queries, k=5, n_probe=2, m_subs=16, ks=16,
+    ).collect()
+    assert {r["query_id"] for r in live} == {0, 1, 2, 3, 4}
+    assert all(1 <= r["rank"] <= 5 for r in live)
 
 
 def test_prefix_rerank_recall(spark, sf_dir):
