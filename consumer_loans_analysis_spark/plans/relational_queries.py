@@ -1142,16 +1142,32 @@ def m3q_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
       FROM pred
     )
+    , r AS (
+      -- the 0-denominator convention mirrors binary_metrics exactly
+      -- (`x/y if y else 0.0`); DuckDB's x/0 is NULL, which would
+      -- hash-diverge on degenerate data where a confusion cell class
+      -- vanishes (latent-only today — the synthetic scorer populates
+      -- all four cells at every SF)
+      SELECT
+        CASE WHEN tp + tn + fp + fn = 0 THEN 0.0
+             ELSE (tp + tn) * 1.0 / (tp + tn + fp + fn) END AS acc,
+        CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fp) END AS prec,
+        CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fn) END AS rec,
+        CASE WHEN fp + tn = 0 THEN 0.0 ELSE fp * 1.0 / (fp + tn) END AS fpr,
+        tp + fn AS support_pos,
+        tn + fp AS support_neg
+      FROM cm
+    )
     SELECT
-      FLOOR((tp + tn) * 1.0 / (tp + tn + fp + fn) * 1000000 + 0.5) / 1000000 AS accuracy,
-      FLOOR(tp * 1.0 / (tp + fp) * 1000000 + 0.5) / 1000000 AS precision_pos,
-      FLOOR(tp * 1.0 / (tp + fn) * 1000000 + 0.5) / 1000000 AS recall_pos,
-      FLOOR(2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
-            / (tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn)) * 1000000 + 0.5) / 1000000 AS f1_pos,
-      FLOOR((1.0 + tp * 1.0 / (tp + fn) - fp * 1.0 / (fp + tn)) / 2.0 * 1000000 + 0.5) / 1000000 AS roc_auc_hard,
-      tp + fn AS support_pos,
-      tn + fp AS support_neg
-    FROM cm
+      FLOOR(acc * 1000000 + 0.5) / 1000000 AS accuracy,
+      FLOOR(prec * 1000000 + 0.5) / 1000000 AS precision_pos,
+      FLOOR(rec * 1000000 + 0.5) / 1000000 AS recall_pos,
+      FLOOR(CASE WHEN prec + rec = 0 THEN 0.0
+            ELSE 2.0 * prec * rec / (prec + rec) END * 1000000 + 0.5) / 1000000 AS f1_pos,
+      FLOOR((1.0 + rec - fpr) / 2.0 * 1000000 + 0.5) / 1000000 AS roc_auc_hard,
+      support_pos,
+      support_neg
+    FROM r
     """,
 )
 def m4q_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
