@@ -470,10 +470,20 @@ def nb_seed_classifier(
         (F.sum("c_all") - F.sum("c_s")).cast("double").alias("n_b"),
         F.count(F.lit(1)).cast("double").alias("v"),
     )
-    prior = base.agg(
+    # prior is 1-row fit state: collect it (the fit-state-as-literals
+    # convention) and fail fast on a degenerate fit — an empty class
+    # would otherwise surface as Spark NULL (log(0) -> null) vs DuckDB
+    # -inf (ln(0)), an engine divergence instead of a clear error
+    pr = base.agg(
         F.count_if(F.col("is_s")).cast("double").alias("d_s"),
         F.count_if(~F.col("is_s")).cast("double").alias("d_b"),
-    )
+    ).head()
+    if not pr["d_s"] or not pr["d_b"]:
+        raise ValueError(
+            f"nb_seed_classifier needs both classes non-empty: seed docs="
+            f"{int(pr['d_s'])}, background docs={int(pr['d_b'])}"
+        )
+    d_s, d_b = pr["d_s"], pr["d_b"]
     model = counts.crossJoin(F.broadcast(scal)).select(
         "w",
         (
@@ -489,13 +499,13 @@ def nb_seed_classifier(
         .groupBy("doc_id", "source")
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("llr").alias("s_llr"))
     )
-    out = scored.crossJoin(F.broadcast(prior)).select(
+    out = scored.select(
         "doc_id",
         "source",
         "n_tokens",
         F.round(
-            F.log(F.col("d_s") / (F.col("d_s") + F.col("d_b")))
-            - F.log(F.col("d_b") / (F.col("d_s") + F.col("d_b")))
+            F.log(F.lit(d_s) / (F.lit(d_s) + F.lit(d_b)))
+            - F.log(F.lit(d_b) / (F.lit(d_s) + F.lit(d_b)))
             + F.col("s_llr"),
             6,
         ).alias("log_odds"),
