@@ -93,6 +93,14 @@ DATAPIPE_QUERIES = [
     # comparable r10-forward only; legacy_total stays the r01 yardstick.
     "pipe3_audited_curation",
     "pipe4_clean_dedup_shard",
+    # r11 additions: the composed IVFADC serving path, both new tokenizer
+    # families, and the learned quality filter. Expanded-set totals are
+    # comparable r11-forward only (the set grew by these four);
+    # legacy_total remains the r01 yardstick.
+    "sim8_ivfadc_pinned_topk",
+    "t20_wordpiece_greedy_encode",
+    "t21_unigram_viterbi_encode",
+    "dq8_seed_quality_classifier",
 ]
 
 BENCH_QUERIES = LEGACY_QUERIES + DATAPIPE_QUERIES
