@@ -5089,3 +5089,80 @@ def t21_unigram_viterbi_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/text.py::unigram_encode``."""
     docs = read_table(spark, sf_dir, "documents")
     return text.unigram_encode(docs, UNI_VOCAB)
+
+
+# --- c2: train/eval split leakage audit ----------------------------------------
+
+@query(
+    "c2_split_leakage_audit",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        CAST(CAST(concat('0x', substr(md5(concat('11:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 5 AS INT) AS fold_id,
+        CAST(CAST(concat('0x', substr(md5(concat('11:', md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')))), 1, 8)) AS BIGINT) % 5 AS INT) AS fold_fp
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        a.fold_id AS fa_id, b.fold_id AS fb_id,
+        a.fold_fp AS fa_fp, b.fold_fp AS fb_fp
+      FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+      CAST(SUM(CASE WHEN fa_id <> fb_id THEN 1 ELSE 0 END) AS BIGINT) AS straddle_id_fold,
+      ROUND(SUM(CASE WHEN fa_id <> fb_id THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS leak_frac_id_fold,
+      CAST(SUM(CASE WHEN fa_fp <> fb_fp THEN 1 ELSE 0 END) AS BIGINT) AS straddle_fp_fold
+    FROM pairs
+    """,
+)
+def c2_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval SPLIT-LEAKAGE audit (r11): how many duplicate document
+    pairs STRADDLE fold boundaries? Duplicates straddling a train/eval
+    split leak answers into evaluation — the published contamination
+    failure mode for both benchmarks and dedup-naive CV. The audit
+    compares two deterministic 5-fold splits side by side: folding on
+    doc_id (the naive split — straddle fraction ≈ 1−1/k by construction)
+    vs folding on the CONTENT fingerprint (every dup lands in one fold —
+    straddle count 0, proven per row by the oracle, not asserted). This
+    is the m3q2 group-fold principle applied with content as the group
+    key. Pairing key = t4's bag-of-words content fingerprint (sorted
+    distinct tokens) — the near-dup class that actually leaks (reordered
+    / lightly-edited twins), not just byte-identical copies; the test
+    corpus has hundreds of such pairs at every SF. Scale: pairs explode
+    only within dup groups (bounded by group size; at 100 TB you'd run
+    this on d6's canonical-vs-member pairs instead of all-pairs — same
+    audit, linear pair count); everything else is one fingerprint
+    shuffle."""
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(text.words(F.col("text")))), " ")
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fp.alias("fp"),
+        (text.portable_hash(F.col("doc_id").cast("string"), seed=11) % 5)
+        .cast("int")
+        .alias("fold_id"),
+        (text.portable_hash(fp, seed=11) % 5).cast("int").alias("fold_fp"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.sum((F.col("a.fold_id") != F.col("b.fold_id")).cast("long")).alias(
+            "straddle_id_fold"
+        ),
+        F.round(
+            F.sum((F.col("a.fold_id") != F.col("b.fold_id")).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("leak_frac_id_fold"),
+        F.sum((F.col("a.fold_fp") != F.col("b.fold_fp")).cast("long")).alias(
+            "straddle_fp_fold"
+        ),
+    )

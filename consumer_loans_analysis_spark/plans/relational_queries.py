@@ -1299,3 +1299,30 @@ def m4q2_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema=schema)
+
+
+@query(
+    "m3q2_group_fold_assignment",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+      CAST(CAST(concat('0x', substr(md5(concat('7:', CAST(o_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % 5 AS INT) AS fold
+    FROM orders
+    """,
+)
+def m3q2_group_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware fold assignment (sklearn GroupKFold's guarantee, via
+    M3's deterministic hash folds): hashing the GROUP key — here the
+    customer — instead of the row puts every row of a group in the SAME
+    fold, the leakage-safe split when rows within a group are correlated
+    (a customer's orders; a crawl's near-duplicate pages). Same
+    ``add_fold`` portable mode as m3q, so the oracle reproduces the
+    exact fold id per row; group purity (one fold per customer) is
+    pinned in pytest. Map-only — the fold is a pure function of the
+    group key, so the assignment is reproducible across engines,
+    partitionings, and reruns."""
+    from consumer_loans_analysis_spark.ml.cv import add_fold
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return add_fold(o, k=5, cols=["o_custkey"], seed=7, method="portable").select(
+        "o_orderkey", "o_custkey", F.col("_fold").cast("int").alias("fold")
+    )

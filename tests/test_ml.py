@@ -90,6 +90,29 @@ def test_fold_assignment_portable_mode(toy, spark):
     assert len(counts) == 5 and min(r["count"] for r in counts) > 50
 
 
+def test_group_fold_purity_and_leakage_audit(spark, sf_dir):
+    """m3q2: every customer's orders land in ONE fold (the GroupKFold
+    guarantee); c2: content-fingerprint folds put every dup pair in one
+    fold (straddle 0) while doc_id folds straddle, demonstrating the
+    leakage the audit exists to catch."""
+    from pyspark.sql import functions as F
+
+    from consumer_loans_analysis_spark.plans import registry
+
+    registry.load_all()
+    folds = registry.QUERIES["m3q2_group_fold_assignment"](spark, sf_dir)
+    impure = (
+        folds.groupBy("o_custkey")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+    )
+    assert impure.count() == 0
+    audit = registry.QUERIES["c2_split_leakage_audit"](spark, sf_dir).head()
+    assert audit["n_dup_pairs"] > 0          # the corpus has planted dups
+    assert audit["straddle_fp_fold"] == 0    # content folds: leak-free
+    assert audit["straddle_id_fold"] > 0     # id folds: leaky, as audited
+
+
 def test_cross_validate_beats_dummy(toy):
     lr = cv_summary(cross_validate(lambda: LogisticRegression(), toy, k=4))
     dummy = cv_summary(
