@@ -225,8 +225,14 @@ def _tree_jiffies() -> int:
     outlives its parent reparents to PID 1 and falls out of the ppid
     walk — its CPU would be misread as NEIGHBOR load (conservative
     direction: false dirty, never false clean, but it burns retry
-    budget). Orphans KEEP their session id, so processes whose /proc
-    sid matches ours are attributed to us as well as the ppid tree."""
+    budget). Orphans KEEP their session id, so reparented processes are
+    recovered via sid — but ONLY processes that actually reparented
+    (ppid == 1) qualify (r11 ADVICE): a live unrelated process sharing
+    our terminal session (backgrounded job, tee, sibling command) also
+    matches our sid, and claiming its jiffies as self-load would let a
+    genuinely contaminated rep stamp itself clean — inverting the
+    conservative direction. ppid==1 AND sid==ours is exactly the orphan
+    signature and nothing else."""
     me = os.getpid()
     try:
         my_sid = os.getsid(0)
@@ -235,6 +241,7 @@ def _tree_jiffies() -> int:
     children: dict[int, list[int]] = {}
     jiffies: dict[int, int] = {}
     sids: dict[int, int] = {}
+    ppids: dict[int, int] = {}
     try:
         pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
     except OSError:
@@ -249,6 +256,7 @@ def _tree_jiffies() -> int:
         try:
             fields = raw[raw.rindex(")") + 2 :].split()
             ppid = int(fields[1])
+            ppids[pid] = ppid
             sids[pid] = int(fields[3])  # session id
             own = int(fields[11]) + int(fields[12])  # utime+stime
             reaped = int(fields[13]) + int(fields[14])  # cutime+cstime
@@ -266,7 +274,7 @@ def _tree_jiffies() -> int:
         total += jiffies.get(p, 0)
         stack.extend(children.get(p, []))
     for pid, sid in sids.items():
-        if sid == my_sid and pid not in seen:
+        if sid == my_sid and ppids.get(pid) == 1 and pid not in seen:
             total += jiffies.get(pid, 0)
     return total
 

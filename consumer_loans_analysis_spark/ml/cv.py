@@ -38,12 +38,27 @@ def add_fold(df: DataFrame, k: int, cols: list[str] | None = None, seed: int = 4
         (``CAST(concat('0x', substr(md5(concat('SEED:', cols)), 1, 8)) AS
         BIGINT) % k``). Same determinism guarantees; costs a string concat
         + md5 per row, so reserve it for audited/oracled splits.
+
+    NULL convention (portable mode, r11 ADVICE): ``concat_ws`` silently
+    SKIPS null inputs, so ('a', NULL, 'b') and ('a', 'b', NULL) would
+    collide into one key 'a|b'. Each column is therefore coalesced to the
+    sentinel ``'\\x00NULL'`` before joining — NULL is a first-class key
+    value, distinct rows never collide, and an external oracle mirrors it
+    with ``COALESCE(CAST(col AS VARCHAR), chr(0) || 'NULL')`` per column.
+    (The \\x00 prefix cannot appear in a cast-to-string scalar, so the
+    sentinel cannot collide with a real value.)
     """
     cols = cols or df.columns
     if method == "portable":
         from consumer_loans_analysis_spark.operators.text import portable_hash
 
-        key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        key = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                for c in cols
+            ],
+        )
         return df.withColumn("_fold", F.pmod(portable_hash(key, seed=seed), F.lit(k)))
     return df.withColumn(
         "_fold", F.pmod(F.hash(*[F.col(c) for c in cols], F.lit(seed)), F.lit(k))

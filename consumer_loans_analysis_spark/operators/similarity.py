@@ -1145,9 +1145,22 @@ def ivfadc_topk(
     )
 
     # --- query side: probe ranking + ADC LUTs, driver-side --------------
+    # ids keep their input type (r11 ADVICE: long was hardcoded, so string
+    # vector ids crashed at runtime) — the mapInPandas schema and the
+    # rebuilt query frame both derive from the actual schemas
+    q_id_t = queries.schema[id_col].dataType.simpleString()
+    c_id_t = corpus.schema[id_col].dataType.simpleString()
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), unit(F.col(vec_col)).alias("v")
     ).collect()
+    if not q_rows:
+        # empty query set (r11 ADVICE: np.asarray([]) is 1-D, so the probe
+        # distance broadcast below would IndexError) — the right answer is
+        # an empty result with the contract schema
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"query_id {q_id_t}, neighbor_id {c_id_t}, cos double, rank int",
+        )
     q_ids = np.array([r["query_id"] for r in q_rows])
     Q = np.asarray([r["v"] for r in q_rows], dtype=np.float64)
     cen = np.asarray(centroids, dtype=np.float64)
@@ -1191,7 +1204,7 @@ def ivfadc_topk(
             yield pd.DataFrame(out)
 
     parts = coded.mapInPandas(
-        scan, "query_id long, neighbor_id long, approx double"
+        scan, f"query_id {q_id_t}, neighbor_id {c_id_t}, approx double"
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
     cands = (
@@ -1199,8 +1212,8 @@ def ivfadc_topk(
         .select("query_id", "neighbor_id")
     )
     qdf = queries.sparkSession.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
-        "query_id long, qv array<double>",
+        [(i, [float(x) for x in v]) for i, v in zip(q_ids.tolist(), Q)],
+        f"query_id {q_id_t}, qv array<double>",
     )
     scored = (
         c_routed.join(F.broadcast(cands), c_routed["neighbor_id"] == cands["neighbor_id"])
