@@ -1727,3 +1727,201 @@ def unigram_encode(
             )
         ).alias("pieces_digest"),
     )
+
+
+def _spark_round6(x: float) -> float:
+    """Replicate Spark's ``F.round(double, 6)`` exactly: Java
+    ``BigDecimal(double).setScale(6, HALF_UP)`` rounds the EXACT decimal
+    expansion of the binary double half-up — Python's ``round()`` is
+    banker's and would diverge on .5 boundaries. ``Decimal(float)`` is
+    that same exact expansion."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def wordpiece_encode_broadcast(
+    df: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``wordpiece_encode`` for PRODUCTION-SIZE vocabularies: Arrow-batched
+    ``mapInPandas`` with the vocabulary broadcast once in the closure —
+    the t14b precedent (``bpe_encode_broadcast``). The Column-expression
+    twin embeds |vocab| literal structs in the plan and its per-character
+    fold scans all of them (O(word_len x |vocab|) per distinct word):
+    fine and fully codegen'd at the <100-piece oracle vocab, a plan-bloat
+    + constant-factor scale-killer at a BERT-scale 30k-piece vocab. Here
+    the pieces live in per-LENGTH hash sets, so the greedy longest-match
+    probe is O(word_len x n_distinct_lengths) hash lookups per word —
+    and the per-word LRU cache makes the Zipf head free.
+
+    Same semantics and the SAME output schema/values as
+    ``wordpiece_encode`` (greedy longest-match, single-char fallback,
+    lossless segmentation; per-doc digest over the in-order piece
+    sequence) — equivalence is pytest-pinned on the shared vocab, and
+    t20b shares t20's full DuckDB oracle. Fertility replicates Spark's
+    HALF_UP ``round(x, 6)`` via exact-decimal quantization.
+
+    Plan shape: map-only — one python runner stage, ZERO Exchange (the
+    Column twin pays a distinct + broadcast join + final aggregation);
+    per-doc outputs are complete within the batch, so nothing shuffles
+    at any corpus size.
+    """
+    import hashlib
+    from functools import lru_cache
+
+    import pandas as pd
+
+    by_len: dict[int, set[str]] = {}
+    for p in set(vocab):
+        by_len.setdefault(len(p), set()).add(p)
+    lengths = sorted(by_len, reverse=True)
+    id_field = df.schema[id_col]
+
+    def encode_batches(batches):
+        @lru_cache(maxsize=65536)
+        def pieces_of(word: str) -> tuple[str, ...]:
+            out, i, n = [], 0, len(word)
+            while i < n:
+                rem = n - i
+                for ln in lengths:
+                    if ln <= rem and word[i : i + ln] in by_len[ln]:
+                        out.append(word[i : i + ln])
+                        i += ln
+                        break
+                else:
+                    out.append(word[i])  # single-char fallback
+                    i += 1
+            return tuple(out)
+
+        for pdf in batches:
+            ids, nw, npc, fert, dig = [], [], [], [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in (txt or "").split(" ") if w]
+                if not ws:
+                    continue  # the Column twin's join drops wordless docs
+                segs = [pieces_of(w) for w in ws]
+                n_pieces = sum(len(s) for s in segs)
+                ids.append(doc_id)
+                nw.append(len(ws))
+                npc.append(n_pieces)
+                fert.append(_spark_round6(n_pieces / len(ws)))
+                flat = " ".join(p for s in segs for p in s)
+                dig.append(hashlib.md5(flat.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "n_words": pd.Series(nw, dtype="int64"),
+                    "n_pieces": pd.Series(npc, dtype="int64"),
+                    "fertility": pd.Series(fert, dtype="float64"),
+                    "pieces_digest": pd.Series(dig, dtype=object),
+                }
+            )
+
+    schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, n_words long, "
+        "n_pieces long, fertility double, pieces_digest string"
+    )
+    return df.select(id_col, text_col).mapInPandas(encode_batches, schema=schema)
+
+
+def unigram_encode_broadcast(
+    df: DataFrame,
+    vocab: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``unigram_encode`` for PRODUCTION-SIZE vocabularies: the same
+    Arrow ``mapInPandas`` broadcast-vocab shape as
+    ``wordpiece_encode_broadcast`` (t14b precedent), replacing the
+    |vocab|-literal plan + O(|vocab|)-per-character candidate scan with
+    a dict probe per (position, length) — O(word_len x max_piece_len)
+    per distinct word, vocabulary size out of the cost entirely.
+
+    Same semantics bit-for-bit: integer centi-nat Viterbi DP, the
+    out-of-vocab single-char fallback at ``UNIGRAM_FALLBACK_COST``, and
+    the IDENTICAL (cost ASC, length DESC, piece ASC) winner tie-break —
+    the Python ``min`` key mirrors the Column twin's array_min struct
+    field order (cost, maxp-len, piece). Equivalence is pytest-pinned
+    and t21b shares t21's full DuckDB oracle; integer costs mean no
+    float ever enters the DP in either engine.
+
+    Plan shape: map-only, zero Exchange, per-word LRU cache.
+    """
+    import hashlib
+    from functools import lru_cache
+
+    import pandas as pd
+
+    costs: dict[str, int] = {}
+    for p, c in set((p, int(c)) for p, c in vocab):
+        # duplicate pieces with different costs: keep the cheaper (the
+        # Column twin's (cost, maxp-len, piece) min picks it too)
+        if p not in costs or c < costs[p]:
+            costs[p] = c
+    maxp = max(len(p) for p in costs) + 2
+    fb = int(UNIGRAM_FALLBACK_COST)
+    id_field = df.schema[id_col]
+
+    def encode_batches(batches):
+        @lru_cache(maxsize=65536)
+        def viterbi(word: str) -> tuple[int, tuple[str, ...]]:
+            n = len(word)
+            best = [0] + [0] * n  # best[i] = min cost of word[:i]
+            back: list[tuple[int, str]] = [(0, "")] * (n + 1)
+            for i in range(1, n + 1):
+                # fallback candidate first; vocab pieces ending at i
+                ch = word[i - 1]
+                win = (best[i - 1] + fb, maxp - 1, ch, 1)
+                for ln in range(1, min(maxp - 2, i) + 1):
+                    piece = word[i - ln : i]
+                    c = costs.get(piece)
+                    if c is None:
+                        continue
+                    cand = (best[i - ln] + c, maxp - ln, piece, ln)
+                    if cand[:3] < win[:3]:
+                        win = cand
+                best[i] = win[0]
+                back[i] = (win[3], win[2])
+            ps: list[str] = []
+            i = n
+            while i > 0:
+                ln, piece = back[i]
+                ps.append(piece)
+                i -= ln
+            ps.reverse()
+            return best[n], tuple(ps)
+
+        for pdf in batches:
+            ids, nw, npc, fert, tc, dig = [], [], [], [], [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in (txt or "").split(" ") if w]
+                if not ws:
+                    continue
+                segs = [viterbi(w) for w in ws]
+                n_pieces = sum(len(s) for _, s in segs)
+                ids.append(doc_id)
+                nw.append(len(ws))
+                npc.append(n_pieces)
+                fert.append(_spark_round6(n_pieces / len(ws)))
+                tc.append(sum(c for c, _ in segs))
+                flat = " ".join(p for _, s in segs for p in s)
+                dig.append(hashlib.md5(flat.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "n_words": pd.Series(nw, dtype="int64"),
+                    "n_pieces": pd.Series(npc, dtype="int64"),
+                    "fertility": pd.Series(fert, dtype="float64"),
+                    "total_cost": pd.Series(tc, dtype="int64"),
+                    "pieces_digest": pd.Series(dig, dtype=object),
+                }
+            )
+
+    schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, n_words long, "
+        "n_pieces long, fertility double, total_cost long, pieces_digest string"
+    )
+    return df.select(id_col, text_col).mapInPandas(encode_batches, schema=schema)

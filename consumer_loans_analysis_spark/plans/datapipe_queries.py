@@ -5091,6 +5091,39 @@ def t21_unigram_viterbi_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_encode(docs, UNI_VOCAB)
 
 
+@query("t20b_wordpiece_encode_broadcast", oracle=_t20_oracle())
+def t20b_wordpiece_encode_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-vocab twin of t20 (r12, VERDICT r11 #1): the same
+    greedy longest-match WordPiece segmentation via Arrow ``mapInPandas``
+    with the vocabulary broadcast in the closure — the t14b precedent.
+    t20's Column-expression walk embeds |vocab| literal structs in the
+    plan and scans all of them per character: correct and codegen'd at
+    the oracle vocab, plan-bloat + a ~10^3x constant at a BERT-scale 30k
+    vocab. Here pieces sit in per-length hash sets (O(word_len x
+    n_lengths) probes, vocab size out of the cost) and the plan is
+    map-only — zero Exchange vs t20's distinct + broadcast join + agg.
+    Shares t20's full recursive-CTE oracle, so the digest equality of
+    the two plans is externally checked, not just pytest-pinned. See
+    ``operators/text.py::wordpiece_encode_broadcast``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.wordpiece_encode_broadcast(docs, WP_VOCAB)
+
+
+@query("t21b_unigram_encode_broadcast", oracle=_t21_oracle())
+def t21b_unigram_encode_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-vocab twin of t21 (r12, VERDICT r11 #1): the identical
+    integer centi-nat Viterbi DP — same (cost ASC, len DESC, piece ASC)
+    winner tie-break, same fallback — as an Arrow ``mapInPandas`` with
+    the (piece -> cost) dict broadcast in the closure. Replaces t21's
+    |vocab|-literal plan + O(|vocab|)/char candidate scan with a dict
+    probe per (position, length): O(word_len x max_piece_len) per
+    distinct word, map-only, zero Exchange. Shares t21's full oracle
+    (total_cost compares the optimum itself; pieces_digest the argmin
+    segmentation). See ``operators/text.py::unigram_encode_broadcast``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.unigram_encode_broadcast(docs, UNI_VOCAB)
+
+
 # --- c2: train/eval split leakage audit ----------------------------------------
 
 @query(

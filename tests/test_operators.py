@@ -1894,6 +1894,82 @@ def test_wordpiece_greedy_hand_fixture(spark):
     assert rows[3]["n_words"] == 3 and rows[3]["n_pieces"] == 7
 
 
+def test_broadcast_encode_twins_equal_column_twins(spark):
+    """t20b/t21b contract (r12, VERDICT r11 #1): the mapInPandas
+    broadcast-vocab encoders produce EXACTLY the frames of their
+    Column-expression twins — same rows, same digests, same costs, same
+    HALF_UP fertility rounding — on the real sf0.001 corpus plus the
+    hand-fixture edge vocabularies (tie-breaks, fallback, wordless doc).
+    Also pins the broadcast plans map-only: zero Exchange."""
+    from consumer_loans_analysis_spark.operators.text import (
+        unigram_encode,
+        unigram_encode_broadcast,
+        wordpiece_encode,
+        wordpiece_encode_broadcast,
+    )
+    from consumer_loans_analysis_spark.plans.datapipe_queries import (
+        UNI_VOCAB,
+        WP_VOCAB,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def frames_equal(a, b, key="doc_id"):
+        ra = {r[key]: r.asDict() for r in a.collect()}
+        rb = {r[key]: r.asDict() for r in b.collect()}
+        assert ra == rb
+
+    frames_equal(wordpiece_encode(docs, WP_VOCAB),
+                 wordpiece_encode_broadcast(docs, WP_VOCAB))
+    frames_equal(unigram_encode(docs, UNI_VOCAB),
+                 unigram_encode_broadcast(docs, UNI_VOCAB))
+
+    # edge vocabularies from the hand fixtures: exact cost ties (longer
+    # piece wins), single-char fallback, and a wordless doc that must be
+    # DROPPED by both (the Column twin's join drops it)
+    edge = spark.createDataFrame(
+        [(0, "batch"), (1, "data"), (2, "xy"), (3, "ab"), (4, ""), (5, "  ")],
+        "doc_id long, text string",
+    )
+    uv = [("batch", 900), ("ba", 200), ("tch", 250), ("data", 320),
+          ("da", 300), ("ta", 200), ("ab", 400), ("a", 200), ("b", 200)]
+    frames_equal(unigram_encode(edge, uv), unigram_encode_broadcast(edge, uv))
+    wv = ["un", "happi", "ness", "happy", "ha", "p", "batch", "ba", "tch"]
+    wedge = spark.createDataFrame(
+        [(0, "unhappiness"), (1, "php"), (2, "batch"), (3, "")],
+        "doc_id long, text string",
+    )
+    frames_equal(wordpiece_encode(wedge, wv),
+                 wordpiece_encode_broadcast(wedge, wv))
+
+    # map-only plan: the broadcast twins must shuffle NOTHING
+    for plan_df in (wordpiece_encode_broadcast(docs, WP_VOCAB),
+                    unigram_encode_broadcast(docs, UNI_VOCAB)):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_broadcast_encode_large_vocab_smoke(spark):
+    """The case the twins exist for: a synthetic 5k-piece vocabulary —
+    far past the literal-plan crossover — encodes through the broadcast
+    path without plan bloat, losslessly (concat of pieces == word)."""
+    from consumer_loans_analysis_spark.operators.text import (
+        wordpiece_encode_broadcast,
+    )
+
+    vocab = [f"w{i:04d}" for i in range(5000)] + ["alpha", "bet"]
+    docs = spark.createDataFrame(
+        [(0, "w0042 alphabet w4999x"), (1, "unknown")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            wordpiece_encode_broadcast(docs, vocab).collect()}
+    # w0042 whole; alphabet -> alpha|bet; w4999x -> w4999... greedy takes
+    # w4999 then fallback x; unknown -> all single chars
+    assert rows[0]["n_pieces"] == 1 + 2 + 2
+    assert rows[1]["n_pieces"] == len("unknown")
+
+
 def test_remove_duplicate_spans_pathological_full_dup(spark):
     """The r10 verdict #6 pathological shape: two large docs that are
     COMPLETE duplicates of each other, so every 10-word window is
