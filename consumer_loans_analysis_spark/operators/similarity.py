@@ -750,14 +750,65 @@ def _kmeanspp_lloyd(X, ks: int, seed: int, iters: int = 25):
             centers[j] = X[rng.integers(n)]
         d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(axis=1))
     xsq = (X**2).sum(axis=1)[:, None]
+    ids = np.arange(ks)
+    # r12: the distance matrix is rebuilt every iteration; preallocate it
+    # once and evaluate the SAME expression in-place (matmul → ×2 → xsq−M
+    # → +csq, the exact operation order of
+    # ``xsq - 2.0*(X @ centers.T) + csq``), which removes three (n, ks)
+    # temporaries per iteration. Bit-identical values, ~2x fewer allocs.
+    M = np.empty((n, ks), dtype=np.float64)
     for _ in range(iters):
-        d = xsq - 2.0 * (X @ centers.T) + (centers**2).sum(axis=1)[None, :]
-        assign = d.argmin(axis=1)
+        np.matmul(X, centers.T, out=M)
+        np.multiply(M, 2.0, out=M)
+        np.subtract(xsq, M, out=M)
+        np.add(M, (centers**2).sum(axis=1)[None, :], out=M)
+        assign = M.argmin(axis=1)
+        # r12: one stable sort + per-cluster slice means instead of ks
+        # boolean-mask scans (the O(ks·n) compare loop dominated the fit —
+        # 25 iters × 64 masks; sim5/sim5b paid ~4 s/driver fit at sf0.1).
+        # BIT-IDENTICAL to `X[assign == j].mean(0)`: a stable argsort
+        # yields each cluster's rows in ascending index order, exactly the
+        # order the boolean mask produced, so .mean reduces the same
+        # values in the same order.
+        order = np.argsort(assign, kind="stable")
+        sa = assign[order]
+        starts = np.searchsorted(sa, ids, side="left")
+        ends = np.searchsorted(sa, ids, side="right")
         for j in range(ks):
-            m = assign == j
-            if m.any():
-                centers[j] = X[m].mean(axis=0)
+            if ends[j] > starts[j]:
+                centers[j] = X[order[starts[j] : ends[j]]].mean(axis=0)
     return centers
+
+
+def _fit_subspace_codebooks(spark, Xs, m_subs: int, ks: int, seed: int):
+    """Fit the ``m_subs`` INDEPENDENT per-subspace PQ codebooks as one
+    Spark job — one task per subspace — instead of a serial driver loop
+    (r12, VERDICT r11 #6; guide §2.6 overlap-independent-work). The fits
+    don't interact, so the wall drops from Σ(fit) to ~max(fit) + one job
+    of overhead, and the driver stops being a serial CPU bottleneck
+    (measured: 16 serial fits = 3.9 s at sf0.1's 2k-row sample, 20-31 s
+    at sf1's 16k-row sample — the whole pq_live cost VERDICT r11 #4
+    flagged). Each task runs the IDENTICAL ``_kmeanpp_lloyd`` call the
+    serial loop ran (same slice, same ``seed + s``) in the same
+    numpy/OpenBLAS build, so the codebooks are bit-identical — pinned-
+    literal provenance (probe_refit_pq_codebooks.py) is unaffected. The
+    sample ships once as a broadcast (fit_sample-bounded: ≤16384×dim
+    doubles, ~8 MB)."""
+    import numpy as np
+
+    dsub = Xs.shape[1] // m_subs
+    sc = spark.sparkContext
+    b_xs = sc.broadcast(Xs)
+
+    def fit(s: int):
+        x = b_xs.value
+        return s, _kmeanspp_lloyd(x[:, s * dsub : (s + 1) * dsub], ks, seed + s)
+
+    try:
+        parts = dict(sc.parallelize(range(m_subs), m_subs).map(fit).collect())
+    finally:
+        b_xs.unpersist()
+    return np.stack([parts[s] for s in range(m_subs)])
 
 
 def _ltr_dot(A, B):
@@ -893,11 +944,10 @@ def pq_topk(
         if dim % m_subs != 0:
             raise ValueError(f"m_subs={m_subs} must divide dim={dim}")
         dsub = dim // m_subs
-        cb = np.stack(
-            [
-                _kmeanspp_lloyd(Xs[:, s * dsub:(s + 1) * dsub], ks, seed + s)
-                for s in range(m_subs)
-            ]
+        # one Spark job, one task per subspace — bit-identical to the old
+        # serial driver loop (see _fit_subspace_codebooks)
+        cb = _fit_subspace_codebooks(
+            corpus.sparkSession, Xs, m_subs, ks, seed
         )  # (m_subs, ks, dsub)
     # ‖codeword‖² via plain python left-to-right sums — the exact doubles
     # the sim5c oracle builder embeds as literals (repr round-trips)
@@ -1100,12 +1150,9 @@ def ivfadc_topk(
         if dim % m_subs != 0:
             raise ValueError(f"m_subs={m_subs} must divide dim={dim}")
         dsub = dim // m_subs
-        cb = np.stack(
-            [
-                _kmeanspp_lloyd(Xs[:, s * dsub:(s + 1) * dsub], ks, seed + s)
-                for s in range(m_subs)
-            ]
-        )
+        # one Spark job, one task per subspace — bit-identical to the old
+        # serial driver loop (see _fit_subspace_codebooks)
+        cb = _fit_subspace_codebooks(corpus.sparkSession, Xs, m_subs, ks, seed)
     else:
         cb = np.asarray(codebooks, dtype=np.float64)
         if cb.shape[0] != m_subs or cb.shape[1] != ks:
