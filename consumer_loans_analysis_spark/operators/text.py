@@ -189,6 +189,13 @@ def kneser_ney_score(
     doc_big = df.select(
         F.col(id_col), F.explode(bigrams).alias("b")
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # The counts table is localCheckpointed DELIBERATELY: its four
+    # consumers (uc, pre, scal, the model join) sit in one plan, but
+    # column pruning gives each branch a canonically DIFFERENT bc
+    # subtree, so ReusedExchange does not fire — measured r12: removing
+    # this checkpoint recomputed the explode+count subtree 4x
+    # (16 -> 28 Exchanges, pipe5 6.7 s -> 13.3 s) and starved AQE of the
+    # size stats that make the model joins broadcast.
     bc = (
         doc_big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
@@ -228,6 +235,15 @@ def kneser_ney_score(
             ).alias("logp"),
         )
     )
+    # The model broadcast hint is KEPT deliberately (r12 A/B): un-forcing
+    # it re-plans the scoring join as a static SortMergeJoin — a
+    # corpus-sized (w1,w2) shuffle+sort of doc_big that AQE's runtime
+    # BHJ conversion did not recover (measured: pipe5 6.7 s -> 13.6 s,
+    # t19 plan 6 BHJ -> 0). The model is bigram-TYPES-sized
+    # (vocab²/Heaps-bounded); at a corpus where that outgrows the
+    # broadcast threshold the right production move is a shuffle join —
+    # flip this hint there — but the hint is what keeps the local plan
+    # honest, and the table is orders smaller than the corpus.
     return (
         doc_big.join(F.broadcast(model), ["w1", "w2"])
         .groupBy(id_col)
