@@ -98,6 +98,36 @@ def main() -> None:
                 }
                 results.append(rec)
                 print(json.dumps(rec))
+        # r12 (VERDICT r11 #6): the COMPOSED ivfadc path — probe × rerank
+        # grid so the two prunings' interaction is visible at both scales.
+        # Pinned = the sim8 production shape (frozen router + codebooks);
+        # live refits both on the current corpus (parallel subspace fits).
+        for n_probe in (2, 4, 8):
+            for rerank in (4, 16, 64):
+                for variant, cent, cb in (
+                    ("pinned", IVF_CENTROIDS, PQ_CODEBOOKS),
+                    ("live", None, None),
+                ):
+                    t0 = time.perf_counter()
+                    approx = pair_set(
+                        similarity.ivfadc_topk(
+                            corpus, queries, k=K, n_probe=n_probe,
+                            m_subs=16, ks=64, rerank=rerank,
+                            centroids=cent, codebooks=cb,
+                        )
+                    )
+                    rec = {
+                        "path": f"ivfadc_{variant}",
+                        "scale": label,
+                        "n_corpus": n_corpus,
+                        "knob": {"n_probe": n_probe, "rerank": rerank},
+                        "recall_at_5": round(
+                            len(exact & approx) / len(exact), 4
+                        ),
+                        "sec": round(time.perf_counter() - t0, 2),
+                    }
+                    results.append(rec)
+                    print(json.dumps(rec))
         emb.unpersist()
 
     with open("ANN_RECALL_SCALE.json", "w") as fh:
