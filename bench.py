@@ -53,6 +53,7 @@ d3 rep recorded 366.9 s on code five quiet runs measure at ~7 s):
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -415,6 +416,19 @@ def main() -> None:
                 # (e.g. d2/d3's shingle table) so every rep measures the
                 # full plan+cache-build cost, comparable with prior rounds
                 spark.catalog.clearCache()
+                # r12: release dead checkpoint/broadcast blocks NOW, not
+                # nondeterministically mid-rep — localCheckpoint blocks
+                # from a prior rep are freed only when Python GC releases
+                # the DataFrame and the JVM ContextCleaner runs; letting
+                # that land inside a timed rep is self-inflicted noise
+                # (paired pipe5 probe: reps 17.6/36.5/9.2 s plain vs
+                # 10.2/9.7/8.1 s with the explicit gc). Runs BEFORE the
+                # pre-canary, so the timed action itself is unchanged.
+                gc.collect()
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
                 cpre = _canary_wall(spark)
                 la0 = _loadavg()
                 (h0, s0), m0 = _host_busy_jiffies(), _tree_jiffies()

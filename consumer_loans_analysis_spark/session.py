@@ -27,8 +27,22 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # ANSI off: we want permissive casts / null-on-bad-input like the
     # reference's pandas semantics (Spark 4 defaults ANSI on).
     "spark.sql.ansi.enabled": "false",
-    # Reasonable local shuffle width; AQE coalesces below this.
+    # Reasonable local shuffle width; AQE coalesces below this. At cluster
+    # scale the r12 initialPartitionNum below (env-scalable) is the real
+    # knob — AQE can only coalesce DOWN from the initial number, so a bare
+    # 32 would cap every production shuffle at 32 tasks.
     "spark.sql.shuffle.partitions": "32",
+    # r12 (guide §2.4: scale-adaptive partitioning, not a local constant):
+    # shuffles START at this many partitions and AQE coalesces them to the
+    # advisory size. Locally 64 is wall-neutral (every bench shuffle is far
+    # below the advisory size, so AQE coalesces to the same handful of
+    # partitions either way — A/B-measured before adoption); on a cluster
+    # set SPARK_GRAFT_INITIAL_PARTITIONS to ~2-3x total cores (or leave
+    # maxPartitionBytes to govern scans) so TB-scale shuffles are neither
+    # capped at 32 tasks nor sized by a local default.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": os.environ.get(
+        "SPARK_GRAFT_INITIAL_PARTITIONS", "64"
+    ),
     "spark.sql.files.maxPartitionBytes": "128m",
     # Split-size floor when a table is smaller than cores × 4 MB: Spark sets
     # maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
