@@ -15,6 +15,8 @@ deterministic and engine-portable.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -728,6 +730,14 @@ def recon_int4_block(
     return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _r)
 
 
+# Estimated serial multiply-adds below which _fit_subspace_codebooks runs
+# its loop in-process instead of as a Spark job (see its docstring; env
+# knob for hosts with different job-dispatch overhead).
+_PARALLEL_FIT_MIN_FLOPS = float(
+    os.environ.get("SPARK_GRAFT_PARALLEL_FIT_MIN_FLOPS", "2e9")
+)
+
+
 def _kmeanspp_lloyd(X, ks: int, seed: int, iters: int = 25):
     """Deterministic seeded k-means++ init + Lloyd iterations in numpy —
     the PQ sub-codebook trainer. Driver-side by design: codebooks need
@@ -793,10 +803,28 @@ def _fit_subspace_codebooks(spark, Xs, m_subs: int, ks: int, seed: int):
     numpy/OpenBLAS build, so the codebooks are bit-identical — pinned-
     literal provenance (probe_refit_pq_codebooks.py) is unaffected. The
     sample ships once as a broadcast (fit_sample-bounded: ≤16384×dim
-    doubles, ~8 MB)."""
+    doubles, ~8 MB).
+
+    Below ``_PARALLEL_FIT_MIN_FLOPS`` of estimated serial work the loop
+    runs serially in-process instead: the Spark job costs ~0.5-1 s of
+    dispatch+broadcast overhead, which EXCEEDS the win on small fits
+    (A/B at the bench shapes: sf0.1 2k-row sample serial 1.6 s vs
+    parallel 1.9 s cold; sf1 16k-row sample serial 5.7 s vs parallel
+    0.9 s warm — 6.4x). Both modes are bit-identical (asserted in the
+    A/B and in tests), so the dispatch can never change a result."""
     import numpy as np
 
     dsub = Xs.shape[1] // m_subs
+    # ~multiply-adds of the serial loop: iters x n x ks x dsub x 2 per
+    # subspace. Threshold ≈ 2e9 ≈ 2 s serial on this class of host.
+    est_flops = 25.0 * Xs.shape[0] * ks * dsub * 2.0 * m_subs
+    if est_flops < _PARALLEL_FIT_MIN_FLOPS:
+        return np.stack(
+            [
+                _kmeanspp_lloyd(Xs[:, s * dsub : (s + 1) * dsub], ks, seed + s)
+                for s in range(m_subs)
+            ]
+        )
     sc = spark.sparkContext
     b_xs = sc.broadcast(Xs)
 

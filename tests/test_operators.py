@@ -2074,3 +2074,34 @@ def test_pipe5_selection_ledger(spark, sf_dir):
     assert bad.count() == 0
     assert out.count() > 0
     out.unpersist()
+
+
+def test_fit_subspace_codebooks_dispatch_bit_identical(spark):
+    """The serial/parallel dispatch in _fit_subspace_codebooks can never
+    change a codebook: both modes run the identical _kmeanspp_lloyd call
+    per subspace (same slice, same seed), so their outputs must be
+    bit-equal — and both must equal the plain serial loop the pre-r12
+    code ran (the pinned-literal provenance contract)."""
+    import numpy as np
+
+    from consumer_loans_analysis_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((512, 16))
+    m_subs, ks, seed = 4, 8, 42
+    reference = np.stack(
+        [
+            sim._kmeanspp_lloyd(X[:, s * 4 : (s + 1) * 4], ks, seed + s)
+            for s in range(m_subs)
+        ]
+    )
+    orig = sim._PARALLEL_FIT_MIN_FLOPS
+    try:
+        sim._PARALLEL_FIT_MIN_FLOPS = float("inf")  # force serial branch
+        serial = sim._fit_subspace_codebooks(spark, X, m_subs, ks, seed)
+        sim._PARALLEL_FIT_MIN_FLOPS = 0.0  # force the Spark job branch
+        parallel = sim._fit_subspace_codebooks(spark, X, m_subs, ks, seed)
+    finally:
+        sim._PARALLEL_FIT_MIN_FLOPS = orig
+    assert (serial == reference).all()
+    assert (parallel == reference).all()
