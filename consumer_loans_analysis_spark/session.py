@@ -28,21 +28,10 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # reference's pandas semantics (Spark 4 defaults ANSI on).
     "spark.sql.ansi.enabled": "false",
     # Reasonable local shuffle width; AQE coalesces below this. At cluster
-    # scale the r12 initialPartitionNum below (env-scalable) is the real
+    # scale SPARK_GRAFT_INITIAL_PARTITIONS (applied below) is the real
     # knob — AQE can only coalesce DOWN from the initial number, so a bare
     # 32 would cap every production shuffle at 32 tasks.
     "spark.sql.shuffle.partitions": "32",
-    # r12 (guide §2.4: scale-adaptive partitioning, not a local constant):
-    # shuffles START at this many partitions and AQE coalesces them to the
-    # advisory size. Locally 64 is wall-neutral (every bench shuffle is far
-    # below the advisory size, so AQE coalesces to the same handful of
-    # partitions either way — A/B-measured before adoption); on a cluster
-    # set SPARK_GRAFT_INITIAL_PARTITIONS to ~2-3x total cores (or leave
-    # maxPartitionBytes to govern scans) so TB-scale shuffles are neither
-    # capped at 32 tasks nor sized by a local default.
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": os.environ.get(
-        "SPARK_GRAFT_INITIAL_PARTITIONS", "64"
-    ),
     "spark.sql.files.maxPartitionBytes": "128m",
     # Split-size floor when a table is smaller than cores × 4 MB: Spark sets
     # maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
@@ -53,6 +42,23 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # Quiet progress bars in test output.
     "spark.ui.showConsoleProgress": "false",
 }
+
+# r12 (guide §2.4: scale-adaptive partitioning, parameterised — not a local
+# constant): on a cluster set SPARK_GRAFT_INITIAL_PARTITIONS to ~2-3x total
+# cores so shuffles START wide and AQE coalesces DOWN to the advisory size
+# (AQE can only coalesce down, so the bare 32 above would cap every
+# production shuffle at 32 tasks). Locally the key is deliberately UNSET:
+# the first r12 attempt defaulted it to 64 and a 5-rep quiet A/B measured
+# real regressions on many-Exchange queries (d2_ngram_jaccard_pairs
+# 1.71 s @32 -> 2.28 s @64, d3_minhash_lsh_pairs 2.62 -> 2.83 — extra
+# map-side buckets + two task waves per non-coalesced stage on 32 cores),
+# so the local default stays the shuffle-partition width and the production
+# value is an explicit deployment knob.
+_INITIAL_PARTITIONS = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+if _INITIAL_PARTITIONS:
+    DEFAULT_CONFIGS[
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    ] = _INITIAL_PARTITIONS
 
 
 def get_spark(
