@@ -8,8 +8,34 @@ JVM-implementation-specific; md5 is a fixed standard).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def vocab_join_side(small: DataFrame) -> DataFrame:
+    """Join-strategy hint for a VOCABULARY-sized build side (distinct-word
+    encode tables, NB token models): Heaps-bounded — orders of magnitude
+    below corpus size, but not broadcast-bounded at 100 TB (~10^8 rows).
+
+    Default is an explicit broadcast of this side. The r12 attempt to drop
+    the hint and "let AQE decide" was MEASURED-WRONG both locally and at
+    scale: with no hint the static planner sized the aggregated vocab side
+    LARGER than the raw scan side and planned ``BroadcastHashJoin
+    BuildLeft`` — broadcasting the posexploded CORPUS token stream (see
+    plans/r12/t20_*_after pre-fix; paired r11/r12 A/B: t20 1.34×, t21
+    1.46×, dq8 1.26× slower). AQE cannot demote a statically planned
+    broadcast join, so the un-hinted plan is the scale-killer, not the
+    hinted one. For deployments where the vocabulary genuinely outgrows
+    the broadcast threshold, set ``SPARK_GRAFT_VOCAB_JOIN=shuffle_hash``:
+    a ShuffledHashJoin BUILDING on this (smaller) side — no corpus sort,
+    no corpus broadcast. The no-join production encode paths
+    (``wordpiece_encode_broadcast`` / ``unigram_encode_broadcast`` /
+    ``nb_seed_classifier_hashed``) avoid the question structurally."""
+    if os.environ.get("SPARK_GRAFT_VOCAB_JOIN") == "shuffle_hash":
+        return small.hint("shuffle_hash")
+    return F.broadcast(small)
 
 
 def portable_hash(col: Column, seed: int | None = None, hex_chars: int = 8) -> Column:
@@ -1578,13 +1604,12 @@ def wordpiece_encode(
         F.array_join("ps", " ").alias("pstr"),
     )
 
-    # no forced broadcast hint (r12, VERDICT r11 #3): the encoded table is
-    # one row per DISTINCT word — Heaps-bounded, but ~10^8 rows at 100 TB,
-    # past any broadcast threshold. AQE picks broadcast from the RUNTIME
-    # size (it will at every test SF) and degrades to a shuffle join when
-    # the vocabulary genuinely outgrows it; the hint would force the
-    # scale-killer. The no-join production path is wordpiece_encode_broadcast.
-    joined = tok.join(enc, "word")
+    # deliberate build-side choice (guide §3; see vocab_join_side): the
+    # encode table is the vocabulary-sized side — broadcast it (default)
+    # or shuffle-hash-build on it (SPARK_GRAFT_VOCAB_JOIN=shuffle_hash).
+    # Un-hinted, the static planner broadcast the CORPUS token stream
+    # (BuildLeft) — measured 1.34× slower at sf0.1 and a scale-killer.
+    joined = tok.join(vocab_join_side(enc), "word")
     return joined.groupBy(F.col(id_col)).agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("np").alias("n_pieces"),
@@ -1731,10 +1756,10 @@ def unigram_encode(
         F.array_join("ps", " ").alias("pstr"),
     )
 
-    # no forced broadcast hint — same rationale as wordpiece_encode: the
-    # distinct-word table is Heaps-bounded but not broadcast-bounded at
-    # 100 TB; AQE decides from runtime size. Production: unigram_encode_broadcast.
-    joined = tok.join(enc, "word")
+    # deliberate build-side choice — same rationale and evidence as
+    # wordpiece_encode (un-hinted = corpus-side broadcast, 1.46× slower);
+    # see vocab_join_side. Production: unigram_encode_broadcast.
+    joined = tok.join(vocab_join_side(enc), "word")
     return joined.groupBy(F.col(id_col)).agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("np").alias("n_pieces"),

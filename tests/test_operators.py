@@ -2004,6 +2004,39 @@ def test_broadcast_encode_twins_equal_column_twins(spark):
         assert "Exchange" not in plan
 
 
+def test_vocab_join_side_strategies(spark, monkeypatch):
+    """The r12 join-strategy guard (guide §3): the distinct-word encode
+    join must BUILD on the vocabulary side. Default = broadcast of the
+    vocab side (never the corpus token stream — the un-hinted static
+    plan chose BuildLeft over the posexploded corpus, the measured r12
+    regression); SPARK_GRAFT_VOCAB_JOIN=shuffle_hash = ShuffledHashJoin
+    building on the vocab side, with identical results."""
+    import os
+
+    from consumer_loans_analysis_spark.operators.text import wordpiece_encode
+    from consumer_loans_analysis_spark.plans.datapipe_queries import WP_VOCAB
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    monkeypatch.delenv("SPARK_GRAFT_VOCAB_JOIN", raising=False)
+    df_bc = wordpiece_encode(docs, WP_VOCAB)
+    plan_bc = df_bc._jdf.queryExecution().sparkPlan().toString()
+    # the ONE BroadcastExchange must sit over the vocab/encode subtree
+    # (contains the distinct-word aggregate), not over the corpus scan's
+    # posexplode: BuildRight in tok.join(enc) terms.
+    assert "BroadcastHashJoin" in plan_bc
+    assert "BuildRight" in plan_bc and "BuildLeft" not in plan_bc
+
+    monkeypatch.setenv("SPARK_GRAFT_VOCAB_JOIN", "shuffle_hash")
+    df_sh = wordpiece_encode(docs, WP_VOCAB)
+    plan_sh = df_sh._jdf.queryExecution().sparkPlan().toString()
+    assert "ShuffledHashJoin" in plan_sh and "BuildRight" in plan_sh
+
+    ra = {r["doc_id"]: r.asDict() for r in df_bc.collect()}
+    rb = {r["doc_id"]: r.asDict() for r in df_sh.collect()}
+    assert ra == rb
+
+
 def test_broadcast_encode_large_vocab_smoke(spark):
     """The case the twins exist for: a synthetic 5k-piece vocabulary —
     far past the literal-plan crossover — encodes through the broadcast
