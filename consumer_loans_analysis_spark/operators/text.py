@@ -1102,6 +1102,7 @@ def bpe_encode_broadcast(
     text_col: str = "text",
     id_col: str = "doc_id",
     pretoken_pattern: str = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+",
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """``bpe_encode`` for LARGE merge tables: Arrow-batched ``mapInPandas``
     with the rank table broadcast once in the closure, instead of the
@@ -1116,6 +1117,12 @@ def bpe_encode_broadcast(
     Plan shape: map-only (one python runner stage, zero Exchange); the
     per-word LRU cache makes the Zipf head free, exactly like GPT-2's
     encoder cache.
+
+    ``passthrough_cols`` copies the named input columns onto the output
+    rows inside the same Arrow batch (zero compute, zero shuffle) — the
+    "carry the shard key through the encoder" move that lets callers drop
+    a corpus-sized join-back to the source table (r12: pipe2's doc-level
+    source join removed this way).
     """
     import re
     from functools import lru_cache
@@ -1133,6 +1140,7 @@ def bpe_encode_broadcast(
     vocab = bpe_vocab(merges)
     pat = pretoken_pattern
     id_field = df.schema[id_col]
+    extra = list(passthrough_cols or [])
 
     def encode_batches(batches):
         rx = re.compile(pat)
@@ -1164,16 +1172,21 @@ def bpe_encode_broadcast(
                 [t for w in rx.findall(text or "") for t in word_ids(w)]
                 for text in pdf[text_col]
             ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "n_tokens": [len(x) for x in ids],
-                    "token_str": [" ".join(map(str, x)) for x in ids],
-                }
-            )
+            out = {
+                "doc_id": pdf[id_col],
+                "n_tokens": [len(x) for x in ids],
+                "token_str": [" ".join(map(str, x)) for x in ids],
+            }
+            for c in extra:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     schema = f"doc_id {id_field.dataType.simpleString()}, n_tokens long, token_str string"
-    return df.select(id_col, text_col).mapInPandas(encode_batches, schema=schema)
+    for c in extra:
+        schema += f", {c} {df.schema[c].dataType.simpleString()}"
+    return df.select(id_col, text_col, *extra).mapInPandas(
+        encode_batches, schema=schema
+    )
 
 
 def bpe_train(

@@ -3599,9 +3599,10 @@ def pipe2_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the encode+chunk half is map-only (the encoder is t14b's
     Arrow-batched broadcast-merge-table path — the designated large-table
     scale path, and ~20× faster than re-compiling t14's 21-round
-    when-chain per run; both are pinned to the same oracle); the
-    doc-level source join is one equi-join (at 100 TB, carry the shard
-    key through the encoder and it disappears); packing is ONE window
+    when-chain per run; both are pinned to the same oracle); the shard
+    key rides THROUGH the encoder (``passthrough_cols`` — r12: this
+    removed the doc-level source join-back entirely, one corpus-sized
+    equi-join gone); packing is ONE window
     shuffle on the shard key (never a global sort) and the final
     per-sequence aggregate reuses bounded groups. Every stage is
     individually oracled (t10/t14/t14b/chunk1/pack1) — this query proves
@@ -3609,23 +3610,25 @@ def pipe2_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    enc = text.bpe_encode_broadcast(docs)
+    enc = text.bpe_encode_broadcast(docs, passthrough_cols=["source"])
     ids = F.split(F.col("token_str"), " ")
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(ids) - 8, F.lit(1)), F.lit(24)
     )
     n_ids = F.least(F.lit(32), F.size("ids") - F.col("s") + 1)
-    chunks = (
-        enc.select("doc_id", ids.alias("ids"), F.explode(starts).alias("s"))
+    t = (
+        enc.select(
+            "doc_id", "source", ids.alias("ids"), F.explode(starts).alias("s")
+        )
         .select(
             "doc_id",
+            "source",
             ((F.col("s") - 1) / 24).cast("long").alias("chunk_idx"),
             n_ids.cast("long").alias("n_ids"),
             F.md5(F.array_join(F.slice(F.col("ids"), F.col("s"), n_ids), " "))
             .alias("chunk_md5"),
         )
     )
-    t = chunks.join(docs.select("doc_id", "source"), "doc_id")
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id", "chunk_idx")

@@ -1030,6 +1030,36 @@ def test_bpe_broadcast_equivalent_to_literal_replace(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_bpe_encode_broadcast_passthrough_cols(spark, sf_dir):
+    """passthrough_cols must copy input columns through the Arrow batch
+    unchanged (the r12 join-elimination lever for pipe2) with identical
+    encode output and a still map-only plan."""
+    from consumer_loans_analysis_spark.operators.text import (
+        bpe_encode_broadcast,
+    )
+    from consumer_loans_analysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    plain = {
+        r["doc_id"]: (r["n_tokens"], r["token_str"])
+        for r in bpe_encode_broadcast(docs).collect()
+    }
+    thru = bpe_encode_broadcast(docs, passthrough_cols=["source"])
+    rows = thru.collect()
+    assert {r["doc_id"]: (r["n_tokens"], r["token_str"]) for r in rows} == plain
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    assert {r["doc_id"]: r["source"] for r in rows} == src
+    plan = (
+        bpe_encode_broadcast(
+            read_table(spark, sf_dir, "documents"), passthrough_cols=["source"]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_bpe_encode_rejects_duplicate_merge_outputs(spark):
     """Merge tables where two merges share an output string break the
     fixed-round convergence argument — bpe_encode must refuse them."""
