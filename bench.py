@@ -242,15 +242,21 @@ def _canary_ref() -> float:
     return min(run, _CANARY_REF_CAP)
 
 
-def _canary_wall(spark) -> float:
+def _canary_wall(spark, record: bool = True) -> float:
     """Wall of the fixed reference workload: a 2^26-row codegen-only
     aggregate (range → sum of an arithmetic expression). No shuffle, no
     python worker, no disk — pure JVM compute whose wall tracks effective
-    host throughput (frequency + memory bandwidth + real cores)."""
+    host throughput (frequency + memory bandwidth + real cores).
+
+    record=False runs a DRAIN canary whose wall is deliberately not
+    added to the running reference: it is used right after a timed rep
+    to absorb our own GC/ContextCleaner tail, so it measures a known-
+    contaminated window."""
     t0 = time.perf_counter()
     spark.range(1 << 26).selectExpr("sum(id * 3 + 1) AS s").collect()
     wall = time.perf_counter() - t0
-    _canary_walls.append(wall)
+    if record:
+        _canary_walls.append(wall)
     return wall
 
 try:
@@ -449,6 +455,27 @@ def main() -> None:
                 rows = fn(spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
                 (h1, s1), m1 = _host_busy_jiffies(), _tree_jiffies()
+                # flush OUR OWN cleanup debt before the post-canary: a
+                # heavy rep (pipe5's checkpoint blocks, large collects)
+                # otherwise leaves GC/ContextCleaner work that lands
+                # inside cpost and reads as fabric_slow on a QUIET host
+                # (measured at r12 HEAD: pipe5 cpost 0.33-0.39 s vs
+                # 0.10-0.12 pre, with other_cores 0.0 and steal ~0 — all
+                # three reps flagged, whole record stamped contaminated).
+                # System.gc() only ENQUEUES the cleanup — the
+                # ContextCleaner drains its reference queue on its own
+                # thread — so an unrecorded DRAIN canary then absorbs
+                # that concurrent work (gc alone still read cpost 0.31 s
+                # at other_cores 0.0). The recorded cpost that follows
+                # measures the HOST; a genuine throttle window (seconds+)
+                # spans the drain and still shows. The timed action (dt
+                # above) is unchanged.
+                gc.collect()
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
+                _canary_wall(spark, record=False)
                 cpost = _canary_wall(spark)
                 assert rows is not None
                 other = max(0.0, ((h1 - h0) - (m1 - m0)) / _CLK / max(dt, 1e-3))
