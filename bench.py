@@ -204,8 +204,17 @@ NEIGHBOR_CORES_MAX = float(os.environ.get("SPARK_GRAFT_NEIGHBOR_CORES_MAX", "2.0
 
 # Hypervisor steal above this many cores marks a rep dirty too — normal
 # fabric noise here is 1-2 cores while we saturate 32 vCPUs; 8+ means a
-# co-tenant VM is eating a quarter of the machine.
-STEAL_CORES_MAX = float(os.environ.get("SPARK_GRAFT_STEAL_CORES_MAX", "8.0"))
+# co-tenant VM is eating a quarter of the machine. The default SCALES
+# with the bench's core count (cpus/4, capped at the original 8.0 so
+# 32-core runs are unchanged): steal is dirty in PROPORTION to the
+# cores we run on — a measured 8-core scaling run kept reps with
+# 2.75-3.5 stolen cores (35-44% of the machine) under the flat 8.0
+# gate, reading sim5 at 9.5-10.5 s vs 4.4 s on its steal-clean rep and
+# faking a 3.2x core-scaling ratio where the clean ratio is ~1.5x.
+_BENCH_CPUS = float(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+STEAL_CORES_MAX = float(
+    os.environ.get("SPARK_GRAFT_STEAL_CORES_MAX", str(min(8.0, _BENCH_CPUS / 4.0)))
+)
 
 # r12 fabric canary (VERDICT r11 #5): a rep whose surrounding canary walls
 # exceed this multiple of the run's canary MEDIAN is fabric-throttled —
