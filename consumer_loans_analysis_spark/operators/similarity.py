@@ -888,14 +888,16 @@ def pq_topk(
     memory. Search is ADC (asymmetric distance computation): per query one
     (m_subs × ks) dot-product lookup table against the RAW query vector;
     approx score = Σ_m LUT[m, code_m] — table lookups, no float math per
-    candidate. Scan shape: ``mapInPandas`` over the coded corpus, queries'
+    candidate. Scan shape (r13): ONE fused ``mapInPandas`` pass over the
+    unit corpus — encode, ADC lookup, per-partition top-R, and the exact
+    re-rank cosine of the per-batch survivors (the standard ADC
+    refinement step, absorbed: the batch already holds the true vectors,
+    so refinement costs no second corpus scan and no join) — queries'
     LUTs in the closure (queries are an operationally small batch, like
-    ``cosine_topk``'s broadcast side), per-partition top-R via
-    argpartition, then a per-query window over the ≤ partitions·n_q·R
-    survivors. Final: exact re-rank of the top ``rerank·k`` candidates
-    against true vectors (the standard ADC refinement step) — candidate
-    ids broadcast back onto the corpus, ONE extra corpus-scan join, no
-    corpus shuffle anywhere.
+    ``cosine_topk``'s broadcast side), then per-query windows over the
+    ≤ partitions·n_q·R survivors: cut to R by approx, rank by exact cos.
+    No corpus shuffle anywhere; the corpus crosses the Python boundary
+    exactly once.
 
     Output matches sim1/sim3: (query_id, neighbor_id, cos, rank) with the
     exact cosine for surviving candidates.
@@ -939,7 +941,15 @@ def pq_topk(
     queries = queries.filter(_norm(F.col(vec_col)) > 0)
     c_unit = corpus.select(
         F.col(id_col).alias("neighbor_id"), unit(F.col(vec_col)).alias("v")
-    ).localCheckpoint(eager=True)  # reused by train(sample) + encode + re-rank
+    )
+    # checkpoint only when the frame has >1 consumer (the multi-consumer
+    # rule): live fit adds a sample job, rerank="auto" adds a count job.
+    # The PINNED fixed-rerank path (sim5c) has exactly one consumer — the
+    # fused scan below — so a checkpoint there is a pure extra
+    # materialization pass (r13: the r12 shape also re-scanned for the
+    # exact re-rank join, which the fused scan absorbed).
+    if codebooks is None or rerank == "auto":
+        c_unit = c_unit.localCheckpoint(eager=True)  # train(sample)+count+scan
 
     if rerank == "auto":
         # scale-adaptive budget from the measured drift curve (see
@@ -986,28 +996,7 @@ def pq_topk(
         ]
     )  # (m_subs, ks)
 
-    # --- encode: vec → m_subs argmin codes, one Arrow pass ---------------
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<int>")
-    def encode(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        X = np.asarray(vecs.tolist(), dtype=np.float64)
-        X = X.reshape(X.shape[0], m_subs, dsub)
-        # ||x - c||² argmin == argmin(||c||² - 2x·c) per subspace (the
-        # constant ||x||² drops out); numpy argmin takes the FIRST minimum
-        # == SQL's ORDER BY d, code tie-break. _ltr_dot keeps the scores
-        # engine-portable.
-        codes = np.empty((X.shape[0], m_subs), dtype=np.int32)
-        for s in range(m_subs):
-            d = cnorm[s] - 2.0 * _ltr_dot(X[:, s, None, :], cb[s][None, :, :])
-            codes[:, s] = d.argmin(axis=1)
-        return pd.Series(list(codes))
-
-    coded = c_unit.select("neighbor_id", encode(F.col("v")).alias("codes"))
-
-    # --- ADC scan: LUTs in the closure, per-partition top-R --------------
+    # --- fused encode + ADC scan + exact re-rank (r13): one Arrow pass ---
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), unit(F.col(vec_col)).alias("v")
     ).collect()
@@ -1027,8 +1016,8 @@ def pq_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
             ids = pdf["neighbor_id"].to_numpy()
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # (B, dim)
             # pre-sort by neighbor id: the per-batch cut below must break
             # approx-score ties to the LOWEST id (two vectors with the
             # same 16 codes have bit-identical ADC sums), matching the
@@ -1036,7 +1025,19 @@ def pq_topk(
             # DESC, neighbor_id ASC — argpartition alone resolved such
             # ties arbitrarily
             order = np.argsort(ids, kind="stable")
-            ids, C = ids[order], C[order]
+            ids, X = ids[order], X[order]
+            # encode in-batch: ||x - c||² argmin == argmin(||c||² - 2x·c)
+            # per subspace (the constant ||x||² drops out); numpy argmin
+            # takes the FIRST minimum == SQL's ORDER BY d, code tie-break.
+            # _ltr_dot keeps the scores engine-portable. Identical
+            # arithmetic to the r12 encode pandas_udf — fused here so the
+            # codes never cross back into the JVM (guide §4: one Python
+            # boundary, not two).
+            Xsub = X.reshape(X.shape[0], m_subs, dsub)
+            C = np.empty((X.shape[0], m_subs), dtype=np.int64)
+            for s in range(m_subs):
+                d = cnorm[s] - 2.0 * _ltr_dot(Xsub[:, s, None, :], cb[s][None, :, :])
+                C[:, s] = d.argmin(axis=1)
             # gather: S[q, b] = Σ_m lut[q, m, C[b, m]] — arange(m) ⊗ C(B,m)
             # broadcast to (B, m), slice dim0 keeps q → (nq, B, m); the sum
             # over m is an explicit left-to-right add chain (oracle-portable)
@@ -1046,42 +1047,34 @@ def pq_topk(
                 S = S + G[..., s]
             top = min(R, S.shape[1])
             idx = np.argsort(-S, axis=1, kind="stable")[:, :top]
+            # exact cosine for the per-batch survivors, in the SAME strict
+            # left-to-right chain as the F.aggregate fold it replaces
+            # (_ltr_dot is the proven ltr-equivalent of Spark's aggregate
+            # and DuckDB's list_dot_product) — the batch already holds the
+            # true vectors, so the r12 re-rank join (a second corpus scan
+            # + two broadcast joins) is absorbed into this pass. The
+            # global top-R by (approx, id) is a subset of the per-batch
+            # top-R union at ANY batch boundary, so the window below sees
+            # every surviving candidate.
+            cos = _ltr_dot(Q[:, None, :], X[idx])  # (nq, top)
             out = {
                 "query_id": np.repeat(q_ids, top),
                 "neighbor_id": ids[idx].ravel(),
                 "approx": np.take_along_axis(S, idx, axis=1).ravel(),
+                "cos": cos.ravel(),
             }
             yield pd.DataFrame(out)
 
-    parts = coded.mapInPandas(
-        scan, "query_id long, neighbor_id long, approx double"
+    parts = c_unit.select("neighbor_id", "v").mapInPandas(
+        scan, "query_id long, neighbor_id long, approx double, cos double"
     )
+    # candidate cut by approx (the ADC semantics), then exact rank by cos —
+    # both windows share one query_id exchange
     wr = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
-    cands = (
-        parts.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= R)
-        .select("query_id", "neighbor_id")
-    )
-
-    # --- exact re-rank of the R survivors --------------------------------
-    qdf = queries.sparkSession.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
-        "query_id long, qv array<double>",
-    )
-    scored = (
-        c_unit.join(F.broadcast(cands), c_unit["neighbor_id"] == cands["neighbor_id"])
-        .drop(cands["neighbor_id"])
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-            ).alias("cos"),
-        )
-    )
+    cands = parts.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= R)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
@@ -1196,27 +1189,14 @@ def ivfadc_topk(
         ]
     )
 
+    # r13: no checkpoint — after the fused scan below absorbed the exact
+    # re-rank join, this frame has exactly ONE consumer (the scan); in
+    # live mode the fit sample was already collected from c_unit above,
+    # so nothing is computed twice without it (the multi-consumer rule
+    # cuts the other way here: a checkpoint would be a pure extra
+    # materialization pass).
     c_routed = c_unit.select(
         "neighbor_id", "v", kmeans_assign(F.col("v"), centroids).alias("list_id")
-    ).localCheckpoint(eager=True)
-
-    # --- encode: identical arithmetic to pq_topk ------------------------
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<int>")
-    def encode(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        X = np.asarray(vecs.tolist(), dtype=np.float64)
-        X = X.reshape(X.shape[0], m_subs, dsub)
-        codes = np.empty((X.shape[0], m_subs), dtype=np.int32)
-        for s in range(m_subs):
-            d = cnorm[s] - 2.0 * _ltr_dot(X[:, s, None, :], cb[s][None, :, :])
-            codes[:, s] = d.argmin(axis=1)
-        return pd.Series(list(codes))
-
-    coded = c_routed.select(
-        "neighbor_id", "list_id", encode(F.col("v")).alias("codes")
     )
 
     # --- query side: probe ranking + ADC LUTs, driver-side --------------
@@ -1257,11 +1237,19 @@ def ivfadc_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
             ids = pdf["neighbor_id"].to_numpy()
             lids = pdf["list_id"].to_numpy()
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # (B, dim)
             order = np.argsort(ids, kind="stable")  # tie-break as pq_topk
-            ids, C, lids = ids[order], C[order], lids[order]
+            ids, lids, X = ids[order], lids[order], X[order]
+            # encode in-batch — identical arithmetic to pq_topk's fused
+            # scan (the r12 encode pandas_udf, fused so codes never cross
+            # back into the JVM)
+            Xsub = X.reshape(X.shape[0], m_subs, dsub)
+            C = np.empty((X.shape[0], m_subs), dtype=np.int64)
+            for s in range(m_subs):
+                d = cnorm[s] - 2.0 * _ltr_dot(Xsub[:, s, None, :], cb[s][None, :, :])
+                C[:, s] = d.argmin(axis=1)
             valid = probe_mask[:, lids]  # (nq, B): row in a probed list?
             G = lut[:, np.arange(m_subs), C]
             S = G[..., 0]
@@ -1271,40 +1259,25 @@ def ivfadc_topk(
             top = min(R, S.shape[1])
             idx = np.argsort(-S, axis=1, kind="stable")[:, :top]
             keep = np.take_along_axis(valid, idx, axis=1).ravel()
+            # exact cosine of the survivors in the same ltr chain as the
+            # F.aggregate fold it replaces (see pq_topk)
+            cos = _ltr_dot(Q[:, None, :], X[idx])  # (nq, top)
             out = {
                 "query_id": np.repeat(q_ids, top)[keep],
                 "neighbor_id": ids[idx].ravel()[keep],
                 "approx": np.take_along_axis(S, idx, axis=1).ravel()[keep],
+                "cos": cos.ravel()[keep],
             }
             yield pd.DataFrame(out)
 
-    parts = coded.mapInPandas(
-        scan, f"query_id {q_id_t}, neighbor_id {c_id_t}, approx double"
+    parts = c_routed.mapInPandas(
+        scan, f"query_id {q_id_t}, neighbor_id {c_id_t}, approx double, cos double"
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
-    cands = (
-        parts.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= R)
-        .select("query_id", "neighbor_id")
-    )
-    qdf = queries.sparkSession.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in zip(q_ids.tolist(), Q)],
-        f"query_id {q_id_t}, qv array<double>",
-    )
-    scored = (
-        c_routed.join(F.broadcast(cands), c_routed["neighbor_id"] == cands["neighbor_id"])
-        .drop(cands["neighbor_id"])
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-            ).alias("cos"),
-        )
-    )
+    cands = parts.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= R)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

@@ -310,11 +310,18 @@ def test_ann_merge_windows_have_group_limit(spark, sf_dir):
     # query batch are tiny) — a shuffle join here would exchange the
     # corpus for a |q|*R-row lookup
     assert "BroadcastHashJoin" in plans["prefix_rerank"], plans["prefix_rerank"]
-    # sim8's composed pruning: rerank joins broadcast, and no nested-loop
-    # join anywhere (the probed-list restriction is an in-batch mask, not
-    # a join condition Catalyst could degrade to BNLJ)
-    assert "BroadcastHashJoin" in plans["ivfadc_pinned"], plans["ivfadc_pinned"]
-    assert "BroadcastNestedLoopJoin" not in plans["ivfadc_pinned"]
+    # r13 fused ADC scan: encode + ADC + exact re-rank run in ONE
+    # mapInPandas pass (the batch holds the true vectors), so the pq and
+    # ivfadc paths carry NO join at all — the corpus crosses the Python
+    # boundary exactly once and the only exchange is the per-query
+    # candidate merge window. A Join or a second Python node here means
+    # the r12 rerank-join shape (an extra corpus scan) regressed back in.
+    for name in ("pq", "pq_pinned", "ivfadc_pinned"):
+        p = plans[name]
+        assert "Join" not in p, (name, p)
+        assert p.count("MapInPandas") == 1, (name, p)
+        assert "ArrowEvalPython" not in p, (name, p)
+        assert "BatchEvalPython" not in p, (name, p)
 
 
 def test_pca_whiten_is_map_only(spark, sf_dir):
