@@ -200,7 +200,18 @@ def kneser_ney_score(
     ``t19_kneser_ney_score`` query docstring for the formula, smoothing
     rationale, and scale shape. Returns (id, n_bigrams,
     kn_cross_entropy); documents with fewer than 2 words score no rows
-    (no bigrams), matching the oracle's join semantics."""
+    (no bigrams), matching the oracle's join semantics.
+
+    Model build (r13): the continuation/discount statistics are exact
+    integer aggregations of the bigram-counts table — the table the
+    scoring join broadcasts anyway — so by default they are computed in
+    ONE driver-side pandas pass (``SPARK_GRAFT_KN_MODEL=driver``),
+    deleting three shuffled aggregations, two joins and a checkpoint
+    from the plan. ``SPARK_GRAFT_KN_MODEL=dist`` restores the
+    distributed build for bigram tables past driver memory; pair it
+    with ``SPARK_GRAFT_VOCAB_JOIN=shuffle_hash`` past the broadcast
+    threshold. Both paths share the ``_logp`` expression and are
+    bit-identical (pytest-pinned)."""
     w = F.split(F.col(text_col), " ")
     bigrams = F.when(
         F.size(w) >= 2,
@@ -215,63 +226,120 @@ def kneser_ney_score(
     doc_big = df.select(
         F.col(id_col), F.explode(bigrams).alias("b")
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    # The counts table is localCheckpointed DELIBERATELY: its four
-    # consumers (uc, pre, scal, the model join) sit in one plan, but
-    # column pruning gives each branch a canonically DIFFERENT bc
-    # subtree, so ReusedExchange does not fire — measured r12: removing
-    # this checkpoint recomputed the explode+count subtree 4x
-    # (16 -> 28 Exchanges, pipe5 6.7 s -> 13.3 s) and starved AQE of the
-    # size stats that make the model joins broadcast.
-    bc = (
-        doc_big.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint()
-    )
-    uc = bc.groupBy("w1").agg(
-        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_w1")
-    )
-    pre = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_pre"))
-    scal = bc.agg(
-        F.sum((F.col("c12") == 1).cast("int")).cast("double").alias("n1"),
-        F.sum((F.col("c12") == 2).cast("int")).cast("double").alias("n2"),
-        F.count(F.lit(1)).cast("double").alias("types"),
-    )
-    # a corpus dense enough that NO bigram has count 1 or 2 gives the
-    # count-of-counts estimate no evidence: D = 0/0. The correct limit
-    # is D = 0 (no discount -> plain MLE).
-    disc = F.when(
-        F.col("n1") + 2 * F.col("n2") > 0,
-        F.col("n1") / (F.col("n1") + 2 * F.col("n2")),
-    ).otherwise(F.lit(0.0))
-    model = (
-        bc.join(uc, "w1")
-        .join(pre, "w2")
-        .crossJoin(F.broadcast(scal))
-        .select(
-            "w1",
-            "w2",
-            F.log(
-                (
-                    F.greatest(F.col("c12").cast("double") - disc, F.lit(0.0))
-                    + disc
-                    * F.col("n1p_w1")
-                    * (F.col("n1p_pre") / F.col("types"))
-                )
-                / F.col("c1")
-            ).alias("logp"),
+
+    def _logp(disc: Column, types: Column) -> Column:
+        # the interpolated-KN log-probability — ONE expression shared by
+        # both model-build paths below, so they are the same IEEE754
+        # doubles by construction (same implicit casts: c1/n1p_w1/
+        # n1p_pre stay LONG, disc/types DOUBLE)
+        return F.log(
+            (
+                F.greatest(F.col("c12").cast("double") - disc, F.lit(0.0))
+                + disc * F.col("n1p_w1") * (F.col("n1p_pre") / types)
+            )
+            / F.col("c1")
         )
-    )
-    # The model broadcast hint is KEPT deliberately (r12 A/B): un-forcing
-    # it re-plans the scoring join as a static SortMergeJoin — a
-    # corpus-sized (w1,w2) shuffle+sort of doc_big that AQE's runtime
-    # BHJ conversion did not recover (measured: pipe5 6.7 s -> 13.6 s,
-    # t19 plan 6 BHJ -> 0). The model is bigram-TYPES-sized
-    # (vocab²/Heaps-bounded); at a corpus where that outgrows the
-    # broadcast threshold the right production move is a shuffle join —
-    # flip this hint there — but the hint is what keeps the local plan
-    # honest, and the table is orders smaller than the corpus.
+
+    if os.environ.get("SPARK_GRAFT_KN_MODEL", "driver") == "driver":
+        # r13 (the VERDICT r12 pipe5 lever): the model-statistics tables
+        # (uc, pre, scal) are pure aggregations of the bigram-counts
+        # table — which is EXACTLY the table the scoring join below
+        # broadcasts to every executor, so materializing it on the
+        # driver costs no memory the broadcast did not already imply.
+        # Collecting it once and folding the three consumers into exact
+        # pandas integer aggregations deletes three shuffled
+        # aggregations, two joins, a crossJoin, and the counts-table
+        # localCheckpoint from the plan (r12: that sequential ~8-stage
+        # chain, not compute, dominated pipe5's wall — each stage ran
+        # over a vocab²-bounded table). Counts are exact int64 in both
+        # engines; every double is produced by the shared _logp/disc
+        # expressions, so the scores are bit-identical to the
+        # distributed build (pytest-pinned).
+        counts = (
+            doc_big.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .toPandas()
+        )
+        spark = df.sparkSession
+        schema = (
+            "w1 string, w2 string, c12 long, c1 long, n1p_w1 long, n1p_pre long"
+        )
+        if len(counts) == 0:
+            model_src = spark.createDataFrame([], schema)
+            n1 = n2 = types_f = 0.0
+        else:
+            g1 = counts.groupby("w1")["c12"]
+            counts["c1"] = g1.transform("sum")
+            counts["n1p_w1"] = g1.transform("size")
+            counts["n1p_pre"] = counts.groupby("w2")["c12"].transform("size")
+            c12v = counts["c12"]
+            n1 = float((c12v == 1).sum())
+            n2 = float((c12v == 2).sum())
+            types_f = float(len(counts))
+            model_src = spark.createDataFrame(
+                counts[["w1", "w2", "c12", "c1", "n1p_w1", "n1p_pre"]], schema
+            )
+        # same guarded count-of-counts discount as the dist path; with
+        # literal scalars Catalyst constant-folds the identical double
+        # division
+        disc = (
+            F.lit(n1) / (F.lit(n1) + 2 * F.lit(n2))
+            if n1 + 2 * n2 > 0
+            else F.lit(0.0)
+        )
+        model = model_src.select(
+            "w1", "w2", _logp(disc, F.lit(types_f)).alias("logp")
+        )
+    else:
+        # SPARK_GRAFT_KN_MODEL=dist — the distributed model build, for
+        # deployments whose bigram-TYPES table outgrows driver memory
+        # (it then also outgrows the broadcast threshold: pair with
+        # SPARK_GRAFT_VOCAB_JOIN=shuffle_hash below).
+        # The counts table is localCheckpointed DELIBERATELY: its four
+        # consumers (uc, pre, scal, the model join) sit in one plan, but
+        # column pruning gives each branch a canonically DIFFERENT bc
+        # subtree, so ReusedExchange does not fire — measured r12:
+        # removing this checkpoint recomputed the explode+count subtree
+        # 4x (16 -> 28 Exchanges, pipe5 6.7 s -> 13.3 s) and starved AQE
+        # of the size stats that make the model joins broadcast.
+        bc = (
+            doc_big.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .localCheckpoint()
+        )
+        uc = bc.groupBy("w1").agg(
+            F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_w1")
+        )
+        pre = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_pre"))
+        scal = bc.agg(
+            F.sum((F.col("c12") == 1).cast("int")).cast("double").alias("n1"),
+            F.sum((F.col("c12") == 2).cast("int")).cast("double").alias("n2"),
+            F.count(F.lit(1)).cast("double").alias("types"),
+        )
+        # a corpus dense enough that NO bigram has count 1 or 2 gives the
+        # count-of-counts estimate no evidence: D = 0/0. The correct limit
+        # is D = 0 (no discount -> plain MLE).
+        disc = F.when(
+            F.col("n1") + 2 * F.col("n2") > 0,
+            F.col("n1") / (F.col("n1") + 2 * F.col("n2")),
+        ).otherwise(F.lit(0.0))
+        model = (
+            bc.join(uc, "w1")
+            .join(pre, "w2")
+            .crossJoin(F.broadcast(scal))
+            .select("w1", "w2", _logp(disc, F.col("types")).alias("logp"))
+        )
+    # The model-side build hint is KEPT deliberately (r12 A/B): un-hinted,
+    # the static planner re-plans the scoring join as a SortMergeJoin — a
+    # corpus-sized (w1,w2) shuffle+sort of doc_big that AQE's runtime BHJ
+    # conversion did not recover (measured: pipe5 6.7 s -> 13.6 s, t19
+    # plan 6 BHJ -> 0). The model is bigram-TYPES-sized (vocab²/Heaps-
+    # bounded); where it outgrows the broadcast threshold, set
+    # SPARK_GRAFT_VOCAB_JOIN=shuffle_hash (r13, VERDICT r12 #4): a
+    # ShuffledHashJoin BUILDING on the model side — no corpus sort, no
+    # corpus broadcast.
     return (
-        doc_big.join(F.broadcast(model), ["w1", "w2"])
+        doc_big.join(vocab_join_side(model), ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -5045,8 +5045,11 @@ def dq8b_seed_quality_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature space — the actual Brown et al. 2020 §A / fastText shape.
     The model is exactly n_buckets rows regardless of corpus size, so
     its broadcast is structurally justified at 100 TB (dq8's exact-vocab
-    model is Heaps-bounded but NOT broadcast-bounded; its forced hint
-    was dropped this round, AQE decides). The bucket hash is the
+    model is Heaps-bounded but NOT broadcast-bounded; its join routes
+    through ``text.vocab_join_side`` — model-side build hint kept, with
+    the SPARK_GRAFT_VOCAB_JOIN=shuffle_hash fallback — because the r12
+    un-hinting experiment measured the static planner broadcasting the
+    CORPUS side instead). The bucket hash is the
     engine-portable md5 prefix, so the full fit+score dataflow —
     hashing-trick collisions included — sits under the external hash
     oracle; smoothing is over the fixed feature space (v = 2^20).

@@ -2067,6 +2067,50 @@ def test_vocab_join_side_strategies(spark, monkeypatch):
     assert ra == rb
 
 
+def test_kn_model_build_modes_and_join_side(spark, monkeypatch):
+    """r13 (VERDICT r12 next-round #1/#4): kneser_ney_score's model
+    statistics (uc/pre/scal) fold into ONE driver-side exact-integer
+    pass by default — the plan must feed the scoring join from a local
+    relation with NO distributed model aggregations left (exactly the
+    final per-doc partial+final aggregate pair remains).
+    SPARK_GRAFT_KN_MODEL=dist keeps the r12 distributed build for
+    bigram tables past driver memory; the scoring-join build side now
+    routes through vocab_join_side, so
+    SPARK_GRAFT_VOCAB_JOIN=shuffle_hash gives a ShuffledHashJoin
+    BUILDING on the model side (never a corpus sort/broadcast). All
+    paths must produce IDENTICAL frames — the shared _logp expression
+    makes the scores bit-equal, not just round-equal."""
+    from consumer_loans_analysis_spark.operators.text import kneser_ney_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    monkeypatch.delenv("SPARK_GRAFT_KN_MODEL", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_VOCAB_JOIN", raising=False)
+    df_drv = kneser_ney_score(docs)
+    plan_drv = df_drv._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan_drv and "BuildRight" in plan_drv
+    assert "BuildLeft" not in plan_drv
+    assert "LocalTableScan" in plan_drv, plan_drv
+    # only the final per-doc aggregation survives in the plan — the
+    # model-stat aggregations ran driver-side
+    n_agg = plan_drv.count("HashAggregate") + plan_drv.count("SortAggregate")
+    assert n_agg == 2, plan_drv
+
+    monkeypatch.setenv("SPARK_GRAFT_VOCAB_JOIN", "shuffle_hash")
+    df_shj = kneser_ney_score(docs)
+    plan_shj = df_shj._jdf.queryExecution().sparkPlan().toString()
+    assert "ShuffledHashJoin" in plan_shj and "BuildRight" in plan_shj
+    monkeypatch.delenv("SPARK_GRAFT_VOCAB_JOIN")
+
+    monkeypatch.setenv("SPARK_GRAFT_KN_MODEL", "dist")
+    df_dist = kneser_ney_score(docs)
+
+    ra = {r["doc_id"]: r.asDict() for r in df_drv.collect()}
+    assert ra == {r["doc_id"]: r.asDict() for r in df_shj.collect()}
+    assert ra == {r["doc_id"]: r.asDict() for r in df_dist.collect()}
+    assert len(ra) > 0
+
+
 def test_broadcast_encode_large_vocab_smoke(spark):
     """The case the twins exist for: a synthetic 5k-piece vocabulary —
     far past the literal-plan crossover — encodes through the broadcast
