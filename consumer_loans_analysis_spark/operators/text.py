@@ -194,7 +194,10 @@ def gopher_quality_rules(
 
 
 def kneser_ney_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough_cols: tuple = (),
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (t19) — see the
     ``t19_kneser_ney_score`` query docstring for the formula, smoothing
@@ -211,7 +214,12 @@ def kneser_ney_score(
     distributed build for bigram tables past driver memory; pair it
     with ``SPARK_GRAFT_VOCAB_JOIN=shuffle_hash`` past the broadcast
     threshold. Both paths share the ``_logp`` expression and are
-    bit-identical (pytest-pinned)."""
+    bit-identical (pytest-pinned).
+
+    ``passthrough_cols`` (r13, the pipe2 precedent): per-doc constant
+    columns copied onto the output — zero compute in the driver path
+    (they ride the Arrow batch), ``F.first`` in the dist aggregation —
+    so callers need no doc-keyed join to re-attach them."""
     w = F.split(F.col(text_col), " ")
     bigrams = F.when(
         F.size(w) >= 2,
@@ -241,32 +249,68 @@ def kneser_ney_score(
         )
 
     if os.environ.get("SPARK_GRAFT_KN_MODEL", "driver") == "driver":
-        # r13 (the VERDICT r12 pipe5 lever): the model-statistics tables
-        # (uc, pre, scal) are pure aggregations of the bigram-counts
-        # table — which is EXACTLY the table the scoring join below
-        # broadcasts to every executor, so materializing it on the
-        # driver costs no memory the broadcast did not already imply.
-        # Collecting it once and folding the three consumers into exact
+        # r13 (the VERDICT r12 pipe5 lever), two parts:
+        #
+        # (1) The model-statistics tables (uc, pre, scal) are pure
+        # aggregations of the bigram-counts table — which is EXACTLY the
+        # table the r12 scoring join broadcast to every executor, so
+        # materializing it on the driver costs no memory the broadcast
+        # did not already imply. Folding the three consumers into exact
         # pandas integer aggregations deletes three shuffled
         # aggregations, two joins, a crossJoin, and the counts-table
-        # localCheckpoint from the plan (r12: that sequential ~8-stage
-        # chain, not compute, dominated pipe5's wall — each stage ran
-        # over a vocab²-bounded table). Counts are exact int64 in both
-        # engines; every double is produced by the shared _logp/disc
-        # expressions, so the scores are bit-identical to the
-        # distributed build (pytest-pinned).
-        counts = (
-            doc_big.groupBy("w1", "w2")
-            .agg(F.count(F.lit(1)).alias("c12"))
-            .toPandas()
-        )
+        # localCheckpoint from the plan (r12: that sequential stage
+        # chain ran over a vocab²-bounded table).
+        #
+        # (2) Both corpus passes become map-only Arrow passes — the r12
+        # profile showed each 5M-row bigram explode+hash-agg pass
+        # costing ~3 s at sf0.1 while every model stage ran over ≤10³
+        # rows. Pass one counts (w1,w2) pairs per batch (C-level dict
+        # ops; partials collected and final-summed exactly in pandas
+        # int64); pass two scores each doc against the model dict in the
+        # closure. ZERO Exchange, zero joins, two corpus reads — the
+        # information-theoretic floor for self-trained scoring. The
+        # per-doc sum is the same left-to-right accumulation the
+        # hash-agg partial performed (explode keeps a doc's bigrams in
+        # one partition), and logp itself is still evaluated by Spark's
+        # log over the local model relation, so scores stay
+        # bit-identical to the dist path (pytest-pinned).
+        from collections import Counter
+
+        import pandas as pd
+
         spark = df.sparkSession
+        id_t = df.schema[id_col].dataType.simpleString()
+
+        def count_pairs(batches):
+            for pdf in batches:
+                cnt: Counter = Counter()
+                for txt in pdf[text_col]:
+                    ws = txt.split(" ") if txt is not None else []
+                    if len(ws) >= 2:
+                        cnt.update(zip(ws, ws[1:]))
+                if cnt:
+                    yield pd.DataFrame(
+                        {
+                            "w1": [k[0] for k in cnt],
+                            "w2": [k[1] for k in cnt],
+                            "c": pd.Series(list(cnt.values()), dtype="int64"),
+                        }
+                    )
+
+        part = df.select(text_col).mapInPandas(
+            count_pairs, "w1 string, w2 string, c long"
+        )
+        pc = part.toPandas()  # ≤ bigram-types × partitions partial rows
+        counts = (
+            pc.groupby(["w1", "w2"], as_index=False)["c"]
+            .sum()
+            .rename(columns={"c": "c12"})
+        )
         schema = (
             "w1 string, w2 string, c12 long, c1 long, n1p_w1 long, n1p_pre long"
         )
         if len(counts) == 0:
-            model_src = spark.createDataFrame([], schema)
-            n1 = n2 = types_f = 0.0
+            model_rows = []
         else:
             g1 = counts.groupby("w1")["c12"]
             counts["c1"] = g1.transform("sum")
@@ -276,19 +320,56 @@ def kneser_ney_score(
             n1 = float((c12v == 1).sum())
             n2 = float((c12v == 2).sum())
             types_f = float(len(counts))
+            # same guarded count-of-counts discount as the dist path;
+            # with literal scalars Catalyst constant-folds the identical
+            # double division
+            disc = (
+                F.lit(n1) / (F.lit(n1) + 2 * F.lit(n2))
+                if n1 + 2 * n2 > 0
+                else F.lit(0.0)
+            )
             model_src = spark.createDataFrame(
                 counts[["w1", "w2", "c12", "c1", "n1p_w1", "n1p_pre"]], schema
             )
-        # same guarded count-of-counts discount as the dist path; with
-        # literal scalars Catalyst constant-folds the identical double
-        # division
-        disc = (
-            F.lit(n1) / (F.lit(n1) + 2 * F.lit(n2))
-            if n1 + 2 * n2 > 0
-            else F.lit(0.0)
+            model_rows = model_src.select(
+                "w1", "w2", _logp(disc, F.lit(types_f)).alias("logp")
+            ).collect()  # LocalTableScan — no cluster job
+        logp_map = {(r[0], r[1]): r[2] for r in model_rows}
+
+        def score(batches):
+            for pdf in batches:
+                keep_idx: list = []
+                nb: list = []
+                ce: list = []
+                for i, txt in enumerate(pdf[text_col]):
+                    ws = txt.split(" ") if txt is not None else []
+                    if len(ws) < 2:
+                        continue  # no bigrams -> no row (join semantics)
+                    s = 0.0
+                    n = 0
+                    for pair in zip(ws, ws[1:]):
+                        s += logp_map[pair]
+                        n += 1
+                    keep_idx.append(i)
+                    nb.append(n)
+                    ce.append(_spark_round6(-(s / n)))
+                out = {
+                    id_col: pdf[id_col].iloc[keep_idx].reset_index(drop=True),
+                    "n_bigrams": pd.Series(nb, dtype="int64"),
+                    "kn_cross_entropy": pd.Series(ce, dtype="float64"),
+                }
+                for c in passthrough_cols:
+                    out[c] = pdf[c].iloc[keep_idx].reset_index(drop=True)
+                yield pd.DataFrame(out)
+
+        pt_schema = "".join(
+            f", {c} {df.schema[c].dataType.simpleString()}"
+            for c in passthrough_cols
         )
-        model = model_src.select(
-            "w1", "w2", _logp(disc, F.lit(types_f)).alias("logp")
+        return df.select(id_col, text_col, *passthrough_cols).mapInPandas(
+            score,
+            f"{id_col} {id_t}, n_bigrams long, kn_cross_entropy double"
+            + pt_schema,
         )
     else:
         # SPARK_GRAFT_KN_MODEL=dist — the distributed model build, for
@@ -338,12 +419,19 @@ def kneser_ney_score(
     # SPARK_GRAFT_VOCAB_JOIN=shuffle_hash (r13, VERDICT r12 #4): a
     # ShuffledHashJoin BUILDING on the model side — no corpus sort, no
     # corpus broadcast.
+    score_src = df.select(
+        F.col(id_col), *passthrough_cols, F.explode(bigrams).alias("b")
+    ).select(
+        id_col, *passthrough_cols,
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"),
+    )
     return (
-        doc_big.join(vocab_join_side(model), ["w1", "w2"])
+        score_src.join(vocab_join_side(model), ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(-F.avg("logp"), 6).alias("kn_cross_entropy"),
+            *[F.first(c).alias(c) for c in passthrough_cols],
         )
     )
 
@@ -385,169 +473,108 @@ def gopher_repetition_rules(
     The paper's duplicate line/paragraph rules are omitted for the same
     measured reason as in dq3/dq5: this corpus is single-line.
 
-    Scale shape: ONE posexplode of the word array, then every step is a
-    doc-keyed window or aggregate — char offsets via one cumulative-sum
-    window, all nine n-gram lengths via LEADs sharing that window's
-    sort, occurrence counts via a (doc, n, ngram) window, and the
-    interval union via the classic gaps-and-islands running-max window.
-    One Exchange on the doc key; per-doc cost O(words × 9); no
-    corpus-sized window, no join against the corpus. At 100 TB this is
-    the same cost class as a tokenize pass.
+    Scale shape (r13): the ENTIRE battery is per-document arithmetic, so
+    it runs as ONE map-only Arrow pass — ``mapInPandas`` with all nine
+    rules computed per doc in-batch — ZERO Exchange, no join against the
+    corpus (the r12 shape was one posexplode + four doc-keyed
+    window/aggregate exchanges; every value is unchanged — per-rule
+    integer char accounting with one half-up-rounded double division,
+    pinned by the hand-computed pytest and the dq7/pipe5 hash oracles).
+    The n-gram string IS ``text[s:e]`` because split-on-space words
+    re-join to the original text exactly, so occurrence counting hashes
+    C-level string slices, never building tuples. At 100 TB this is the
+    same cost class as a tokenize pass — literally one.
     """
-    from pyspark.sql import Window
+    import pandas as pd
 
     ns = sorted(
         [n for n, _ in top_ngram_max_frac] + [n for n, _ in dup_ngram_max_frac]
     )
-    max_n = max(ns)
     top_ns = {n for n, _ in top_ngram_max_frac}
-    dup_ns = {n for n, _ in dup_ngram_max_frac}
+    frac_names = [
+        f"top_{n}gram_frac" if n in top_ns else f"dup_{n}gram_frac" for n in ns
+    ]
+    flag_specs = [
+        (f"ok_top_{n}gram", f"top_{n}gram_frac", cap)
+        for n, cap in top_ngram_max_frac
+    ] + [
+        (f"ok_dup_{n}gram", f"dup_{n}gram_frac", cap)
+        for n, cap in dup_ngram_max_frac
+    ]
+    id_t = df.schema[id_col].dataType.simpleString()
 
-    base = df.select(
-        F.col(id_col).alias("_doc"),
-        F.length(F.col(text_col)).cast("long").alias("_total"),
-        F.posexplode(words(F.col(text_col))).alias("_pos", "_w"),
-    )
-    w_pos = Window.partitionBy("_doc").orderBy("_pos")
-    w_prev = w_pos.rowsBetween(Window.unboundedPreceding, -1)
-    # char offset of word i = Σ_{k<i} (len_k + 1)  ==  len(join(words[:i])) + 1
-    staged = base.select(
-        "_doc",
-        "_total",
-        "_pos",
-        "_w",
-        F.coalesce(
-            F.sum(F.length("_w") + F.lit(1)).over(w_prev), F.lit(0)
-        ).cast("long").alias("_s"),
-        *[F.lead("_w", k).over(w_pos).alias(f"_lw{k}") for k in range(1, max_n)],
-        *[
-            F.lead(
-                F.coalesce(
-                    F.sum(F.length("_w") + F.lit(1)).over(w_prev), F.lit(0)
-                ).cast("long")
-                + F.length("_w"),
-                k,
-            )
-            .over(w_pos)
-            .alias(f"_le{k}")
-            for k in range(1, max_n)
-        ],
-    )
-    # one struct per n — exploded map-side into (doc, n, ngram, s, e) rows
-    gram_structs = []
-    for n in ns:
-        parts = ["_w"] + [f"_lw{k}" for k in range(1, n)]
-        gram_structs.append(
-            F.struct(
-                F.lit(n).alias("n"),
-                F.when(
-                    F.col(f"_lw{n - 1}").isNotNull() if n > 1 else F.lit(True),
-                    F.concat_ws(" ", *parts),
-                ).alias("ngram"),
-                F.col("_s").alias("s"),
-                (F.col(f"_le{n - 1}") if n > 1 else (F.col("_s") + F.length("_w")))
-                .cast("long")
-                .alias("e"),
-            )
-        )
-    occ = (
-        staged.select(
-            "_doc", "_total", F.explode(F.array(*gram_structs)).alias("_g")
-        )
-        .select("_doc", "_total", "_g.n", "_g.ngram", "_g.s", "_g.e")
-        .where(F.col("ngram").isNotNull())
-    )
+    def battery(batches):
+        from collections import Counter
 
-    # top n-gram fraction: (count, char_len)-max per (doc, n)
-    grp = (
-        occ.where(F.col("n").isin(*top_ns))
-        .groupBy("_doc", "_total", "n", "ngram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    top = (
-        grp.groupBy("_doc", "n")
-        .agg(
-            F.max(
-                F.struct(F.col("c"), F.length("ngram").alias("l"))
-            ).alias("b"),
-            F.first("_total").alias("_total"),
-        )
-        .select(
-            "_doc",
-            "n",
-            # count 1 is not repetition: the rule reads 0 unless the top
-            # n-gram actually repeats (the standard implementation's
-            # `if count == 1: continue`)
-            F.when(
-                F.col("b.c") > 1,
-                F.round(
-                    (F.col("b.c") * F.col("b.l")).cast("double")
-                    / F.col("_total"),
-                    6,
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("f"),
-        )
-    )
+        for pdf in batches:
+            cols: dict = {nm: [] for nm in frac_names}
+            for txt in pdf[text_col]:
+                ws = txt.split(" ") if txt is not None else []
+                m = len(ws)
+                # char offset of word i = Σ_{k<i}(len_k + 1); words
+                # re-join to txt exactly, so txt[starts[i]:ends[j]] IS
+                # concat_ws(" ", words i..j)
+                starts = [0] * m
+                acc = 0
+                for j, wd in enumerate(ws):
+                    starts[j] = acc
+                    acc += len(wd) + 1
+                ends = [starts[j] + len(ws[j]) for j in range(m)]
+                total = float(len(txt)) if txt else 0.0
+                for n, nm in zip(ns, frac_names):
+                    if m < n:
+                        cols[nm].append(0.0)
+                        continue
+                    grams = [
+                        txt[starts[i] : ends[i + n - 1]]
+                        for i in range(m - n + 1)
+                    ]
+                    cnt = Counter(grams)
+                    if n in top_ns:
+                        # (count, char_len)-max; count 1 is not
+                        # repetition — the rule reads 0 then (the
+                        # standard implementation's `if count == 1:
+                        # continue`)
+                        c, l = max((c, len(g)) for g, c in cnt.items())
+                        cols[nm].append(
+                            _spark_round6(float(c * l) / total)
+                            if c > 1
+                            else 0.0
+                        )
+                    else:
+                        # interval union of duplicated spans: spans come
+                        # out in ascending s (positions ascend), so the
+                        # running-max union is one pass
+                        cov = 0
+                        pmax = -1
+                        for i, g in enumerate(grams):
+                            if cnt[g] > 1:
+                                e_i = ends[i + n - 1]
+                                lo = max(starts[i], pmax)
+                                if e_i > lo:
+                                    cov += e_i - lo
+                                if e_i > pmax:
+                                    pmax = e_i
+                        cols[nm].append(_spark_round6(float(cov) / total))
+            out = {id_col: pdf[id_col].reset_index(drop=True)}
+            for nm in frac_names:
+                out[nm] = pd.Series(cols[nm], dtype="float64")
+            keep = pd.Series([True] * len(pdf), dtype="bool")
+            for flag, frac, cap in flag_specs:
+                ok = out[frac] <= cap
+                out[flag] = ok
+                keep = keep & ok
+            out["keep"] = keep
+            yield pd.DataFrame(out)
 
-    # duplicate n-gram char fraction: interval union of duplicated spans
-    w_cnt = Window.partitionBy("_doc", "n", "ngram")
-    w_iv = Window.partitionBy("_doc", "n").orderBy("s", "e")
-    dups = (
-        occ.where(F.col("n").isin(*dup_ns))
-        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
-        .where(F.col("cnt") > 1)
-        .withColumn(
-            "pmax",
-            F.max("e").over(w_iv.rowsBetween(Window.unboundedPreceding, -1)),
-        )
-        .withColumn(
-            "contrib",
-            F.greatest(
-                F.col("e")
-                - F.greatest(F.col("s"), F.coalesce(F.col("pmax"), F.lit(-1))),
-                F.lit(0),
-            ),
-        )
+    schema = (
+        f"{id_col} {id_t}, "
+        + ", ".join(f"{nm} double" for nm in frac_names)
+        + ", "
+        + ", ".join(f"{flag} boolean" for flag, _, _ in flag_specs)
+        + ", keep boolean"
     )
-    dup = dups.groupBy("_doc", "n").agg(
-        F.round(
-            F.sum("contrib").cast("double") / F.first("_total"), 6
-        ).alias("f")
-    )
-
-    allf = top.unionByName(dup)
-    docs = df.select(F.col(id_col).alias("_doc"))
-    pivoted = docs.join(allf, "_doc", "left").groupBy("_doc").agg(
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("n") == n, F.col("f"))), F.lit(0.0)
-            ).alias(
-                f"top_{n}gram_frac" if n in top_ns else f"dup_{n}gram_frac"
-            )
-            for n in ns
-        ]
-    )
-    flags = []
-    keep = F.lit(True)
-    for n, cap in top_ngram_max_frac:
-        ok = F.col(f"top_{n}gram_frac") <= cap
-        flags.append(ok.alias(f"ok_top_{n}gram"))
-        keep = keep & ok
-    for n, cap in dup_ngram_max_frac:
-        ok = F.col(f"dup_{n}gram_frac") <= cap
-        flags.append(ok.alias(f"ok_dup_{n}gram"))
-        keep = keep & ok
-    return pivoted.select(
-        F.col("_doc").alias(id_col),
-        *[
-            F.col(f"top_{n}gram_frac" if n in top_ns else f"dup_{n}gram_frac")
-            for n in ns
-        ],
-        *flags,
-        keep.alias("keep"),
-    )
+    return df.select(id_col, text_col).mapInPandas(battery, schema)
 
 
 def c4_line_rules(

@@ -4436,13 +4436,14 @@ def pipe5_fluency_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = text.gopher_repetition_rules(docs).where(F.col("keep")).select(
         "doc_id"
     )
-    # eager localCheckpoint: the survivor set feeds the LM count build,
-    # the scoring join, AND the lang join — without it each consumer
-    # re-runs the full repetition gate (the t9/d3 multi-consumer rule)
+    # eager localCheckpoint: the survivor set feeds the LM count build
+    # AND the scoring pass — without it each consumer re-runs the full
+    # repetition gate (the t9/d3 multi-consumer rule). r13: lang rides
+    # through the scorer (passthrough_cols, the pipe2 precedent), so the
+    # doc-keyed lang re-join — two corpus-sized SMJ sides at scale — is
+    # gone outright.
     surv = docs.join(gate, "doc_id").localCheckpoint()
-    scored = text.kneser_ney_score(surv).join(
-        surv.select("doc_id", "lang"), "doc_id"
-    )
+    scored = text.kneser_ney_score(surv, passthrough_cols=("lang",))
     w = Window.partitionBy("lang").orderBy("kn_cross_entropy", "doc_id")
     ranked = scored.withColumn("rn", F.row_number().over(w))
     in_sel = F.col("rn") <= 40

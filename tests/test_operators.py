@@ -2088,22 +2088,24 @@ def test_kn_model_build_modes_and_join_side(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_VOCAB_JOIN", raising=False)
     df_drv = kneser_ney_score(docs)
     plan_drv = df_drv._jdf.queryExecution().sparkPlan().toString()
-    assert "BroadcastHashJoin" in plan_drv and "BuildRight" in plan_drv
-    assert "BuildLeft" not in plan_drv
-    assert "LocalTableScan" in plan_drv, plan_drv
-    # only the final per-doc aggregation survives in the plan — the
-    # model-stat aggregations ran driver-side
-    n_agg = plan_drv.count("HashAggregate") + plan_drv.count("SortAggregate")
-    assert n_agg == 2, plan_drv
+    # fully map-only: both corpus passes are Arrow (counts ran at
+    # construction), the model dict rides in the closure — no join, no
+    # exchange, no aggregate left in the scoring plan
+    assert "MapInPandas" in plan_drv, plan_drv
+    assert "Join" not in plan_drv, plan_drv
+    assert "Exchange" not in plan_drv, plan_drv
+
+    monkeypatch.setenv("SPARK_GRAFT_KN_MODEL", "dist")
+    df_dist = kneser_ney_score(docs)
+    plan_dist = df_dist._jdf.queryExecution().sparkPlan().toString()
+    # the dist scoring join builds on the MODEL side (BuildRight)
+    assert "BroadcastHashJoin" in plan_dist and "BuildRight" in plan_dist
 
     monkeypatch.setenv("SPARK_GRAFT_VOCAB_JOIN", "shuffle_hash")
     df_shj = kneser_ney_score(docs)
     plan_shj = df_shj._jdf.queryExecution().sparkPlan().toString()
     assert "ShuffledHashJoin" in plan_shj and "BuildRight" in plan_shj
     monkeypatch.delenv("SPARK_GRAFT_VOCAB_JOIN")
-
-    monkeypatch.setenv("SPARK_GRAFT_KN_MODEL", "dist")
-    df_dist = kneser_ney_score(docs)
 
     ra = {r["doc_id"]: r.asDict() for r in df_drv.collect()}
     assert ra == {r["doc_id"]: r.asDict() for r in df_shj.collect()}
