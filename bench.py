@@ -121,6 +121,11 @@ DATAPIPE_QUERIES = [
     # are comparable r12-forward only; legacy_total stays the r01 yardstick.
     "pipe5_fluency_curation",
     "sim5_pq_topk",
+    # r13 (VERDICT r12 #7): the PRODUCTION dedup shape — d2 stays the
+    # exact superlinear anchor, d2b is the df-capped path a deployment
+    # actually runs (4.6 s vs 123.8 s at sf1). Expanded-set totals are
+    # comparable r13-forward only; legacy_total stays the r01 yardstick.
+    "d2b_ngram_jaccard_capped",
 ]
 
 BENCH_QUERIES = LEGACY_QUERIES + DATAPIPE_QUERIES
@@ -211,9 +216,20 @@ NEIGHBOR_CORES_MAX = float(os.environ.get("SPARK_GRAFT_NEIGHBOR_CORES_MAX", "2.0
 # 2.75-3.5 stolen cores (35-44% of the machine) under the flat 8.0
 # gate, reading sim5 at 9.5-10.5 s vs 4.4 s on its steal-clean rep and
 # faking a 3.2x core-scaling ratio where the clean ratio is ~1.5x.
-_BENCH_CPUS = float(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+try:
+    # session.py accepts non-numeric values verbatim in local[{cpus}]
+    # (e.g. "*"); the gate falls back to the machine's core count there
+    # instead of crashing at import (r13, ADVICE r12).
+    _BENCH_CPUS = float(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+except ValueError:
+    _BENCH_CPUS = float(os.cpu_count() or 32)
+# floor of 2.0: normal fabric steal here is 1-2 cores, so an unfloored
+# cpus/4 gate at <=8 cores would stamp every rep dirty and burn the
+# retry budget (r13, ADVICE r12)
 STEAL_CORES_MAX = float(
-    os.environ.get("SPARK_GRAFT_STEAL_CORES_MAX", str(min(8.0, _BENCH_CPUS / 4.0)))
+    os.environ.get(
+        "SPARK_GRAFT_STEAL_CORES_MAX", str(max(2.0, min(8.0, _BENCH_CPUS / 4.0)))
+    )
 )
 
 # r12 fabric canary (VERDICT r11 #5): a rep whose surrounding canary walls
@@ -484,7 +500,12 @@ def main() -> None:
                     spark.sparkContext._jvm.System.gc()
                 except Exception:
                     pass
-                _canary_wall(spark, record=False)
+                # the drain wall is recorded in the rep (ADVICE r12: a
+                # brief throttle ending inside the drain window is
+                # otherwise invisible post-hoc) but never joins the
+                # reference median — it measures a known-contaminated
+                # window
+                cdrain = _canary_wall(spark, record=False)
                 cpost = _canary_wall(spark)
                 assert rows is not None
                 other = max(0.0, ((h1 - h0) - (m1 - m0)) / _CLK / max(dt, 1e-3))
@@ -504,6 +525,7 @@ def main() -> None:
                     "other_cores": round(other, 2),
                     "steal_cores": round(steal, 2),
                     "canary_pre": round(cpre, 3),
+                    "canary_drain": round(cdrain, 3),
                     "canary_post": round(cpost, 3),
                     "fabric_slow": fabric_slow,
                     "loadavg_pre": la0,

@@ -25,8 +25,10 @@ def gc_totals(spark):
     it = beans.iterator()
     while it.hasNext():
         b = it.next()
-        t += b.getCollectionTime()
-        c += b.getCollectionCount()
+        # a collector that does not support the metric returns -1; clamp
+        # so it cannot skew the summed deltas (ADVICE r12)
+        t += max(0, b.getCollectionTime())
+        c += max(0, b.getCollectionCount())
     mem = jvm.java.lang.management.ManagementFactory.getMemoryMXBean()
     used = mem.getHeapMemoryUsage().getUsed()
     return t, c, used
